@@ -1,0 +1,39 @@
+"""PySpark-native point-in-time feature-engineering engine with a
+Monotonic-Optimal-Binning fitted-transform core.
+
+Capabilities re-expressed Spark-first from the reference
+ChenTaHung/Monotonic-Optimal-Binning (studied read-only at /root/reference),
+plus the point-in-time layer (as-of join, backfill, lag/lead, sessionize)
+and training-data-pipeline operators (dedup, similarity, text stats) the
+north rule requires. No module-level Spark state: everything here is safe to
+ship via ``spark-submit --py-files``.
+"""
+
+from .config import DEFAULT_CONFIG, EngineConfig
+from .core.constraints import BinningConstraints
+from .core.merge import MergeStrategy
+from .exceptions import (
+    ConstraintError,
+    DataError,
+    FittingError,
+    MOBSparkError,
+    NotFittedError,
+)
+from .operators.binning import FittedBins, SparkMonotonicBinner, fit_binners_per_group
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "BinningConstraints",
+    "ConstraintError",
+    "DataError",
+    "DEFAULT_CONFIG",
+    "EngineConfig",
+    "FittedBins",
+    "FittingError",
+    "MergeStrategy",
+    "MOBSparkError",
+    "NotFittedError",
+    "SparkMonotonicBinner",
+    "fit_binners_per_group",
+]

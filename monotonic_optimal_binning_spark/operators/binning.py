@@ -1,0 +1,638 @@
+"""Distributed monotonic optimal binning (the engine's fitted-transform core).
+
+Execution shape (SURVEY.md §3.1, BASELINE.json north_star):
+
+  fit   = ONE distributed scan ``groupBy(partition_tag, group_key).agg(...)``
+          producing per-candidate-bin sufficient statistics (algebraic
+          aggregates → Catalyst partial+final hash aggregation, map-side
+          combine; raw rows never leave executors), then a bounded
+          driver-side PAVA + statistical-merge pass over the collected k-row
+          table (k = distinct x, or ≤ prebins via quantile pre-binning).
+  transform = broadcast cut-points + one Arrow-vectorized pandas UDF doing
+          ``np.searchsorted`` per batch (the reference's per-row
+          ``Series.apply`` at /root/reference/src/MOBPY/binning/mob.py:468 is
+          exactly the anti-pattern this replaces).
+
+Result semantics (bins table, summary with WoE/IV, labels, Missing/Excluded
+handling) match the reference MonotonicBinner
+(/root/reference/src/MOBPY/binning/mob.py) allclose / byte-for-byte.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, Iterable, List, Optional, Sequence, Union
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import DEFAULT_CONFIG, EngineConfig
+from ..core.blocks import Block
+from ..core.constraints import BinningConstraints
+from ..core.merge import MergeMetrics, MergeStrategy, merge_adjacent
+from ..core.pava import GroupStats, fit_pava
+from ..core.stats import woe_iv
+from ..exceptions import DataError, NotFittedError
+from ..functions.labels import bucket_labels
+
+_NUMERIC_SPARK_TYPES = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.DecimalType,
+    T.BooleanType,
+)
+
+_FLOATY_SPARK_TYPES = (T.FloatType, T.DoubleType)
+
+
+def _null_or_nan(col: Column, dtype: T.DataType) -> Column:
+    """pandas-isna-compatible predicate: NULL, and NaN for float columns.
+
+    Spark treats NaN as an ordinary value (not NULL); pandas ``isna`` treats
+    it as missing — the reference routes NaN x to the Missing partition
+    (/root/reference/src/MOBPY/core/utils.py:334-336).
+    """
+    pred = col.isNull()
+    if isinstance(dtype, _FLOATY_SPARK_TYPES):
+        pred = pred | F.isnan(col)
+    return pred
+
+
+def _check_numeric(df: DataFrame, name: str) -> T.DataType:
+    if name not in df.columns:
+        raise DataError(
+            f"Missing columns in DataFrame: ['{name}']. "
+            f"Available columns: {df.columns[:10]}"
+        )
+    dtype = df.schema[name].dataType
+    if not isinstance(dtype, _NUMERIC_SPARK_TYPES):
+        raise DataError(f"Column '{name}' must be numeric, but got dtype={dtype}")
+    return dtype
+
+
+def _is_binary_values(vals: Sequence[float]) -> bool:
+    """Reference is_binary_series flexible mode
+    (/root/reference/src/MOBPY/core/utils.py:71-121): ≤2 unique non-null
+    values, integer-like, and either {0,1} or a single unique value."""
+    if len(vals) == 0 or len(vals) > 2:
+        return False
+    ints = []
+    for v in vals:
+        iv = int(v)
+        if iv != v:
+            return False
+        ints.append(iv)
+    return set(ints) == {0, 1} or len(vals) == 1
+
+
+@dataclass
+class FittedBins:
+    """Driver-side fitted model; small and picklable for broadcast.
+
+    lefts/rights use -inf/+inf sentinels and half-open [left, right)
+    semantics: first bin (-inf, c1), middle [ci, ci+1), last [cn, +inf)
+    (/root/reference/src/MOBPY/binning/mob.py:60-63).
+    """
+
+    x: str
+    y: str
+    lefts: np.ndarray
+    rights: np.ndarray
+    labels: List[str]
+    is_binary: bool
+    resolved_sign: str
+    woes: Optional[np.ndarray]
+    exclude_values: Optional[List[Any]]
+    bins_df: pd.DataFrame
+    summary_df: pd.DataFrame
+    diagnostics: Dict[str, Any] = field(default_factory=dict)
+
+    def assign_batch(self, values: pd.Series, assign: str) -> pd.Series:
+        """Vectorized bin assignment for one Arrow batch."""
+        vals = values.to_numpy()
+        fvals = vals.astype(float, copy=False)
+        n_bins = len(self.rights)
+
+        idx = np.searchsorted(self.rights, fvals, side="right")
+        np.minimum(idx, n_bins - 1, out=idx)
+        fix = (idx > 0) & (fvals < self.lefts[idx])
+        idx[fix] -= 1
+
+        is_missing = pd.isna(values).to_numpy()
+        if self.exclude_values:
+            is_excluded = np.isin(fvals, np.asarray(self.exclude_values, dtype=float))
+            is_excluded &= ~is_missing
+        else:
+            is_excluded = np.zeros(len(vals), dtype=bool)
+
+        if assign == "left":
+            out = self.lefts[idx].astype(float)
+            out[is_missing | is_excluded] = np.nan
+            return pd.Series(out)
+        if assign == "right":
+            out = self.rights[idx].astype(float)
+            out[is_missing | is_excluded] = np.nan
+            return pd.Series(out)
+        if assign == "woe":
+            if self.woes is None:
+                raise ValueError("assign='woe' requires binary target")
+            out = self.woes[idx].astype(float)
+            out[is_missing | is_excluded] = np.nan
+            return pd.Series(out)
+        # interval labels
+        label_arr = np.asarray(self.labels, dtype=object)
+        out = label_arr[idx]
+        if is_excluded.any():
+            # reference formats with the raw input value: f"Excluded:{val}"
+            # (/root/reference/src/MOBPY/binning/mob.py:434)
+            exc_idx = np.nonzero(is_excluded)[0]
+            out = out.copy()
+            for i in exc_idx:
+                out[i] = f"Excluded:{vals[i]}"
+        if is_missing.any():
+            out = out.copy()
+            out[is_missing] = "Missing"
+        return pd.Series(out)
+
+
+class SparkMonotonicBinner:
+    """End-to-end monotonic optimal binning on a Spark DataFrame.
+
+    Args:
+        x: feature column (numeric).
+        y: target column (numeric; binary targets unlock WoE/IV).
+        sign: '+', '-', or 'auto' (Pearson corr of x vs group mean).
+        strict: merge equal-mean plateaus after PAVA.
+        constraints: BinningConstraints (fractions resolved at fit time).
+        exclude_values: special codes reported separately (e.g. [-999]).
+        merge_strategy: HIGHEST_PVALUE (Welch t-test) | SMALLEST_LOSS |
+            BALANCED_SIZE.
+        prebins: cap candidate groups via approxQuantile pre-binning.
+            ``None`` = exact distinct-x grouping (parity mode; the reference
+            always runs exact, /root/reference/src/MOBPY/core/pava.py:268).
+            At 10^12 rows always set this (default_prebins=256 bounds the
+            collected state to kilobytes regardless of cardinality).
+    """
+
+    def __init__(
+        self,
+        x: str,
+        y: str,
+        *,
+        sign: str = "auto",
+        strict: bool = True,
+        constraints: Optional[BinningConstraints] = None,
+        exclude_values: Optional[Iterable] = None,
+        merge_strategy: Union[MergeStrategy, str] = MergeStrategy.HIGHEST_PVALUE,
+        prebins: Optional[int] = None,
+        prebin_relative_error: float = 0.001,
+        config: EngineConfig = DEFAULT_CONFIG,
+    ):
+        self.x = x
+        self.y = y
+        self.sign = sign
+        self.strict = strict
+        self.constraints = constraints or BinningConstraints()
+        self.exclude_values = list(exclude_values) if exclude_values else None
+        if isinstance(merge_strategy, str):
+            merge_strategy = MergeStrategy(merge_strategy)
+        self.merge_strategy = merge_strategy
+        self.prebins = prebins
+        self.prebin_relative_error = prebin_relative_error
+        self.config = config
+
+        self.model_: Optional[FittedBins] = None
+        self.merge_metrics_: Optional[MergeMetrics] = None
+        self.fit_metrics_: Dict[str, Any] = {}
+
+    # ---------- fit ----------
+
+    def _predicates(self, df: DataFrame):
+        x_dtype = _check_numeric(df, self.x)
+        y_dtype = _check_numeric(df, self.y)
+        xc = F.col(self.x)
+        x_missing = _null_or_nan(xc, x_dtype)
+        if self.exclude_values:
+            x_excluded = (~x_missing) & xc.isin(self.exclude_values)
+        else:
+            x_excluded = F.lit(False)
+        x_clean = (~x_missing) & (~x_excluded)
+
+        y_raw = F.col(self.y).cast("double")
+        # NaN y behaves like null (pandas dropna semantics in PAVA,
+        # /root/reference/src/MOBPY/core/pava.py:251)
+        y_val = F.when(~_null_or_nan(F.col(self.y), y_dtype), y_raw)
+        return x_clean, x_missing, x_excluded, y_val
+
+    def _detect_binary(self, df: DataFrame, x_clean, y_val):
+        rows = (
+            df.filter(x_clean)
+            .select(y_val.alias("_y"))
+            .filter(F.col("_y").isNotNull())
+            .distinct()
+            .limit(3)
+            .collect()
+        )
+        vals = sorted(r["_y"] for r in rows)
+        is_binary = _is_binary_values(vals)
+        recode = None
+        if is_binary and len(vals) == 2 and set(vals) != {0.0, 1.0}:
+            recode = (min(vals), max(vals))
+        return is_binary, recode
+
+    def _prebin_splits(self, df: DataFrame, x_clean) -> Optional[List[float]]:
+        if not self.prebins or self.prebins < 2:
+            return None
+        probs = [i / self.prebins for i in range(1, self.prebins)]
+        qs = (
+            df.filter(x_clean)
+            .select(F.col(self.x).cast("double").alias("_x"))
+            .approxQuantile("_x", probs, self.prebin_relative_error)
+        )
+        interior = sorted(set(q for q in qs if q is not None and math.isfinite(q)))
+        if not interior:
+            return None
+        return [float("-inf")] + interior + [float("inf")]
+
+    def fit(self, df: DataFrame) -> "SparkMonotonicBinner":
+        t0 = time.time()
+        x_clean, x_missing, x_excluded, y_val = self._predicates(df)
+
+        is_binary, recode = self._detect_binary(df, x_clean, y_val)
+
+        # Binary recode min->0 / max->1 applies to the CLEAN partition only
+        # (the reference mutates parts.clean in place,
+        #  /root/reference/src/MOBPY/binning/mob.py:216-227; Missing/Excluded
+        #  summary rows keep original y values).
+        if recode is not None:
+            lo, hi = recode
+            y_clean_eff = (
+                F.when(y_val == F.lit(hi), F.lit(1.0))
+                .when(y_val == F.lit(lo), F.lit(0.0))
+                .otherwise(F.lit(None).cast("double"))
+            )
+        else:
+            y_clean_eff = y_val
+        y_eff = F.when(x_clean, y_clean_eff).otherwise(y_val)
+
+        tag = (
+            F.when(x_missing, F.lit("M"))
+            .when(x_excluded, F.lit("E"))
+            .otherwise(F.lit("C"))
+        )
+
+        splits = self._prebin_splits(df, x_clean)
+        xd = F.col(self.x).cast("double")
+        if splits is not None:
+            from pyspark.ml.feature import Bucketizer
+
+            work = df.withColumn("_mob_tag", tag).withColumn(
+                "_mob_xb", F.when(x_clean, xd)
+            )
+            bucketizer = Bucketizer(
+                splits=splits,
+                inputCol="_mob_xb",
+                outputCol="_mob_bucket",
+                handleInvalid="keep",
+            )
+            work = bucketizer.transform(work)
+            group_key = F.when(
+                F.col("_mob_tag") == "C", F.col("_mob_bucket")
+            ).otherwise(xd)
+        else:
+            work = df.withColumn("_mob_tag", tag)
+            group_key = xd
+
+        nonfinite_y = F.when(
+            y_val.isNotNull() & (F.abs(y_val) == F.lit(float("inf"))), 1
+        ).otherwise(0)
+
+        # THE distributed pass: one shuffle on (tag, group_key); all
+        # aggregates are algebraic → full map-side partial aggregation.
+        stats = (
+            work.groupBy(
+                F.col("_mob_tag").alias("tag"), group_key.alias("gkey")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count(y_eff).alias("n_y"),
+                F.sum(y_eff).alias("sum_y"),
+                F.sum(y_eff * y_eff).alias("sum_y2"),
+                F.min(y_eff).alias("ymin"),
+                F.max(y_eff).alias("ymax"),
+                F.avg(y_eff).alias("ymean"),
+                F.stddev_samp(y_eff).alias("ystd"),
+                F.sum(nonfinite_y).alias("n_nonfinite"),
+                F.min(xd).alias("x_rep"),
+            )
+            .collect()
+        )
+
+        c_rows = sorted(
+            (r for r in stats if r["tag"] == "C"),
+            key=lambda r: (r["x_rep"] is None, r["x_rep"]),
+        )
+        m_rows = [r for r in stats if r["tag"] == "M"]
+        e_rows = sorted((r for r in stats if r["tag"] == "E"), key=lambda r: r["gkey"])
+
+        n_nonfinite = sum(r["n_nonfinite"] for r in c_rows)
+        if n_nonfinite > 0:
+            raise DataError(
+                f"Column '{self.y}' contains {n_nonfinite} non-finite values "
+                f"(inf or -inf)"
+            )
+
+        total_n = int(sum(r["n_rows"] for r in c_rows))
+        if total_n == 0:
+            raise DataError(
+                "No clean rows after removing missing/excluded values."
+            )
+        total_pos = (
+            int(sum(r["sum_y"] or 0.0 for r in c_rows)) if is_binary else 0
+        )
+
+        groups = [
+            GroupStats(
+                x=float(r["x_rep"]),
+                count=int(r["n_y"]),
+                sum=float(r["sum_y"]),
+                sum2=float(r["sum_y2"]),
+                ymin=float(r["ymin"]),
+                ymax=float(r["ymax"]),
+            )
+            for r in c_rows
+            if r["n_y"] > 0
+        ]
+        if not groups:
+            raise DataError(
+                f"No rows with non-missing {self.x} and {self.y} for PAVA"
+            )
+
+        constraints = self.constraints.copy()
+        constraints.resolve(total_n=total_n, total_pos=total_pos)
+
+        pava = fit_pava(groups, sign=self.sign, strict=self.strict, config=self.config)
+        metrics = MergeMetrics()
+        merged = merge_adjacent(
+            pava.blocks,
+            constraints,
+            is_binary,
+            strategy=self.merge_strategy,
+            config=self.config,
+            metrics=metrics,
+        )
+        self.merge_metrics_ = metrics
+
+        bins_df = self._blocks_to_df(merged)
+        summary_df = self._build_summary(bins_df, m_rows, e_rows, is_binary)
+
+        lefts = bins_df["left"].to_numpy(dtype=float)
+        rights = bins_df["right"].to_numpy(dtype=float)
+        labels = bucket_labels(lefts, rights)
+        woes = None
+        if is_binary:
+            mask = ~summary_df["bucket"].str.contains("Missing|Excluded")
+            woes = summary_df.loc[mask, "woe"].to_numpy(dtype=float)
+
+        self.model_ = FittedBins(
+            x=self.x,
+            y=self.y,
+            lefts=lefts,
+            rights=rights,
+            labels=labels,
+            is_binary=is_binary,
+            resolved_sign=pava.resolved_sign,
+            woes=woes,
+            exclude_values=self.exclude_values,
+            bins_df=bins_df,
+            summary_df=summary_df,
+            diagnostics={
+                "partition_summary": {
+                    "clean": total_n,
+                    "missing": int(sum(r["n_rows"] for r in m_rows)),
+                    "excluded": int(sum(r["n_rows"] for r in e_rows)),
+                },
+                "is_binary": is_binary,
+                "resolved_sign": pava.resolved_sign,
+                "n_pava_blocks": len(pava.blocks),
+                "n_initial_groups": pava.n_initial_groups,
+                "n_final_bins": len(merged),
+                "prebinned": splits is not None,
+                "merge_phase1_iterations": metrics.phase1_iterations,
+                "merge_phase2_iterations": metrics.phase2_iterations,
+            },
+        )
+        self.fit_metrics_ = {
+            "fit_seconds": time.time() - t0,
+            "groups_collected": len(groups),
+            "total_n": total_n,
+            "total_pos": total_pos,
+        }
+        return self
+
+    # ---------- result tables ----------
+
+    @staticmethod
+    def _blocks_to_df(blocks: List[Block]) -> pd.DataFrame:
+        """Bins table with re-derived edges
+        (/root/reference/src/MOBPY/binning/mob.py:545-591)."""
+        if not blocks:
+            return pd.DataFrame(
+                columns=["left", "right", "n", "sum", "mean", "std", "min", "max"]
+            )
+        rows = []
+        for i, block in enumerate(blocks):
+            left = float("-inf") if i == 0 else block.left
+            right = (
+                float("inf") if i == len(blocks) - 1 else blocks[i + 1].left
+            )
+            rows.append(
+                {
+                    "left": left,
+                    "right": right,
+                    "n": block.n,
+                    "sum": block.sum,
+                    "mean": block.mean,
+                    "std": block.std,
+                    "min": block.ymin,
+                    "max": block.ymax,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    def _build_summary(
+        self,
+        bins_df: pd.DataFrame,
+        m_rows: List,
+        e_rows: List,
+        is_binary: bool,
+    ) -> pd.DataFrame:
+        """Summary table incl. Missing / Excluded:<v> rows and WoE/IV
+        (/root/reference/src/MOBPY/binning/mob.py:593-706)."""
+        rows = []
+        for _, b in bins_df.iterrows():
+            rows.append(
+                {
+                    "bucket": bucket_labels(
+                        np.array([b["left"]]), np.array([b["right"]])
+                    )[0],
+                    "count": int(b["n"]),
+                    "sum": b["sum"],
+                    "mean": b["mean"],
+                    "std": b["std"],
+                    "min": b["min"],
+                    "max": b["max"],
+                }
+            )
+
+        def _stat(r, key, default=np.nan):
+            v = r[key]
+            return default if v is None else v
+
+        for r in m_rows:
+            if r["n_rows"] > 0:
+                rows.append(
+                    {
+                        "bucket": "Missing",
+                        "count": int(r["n_rows"]),
+                        # pandas .sum() over all-NaN returns 0.0
+                        "sum": r["sum_y"] if r["sum_y"] is not None else 0.0,
+                        "mean": _stat(r, "ymean"),
+                        "std": _stat(r, "ystd"),
+                        "min": _stat(r, "ymin"),
+                        "max": _stat(r, "ymax"),
+                    }
+                )
+
+        for r in e_rows:
+            # label uses the column's Python scalar, matching the pandas
+            # groupby key repr (int column -> "Excluded:-999",
+            # float -> "Excluded:-999.0")
+            rows.append(
+                {
+                    "bucket": f"Excluded:{r['gkey']}",
+                    "count": int(r["n_rows"]),
+                    "sum": r["sum_y"] if r["sum_y"] is not None else 0.0,
+                    "mean": _stat(r, "ymean"),
+                    "std": _stat(r, "ystd"),
+                    "min": _stat(r, "ymin"),
+                    "max": _stat(r, "ymax"),
+                }
+            )
+
+        summary = pd.DataFrame(rows)
+        total_count = summary["count"].sum()
+        summary["count_pct"] = summary["count"] / total_count * 100
+
+        if is_binary:
+            bads = summary["sum"].astype(float)
+            goods = summary["count"] - bads
+            numeric_mask = ~summary["bucket"].str.contains("Missing|Excluded")
+            numeric_idx = summary.index[numeric_mask]
+            summary["woe"] = np.nan
+            summary["iv"] = 0.0
+            if len(numeric_idx) > 0:
+                comp = woe_iv(
+                    goods.loc[numeric_idx].to_numpy(),
+                    bads.loc[numeric_idx].to_numpy(),
+                    smoothing=0.5,
+                    epsilon=self.config.epsilon,
+                    return_components=True,
+                )
+                summary.loc[numeric_idx, "woe"] = comp["woe"]
+                summary.loc[numeric_idx, "iv"] = comp["iv"]
+
+        base_cols = ["bucket", "count", "count_pct", "sum", "mean", "std", "min", "max"]
+        if is_binary:
+            base_cols.extend(["woe", "iv"])
+        return summary[base_cols]
+
+    # ---------- accessors ----------
+
+    def _model(self) -> FittedBins:
+        if self.model_ is None:
+            raise NotFittedError("Call fit() before accessing results")
+        return self.model_
+
+    def bins_(self) -> pd.DataFrame:
+        return self._model().bins_df.copy()
+
+    def summary_(self) -> pd.DataFrame:
+        return self._model().summary_df.copy()
+
+    def get_diagnostics(self) -> Dict[str, Any]:
+        return dict(self._model().diagnostics)
+
+    @property
+    def resolved_sign_(self) -> str:
+        return self._model().resolved_sign
+
+    def summary_spark(self, spark) -> DataFrame:
+        """Summary as a Spark DataFrame (for sinks / downstream joins)."""
+        pdf = self.summary_().replace({np.nan: None})
+        return spark.createDataFrame(pdf)
+
+    # ---------- transform ----------
+
+    def transform(
+        self,
+        df: DataFrame,
+        assign: str = "interval",
+        input_col: Optional[str] = None,
+        output_col: Optional[str] = None,
+    ) -> DataFrame:
+        """Map a raw column to bin assignments via a broadcast pandas UDF.
+
+        assign: 'interval' (label), 'left', 'right', or 'woe'.
+        """
+        model = self._model()
+        if assign == "woe" and not model.is_binary:
+            raise ValueError("assign='woe' requires binary target")
+        if assign not in ("interval", "left", "right", "woe"):
+            raise ValueError(f"Unknown assign mode: {assign}")
+
+        input_col = input_col or model.x
+        output_col = output_col or f"{input_col}_{assign}"
+        ret_type = "string" if assign == "interval" else "double"
+
+        @F.pandas_udf(ret_type)
+        def _assign(values: pd.Series) -> pd.Series:
+            return model.assign_batch(values, assign)
+
+        return df.withColumn(output_col, _assign(F.col(input_col)))
+
+
+def fit_binners_per_group(
+    df: DataFrame,
+    group_col: str,
+    x: str,
+    y: str,
+    *,
+    prebins: Optional[int] = None,
+    **binner_kwargs,
+) -> Dict[Any, SparkMonotonicBinner]:
+    """Fit one binner per distinct value of ``group_col`` (e.g. per source).
+
+    Scale path of BASELINE.json north_star ("per-source bin-boundary
+    fitting"): the candidate-bin statistics for ALL groups come from a single
+    ``groupBy(group, x)`` scan; the driver then runs the (tiny) PAVA+merge
+    solve once per group. Implemented for round 1 as a thin loop over
+    filtered fits for clarity; the fused single-scan variant lands with the
+    per-source pipeline work.
+    """
+    groups = [r[0] for r in df.select(group_col).distinct().collect()]
+    out: Dict[Any, SparkMonotonicBinner] = {}
+    for g in sorted(groups, key=lambda v: (v is None, v)):
+        binner = SparkMonotonicBinner(x, y, prebins=prebins, **binner_kwargs)
+        binner.fit(df.filter(F.col(group_col) == F.lit(g)))
+        out[g] = binner
+    return out
