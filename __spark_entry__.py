@@ -1,38 +1,584 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline; ``queries()`` exposes one
+callable per implemented operator (SURVEY.md §2 + the north-rule layer);
+``oracle_sql()`` gives DuckDB-checkable ANSI SQL for every query whose
+semantics SQL can express (iterative fits are rows-only by design).
+All computed columns are aliased identically on both sides; floats are
+rounded to 6 dp on both sides so the value-hash compares stably.
 """
 
 from __future__ import annotations
 
+import sys
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from monotonic_optimal_binning_spark import (
+    BinningConstraints,
+    SparkMonotonicBinner,
+    fit_binners_per_group,
+)
+from monotonic_optimal_binning_spark.operators.asof import asof_join
+from monotonic_optimal_binning_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    simhash_dedup,
+)
+from monotonic_optimal_binning_spark.operators.similarity import brute_force_topk
+from monotonic_optimal_binning_spark.operators.textstats import (
+    fingerprint,
+    language_id,
+    quality_features,
+    token_count,
+)
+from monotonic_optimal_binning_spark.operators.windows import (
+    backfill,
+    rolling_stats,
+    sessionize,
+    with_lag_lead,
+)
+from monotonic_optimal_binning_spark.sources.tables import load_table
+from monotonic_optimal_binning_spark.sources.synthetic import tokenize_text
+from monotonic_optimal_binning_spark.functions.timeutil import epoch_seconds, pin_utc
+
+_R = 6  # float rounding for stable value-hash comparison
+
+
+def _round(df: DataFrame, cols) -> DataFrame:
+    for c in cols:
+        df = df.withColumn(c, F.round(F.col(c).cast("double"), _R))
+    return df
+
+
+# ---------------------------------------------------------------- entry ----
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: tokenize documents -> per-source monotone-WoE binning of
+    n_tok (binary target: is-English) -> stacked per-source summary table."""
+    sf_dir = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokenize_text(docs, "text", doc_id_col="doc_id", source_col="source")
+    labeled = tok.join(
+        docs.select("doc_id", (F.col("lang") == "en").cast("int").alias("y")),
+        on=tok["doc_id"] == docs["doc_id"].cast("string"),
+        how="inner",
+    ).select(tok["doc_id"], "n_tok", "source", "y")
+
+    binners = fit_binners_per_group(
+        labeled,
+        "source",
+        "n_tok",
+        "y",
+        constraints=BinningConstraints(max_bins=4, min_bins=2),
+    )
+    rows = []
+    for src, b in binners.items():
+        s = b.summary_()
+        for _, r in s.iterrows():
+            rows.append(
+                (
+                    src,
+                    r["bucket"],
+                    int(r["count"]),
+                    float(r["sum"]),
+                    float(r["mean"]),
+                    float(r["woe"]) if "woe" in s.columns and r["woe"] == r["woe"] else None,
+                    float(r["iv"]) if "iv" in s.columns else None,
+                )
+            )
+    return spark.createDataFrame(
+        rows, "source string, bucket string, count long, sum double, mean double, woe double, iv double"
+    )
+
+
+# -------------------------------------------------------------- queries ----
+
+
+def _li_xy(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_quantity").alias("x"),
+        (F.col("l_discount") > 0.05).cast("int").alias("y"),
+        "l_returnflag",
+    )
+
+
+def q_group_stats(spark, sf_dir):
+    """MOB pre-binning aggregate (SURVEY.md §2.3 row 1)."""
+    df = _li_xy(spark, sf_dir)
+    out = df.groupBy("x").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sum_y"),
+        F.sum(F.col("y") * F.col("y")).alias("sum_y2"),
+        F.min("y").alias("ymin"),
+        F.max("y").alias("ymax"),
+    )
+    return _round(out, ["x", "sum_y", "sum_y2"])
+
+
+def q_cumulative_stats(spark, sf_dir):
+    """Cumulative group stats (SURVEY.md §2.3 row 2)."""
+    g = q_group_stats(spark, sf_dir)
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = g.select(
+        "x",
+        F.sum("n").over(w).alias("cum_count"),
+        F.round(F.sum("sum_y").over(w), _R).alias("cum_sum"),
+        F.round(F.sum("sum_y").over(w) / F.sum("n").over(w), _R).alias("cum_mean"),
+    )
+    return out
+
+
+def q_bin_fit_summary(spark, sf_dir):
+    """Full MOB fit (iterative driver solve -> rows-only check)."""
+    df = _li_xy(spark, sf_dir)
+    b = SparkMonotonicBinner(
+        "x", "y", constraints=BinningConstraints(max_bins=6, min_bins=3)
+    ).fit(df)
+    return b.summary_spark(spark)
+
+
+def q_woe_transform(spark, sf_dir):
+    """Broadcast WoE lookup on raw values (rows-only: depends on fit)."""
+    df = _li_xy(spark, sf_dir)
+    b = SparkMonotonicBinner(
+        "x", "y", constraints=BinningConstraints(max_bins=6, min_bins=3)
+    ).fit(df)
+    out = b.transform(df, assign="woe", output_col="x_woe")
+    return out.groupBy("l_returnflag").agg(
+        F.round(F.avg("x_woe"), _R).alias("avg_woe"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_fixed_bucket_woe(spark, sf_dir):
+    """WoE/IV math over FIXED n_chars buckets (SQL-expressible WoE check)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        F.when(F.col("n_chars") < 200, "s")
+        .when(F.col("n_chars") < 600, "m")
+        .otherwise("l")
+        .alias("bucket"),
+        (F.col("lang") == "en").cast("int").alias("bad"),
+    )
+    agg = d.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("count"), F.sum("bad").alias("bads")
+    )
+    tot = agg.agg(
+        F.sum("count").alias("tc"),
+        F.sum("bads").alias("tb"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    j = agg.crossJoin(F.broadcast(tot))
+    goods = F.col("count") - F.col("bads")
+    tg = F.col("tc") - F.col("tb")
+    g_rate = (goods + 0.5) / (tg + 0.5 * F.col("k"))
+    b_rate = (F.col("bads") + 0.5) / (F.col("tb") + 0.5 * F.col("k"))
+    woe = F.log(g_rate / b_rate)
+    return j.select(
+        "bucket",
+        "count",
+        F.col("bads").cast("long").alias("bads"),
+        F.round(woe, _R).alias("woe"),
+        F.round((g_rate - b_rate) * woe, _R).alias("iv"),
+    )
+
+
+def q_asof_join(spark, sf_dir):
+    """Point-in-time as-of join: each click joined to the user's latest
+    prior purchase (zero leakage)."""
+    pin_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", epoch_seconds(ev, "ts").alias("ts")
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", epoch_seconds(ev, "ts").alias("ts"), "value"
+    )
+    out = asof_join(
+        left, right, on="user_id", left_ts="ts", value_cols=["value"],
+        right_prefix="purchase_",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("ts", _R).alias("ts"),
+        F.round("purchase_value", _R).alias("purchase_value"),
+    )
+
+
+def q_lag_lead(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = with_lag_lead(ev, ["value"], "user_id", "ts", lags=[1], leads=[1], tiebreak=["event_id"])
+    return out.select(
+        "event_id",
+        F.round("value_lag1", _R).alias("value_lag1"),
+        F.round("value_lead1", _R).alias("value_lead1"),
+    )
+
+
+def q_backfill(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("value") >= 5.0, F.col("value")).alias("value_masked"),
+    )
+    out = backfill(ev, ["value_masked"], "user_id", "ts", tiebreak=["event_id"])
+    return out.select(
+        "event_id", F.round("value_masked_filled", _R).alias("value_filled")
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    pin_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", gap_seconds=1800.0, tiebreak=["event_id"])
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), _R).alias("session_value"),
+    )
+
+
+def q_rolling_stats(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    out = rolling_stats(ev, "value", "user_id", "ts", n_rows=3, stats=("mean", "count"), tiebreak=["event_id"])
+    return out.select(
+        "event_id",
+        F.round("value_roll_mean", _R).alias("roll_mean"),
+        F.col("value_roll_count").alias("roll_count"),
+    )
+
+
+def q_exact_dedup(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, ["text"], "doc_id").select("doc_id", "source")
+
+
+def q_token_count(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", token_count(F.col("text")).alias("n_tok"))
+
+
+def q_quality(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_features(docs)
+    return q.select(
+        "doc_id",
+        F.col("n_tokens").alias("n_tokens"),
+        F.round("punct_ratio", _R).alias("punct_ratio"),
+        F.round("digit_ratio", _R).alias("digit_ratio"),
+        F.round("stopword_ratio", _R).alias("stopword_ratio"),
+    )
+
+
+def q_fingerprint_dedup(spark, sf_dir):
+    """Normalized-content fingerprint via md5 (SQL-checkable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), r"[^\p{L}\p{N} ]", "")
+    norm = F.regexp_replace(F.trim(norm), r"\s+", " ")
+    return docs.select("doc_id", F.md5(norm).alias("fp"))
+
+
+def q_lang_id(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return language_id(docs).groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def q_minhash_pairs(spark, sf_dir):
+    """Near-dup candidate pairs (LSH is engine-specific -> rows-only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(docs, "text", "doc_id", num_hashes=32, n_bands=8)
+    return pairs.filter(F.col("jaccard") >= 0.5).select(
+        "id_a", "id_b", F.round("jaccard", _R).alias("jaccard")
+    )
+
+
+def q_simhash_dedup(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_dedup(docs, "text", "doc_id").select("doc_id")
+
+
+def q_cosine_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", _R).alias("cosine"), "rank"
+    )
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), _R).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), _R).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), _R
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), _R).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_join_topk(spark, sf_dir):
+    """Broadcast dimension joins + top-k by revenue."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    out = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.round(F.sum("o_totalprice"), _R).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+        .limit(5)
+    )
+    return out
+
+
+def q_rollup(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.rollup("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), _R).alias("total"))
+        .select(F.coalesce("event_type", F.lit("ALL")).alias("event_type"), "n", "total")
+    )
+
+
+def q_per_source_fit(spark, sf_dir):
+    """Per-source monotone binning of n_tok (iterative -> rows-only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokenize_text(docs, "text", doc_id_col="doc_id", source_col="source")
+    labeled = tok.join(
+        docs.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            (F.col("lang") == "en").cast("int").alias("y"),
+        ),
+        on="doc_id",
+    )
+    binners = fit_binners_per_group(
+        labeled, "source", "n_tok", "y",
+        constraints=BinningConstraints(max_bins=4, min_bins=2),
+    )
+    rows = []
+    for src, b in sorted(binners.items()):
+        bins = b.bins_()
+        for _, r in bins.iterrows():
+            rows.append((src, float(r["left"]), float(r["right"]), int(r["n"]),
+                         round(float(r["mean"]), _R)))
+    return spark.createDataFrame(
+        rows, "source string, left double, right double, n long, mean double"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "group_stats": q_group_stats,
+        "cumulative_stats": q_cumulative_stats,
+        "bin_fit_summary": q_bin_fit_summary,
+        "woe_transform": q_woe_transform,
+        "fixed_bucket_woe": q_fixed_bucket_woe,
+        "asof_join": q_asof_join,
+        "lag_lead": q_lag_lead,
+        "backfill": q_backfill,
+        "sessionize": q_sessionize,
+        "rolling_stats": q_rolling_stats,
+        "exact_dedup": q_exact_dedup,
+        "token_count": q_token_count,
+        "quality": q_quality,
+        "fingerprint_dedup": q_fingerprint_dedup,
+        "lang_id": q_lang_id,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_dedup": q_simhash_dedup,
+        "cosine_topk": q_cosine_topk,
+        "tpch_q1": q_tpch_q1,
+        "join_topk": q_join_topk,
+        "rollup": q_rollup,
+        "per_source_fit": q_per_source_fit,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------------- oracles ----
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "group_stats": """
+            SELECT round(l_quantity, 6) AS x,
+                   count(*) AS n,
+                   round(sum(y), 6) AS sum_y,
+                   round(sum(y*y), 6) AS sum_y2,
+                   min(y) AS ymin,
+                   max(y) AS ymax
+            FROM (SELECT l_quantity, CAST(l_discount > 0.05 AS INT) AS y
+                  FROM lineitem)
+            GROUP BY l_quantity
+        """,
+        "cumulative_stats": """
+            WITH g AS (
+              SELECT l_quantity AS x, count(*) AS n, sum(y) AS sum_y
+              FROM (SELECT l_quantity, CAST(l_discount > 0.05 AS INT) AS y
+                    FROM lineitem)
+              GROUP BY l_quantity)
+            SELECT round(x, 6) AS x,
+                   sum(n) OVER w AS cum_count,
+                   round(sum(sum_y) OVER w, 6) AS cum_sum,
+                   round((sum(sum_y) OVER w) / (sum(n) OVER w), 6) AS cum_mean
+            FROM g
+            WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "fixed_bucket_woe": """
+            WITH d AS (
+              SELECT CASE WHEN n_chars < 200 THEN 's'
+                          WHEN n_chars < 600 THEN 'm'
+                          ELSE 'l' END AS bucket,
+                     CAST(lang = 'en' AS INT) AS bad
+              FROM documents),
+            agg AS (
+              SELECT bucket, count(*) AS count, sum(bad) AS bads
+              FROM d GROUP BY bucket),
+            tot AS (
+              SELECT sum(count) AS tc, sum(bads) AS tb, count(*) AS k FROM agg)
+            SELECT bucket, count, CAST(bads AS BIGINT) AS bads,
+                   round(ln(((count - bads + 0.5) / (tc - tb + 0.5*k)) /
+                            ((bads + 0.5) / (tb + 0.5*k))), 6) AS woe,
+                   round((((count - bads + 0.5) / (tc - tb + 0.5*k)) -
+                          ((bads + 0.5) / (tb + 0.5*k))) *
+                         ln(((count - bads + 0.5) / (tc - tb + 0.5*k)) /
+                            ((bads + 0.5) / (tb + 0.5*k))), 6) AS iv
+            FROM agg CROSS JOIN tot
+        """,
+        "asof_join": """
+            WITH l AS (
+              SELECT event_id, user_id, epoch(ts) AS ts FROM events
+              WHERE event_type = 'click'),
+            r AS (
+              SELECT user_id, epoch(ts) AS ts, value FROM events
+              WHERE event_type = 'purchase')
+            SELECT l.event_id, l.user_id, round(l.ts, 6) AS ts,
+                   round(r.value, 6) AS purchase_value
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "lag_lead": """
+            SELECT event_id,
+                   round(lag(value) OVER w, 6) AS value_lag1,
+                   round(lead(value) OVER w, 6) AS value_lead1
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "backfill": """
+            SELECT event_id,
+                   round(last_value(value_masked IGNORE NULLS) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                     AS value_filled
+            FROM (SELECT event_id, user_id, ts,
+                         CASE WHEN value >= 5.0 THEN value END AS value_masked
+                  FROM events)
+        """,
+        "sessionize": """
+            WITH flagged AS (
+              SELECT user_id, ts, event_id, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            sess AS (
+              SELECT user_id, value, event_id,
+                     sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                       AS session_id
+              FROM flagged)
+            SELECT user_id, session_id, count(*) AS n_events,
+                   round(sum(value), 6) AS session_value
+            FROM sess GROUP BY user_id, session_id
+        """,
+        "rolling_stats": """
+            SELECT event_id,
+                   round(avg(value) OVER w, 6) AS roll_mean,
+                   count(value) OVER w AS roll_count
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        """,
+        "exact_dedup": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+              FROM documents) WHERE rn = 1
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                   x -> x != '')) AS n_tok
+            FROM documents
+        """,
+        "fingerprint_dedup": """
+            SELECT doc_id,
+                   md5(regexp_replace(trim(regexp_replace(lower(text),
+                       '[^\\p{L}\\p{N} ]', '', 'g')), '\\s+', ' ', 'g')) AS fp
+            FROM documents
+        """,
+        "cosine_topk": """
+            SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.embedding, c.embedding) AS cosine,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                                c.vec_id) AS rank
+              FROM embeddings q CROSS JOIN embeddings c
+              WHERE q.vec_id < 10 AND c.vec_id != q.vec_id)
+            WHERE rank <= 5
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 6) AS sum_qty,
+                   round(sum(l_extendedprice), 6) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "join_topk": """
+            SELECT n_name, round(sum(o_totalprice), 6) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name
+            LIMIT 5
+        """,
+        "rollup": """
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   count(*) AS n, round(sum(value), 6) AS total
+            FROM events
+            GROUP BY ROLLUP(event_type)
+        """,
+        # bin_fit_summary / woe_transform / per_source_fit: iterative
+        # driver-side solve, not SQL-expressible -> rows-only check.
+        # quality / lang_id / minhash_pairs / simhash_dedup: engine-specific
+        # hashing/regex semantics -> rows-only check.
+    }

@@ -1,0 +1,187 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+The flagship pipeline measures the north-star metric — feature rows/sec for
+as-of join + monotone-WoE binning over the (doc_id, tokens, n_tok, source)
+token table — on a deterministic synthetic input scaled to the sf dir.
+Each query is forced end-to-end with the noop sink (count() would let
+Catalyst prune the expensive columns away).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def materialize(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def build_spark():
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("mob-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(CPUS * 2, 16)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+
+
+def main():
+    from pyspark.sql import functions as F
+
+    from monotonic_optimal_binning_spark import (
+        BinningConstraints,
+        SparkMonotonicBinner,
+        fit_binners_per_group,
+    )
+    from monotonic_optimal_binning_spark.operators.asof import asof_join
+    from monotonic_optimal_binning_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_candidates,
+    )
+    from monotonic_optimal_binning_spark.operators.similarity import brute_force_topk
+    from monotonic_optimal_binning_spark.operators.textstats import quality_features
+    from monotonic_optimal_binning_spark.operators.windows import (
+        rolling_stats,
+        sessionize,
+        with_lag_lead,
+    )
+    from monotonic_optimal_binning_spark.sources.synthetic import (
+        event_table,
+        token_table,
+    )
+    from monotonic_optimal_binning_spark.sources.tables import load_table
+
+    spark = build_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    docs = load_table(spark, SF_DIR, "documents")
+    ev = load_table(spark, SF_DIR, "events")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    li_xy = li.select(
+        F.col("l_quantity").alias("x"),
+        (F.col("l_discount") > 0.05).cast("int").alias("y"),
+    )
+
+    timings = {}
+
+    def bench(name, fn):
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # --- headline operator queries on the driver-provided testdata ---
+    bench("tpch_q1", lambda: materialize(
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity"), F.sum("l_extendedprice"), F.count(F.lit(1)))
+    ))
+    bench("bin_fit_exact", lambda: SparkMonotonicBinner(
+        "x", "y", constraints=BinningConstraints(max_bins=6, min_bins=3)
+    ).fit(li_xy))
+    bench("bin_fit_prebinned_highcard", lambda: SparkMonotonicBinner(
+        "x2", "y", prebins=256,
+        constraints=BinningConstraints(max_bins=6, min_bins=3),
+    ).fit(li.select(F.col("l_extendedprice").alias("x2"),
+                    (F.col("l_discount") > 0.05).cast("int").alias("y"))))
+
+    binner = SparkMonotonicBinner(
+        "x", "y", constraints=BinningConstraints(max_bins=6, min_bins=3)
+    ).fit(li_xy)
+    bench("woe_transform", lambda: materialize(
+        binner.transform(li_xy, assign="woe", output_col="woe")
+    ))
+
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").cast("double").alias("ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").cast("double").alias("ts"), "value"
+    )
+    bench("asof_join", lambda: materialize(
+        asof_join(clicks, purchases, on="user_id", left_ts="ts",
+                  value_cols=["value"], right_prefix="p_")
+    ))
+    bench("sessionize", lambda: materialize(
+        sessionize(ev, "user_id", "ts", gap_seconds=1800.0, tiebreak=["event_id"])
+    ))
+    bench("lag_rolling", lambda: materialize(
+        rolling_stats(
+            with_lag_lead(ev, ["value"], "user_id", "ts", lags=[1], leads=[1],
+                          tiebreak=["event_id"]),
+            "value", "user_id", "ts", n_rows=5, tiebreak=["event_id"],
+        )
+    ))
+    bench("exact_dedup", lambda: materialize(exact_dedup(docs, ["text"], "doc_id")))
+    bench("minhash_pairs", lambda: materialize(
+        minhash_lsh_candidates(docs, "text", "doc_id", num_hashes=32, n_bands=8)
+    ))
+    bench("quality_features", lambda: materialize(quality_features(docs)))
+    queries16 = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bench("cosine_topk", lambda: materialize(brute_force_topk(emb, queries16, k=10)))
+
+    # --- flagship: north-star feature pipeline on the token table ---
+    n_docs = max(int(600_000 * float(sf)), 5_000) if sf else 60_000
+    tok = token_table(spark, n_docs, seed=42)
+    tev = event_table(spark, n_docs, events_per_doc=3, seed=42)
+
+    t0 = time.time()
+    snap = tok.withColumn("ts", F.lit(1_700_050_000.0))
+    feat = asof_join(
+        snap, tev, on="doc_id", left_ts="ts", right_ts="ts",
+        value_cols=["value", "label"], right_prefix="ev_",
+    )
+    feat = feat.withColumn("y", F.coalesce(F.col("ev_label"), F.lit(0.0)).cast("int"))
+    binners = fit_binners_per_group(
+        feat, "source", "n_tok", "y",
+        prebins=128,
+        constraints=BinningConstraints(max_bins=6, min_bins=3),
+    )
+    out = None
+    for src, b in binners.items():
+        part = b.transform(
+            feat.filter(F.col("source") == src), assign="woe",
+            input_col="n_tok", output_col="n_tok_woe",
+        )
+        out = part if out is None else out.unionByName(part)
+    materialize(out.select("doc_id", "source", "n_tok", "n_tok_woe", "ev_value"))
+    flagship_sec = time.time() - t0
+    feature_rows = n_docs
+    timings["flagship_pipeline"] = round(flagship_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else None,
+        "flagship_feature_rows_per_sec": round(feature_rows / flagship_sec, 1),
+        "flagship_rows": feature_rows,
+        "cpus": CPUS,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,31 @@
+"""Event-time normalization.
+
+Spark 4 (ANSI) refuses TIMESTAMP_NTZ -> DOUBLE casts, so every operator that
+needs numeric event time goes through :func:`epoch_seconds`, which handles
+numerics, TIMESTAMP, TIMESTAMP_NTZ and DATE. NTZ/DATE conversion routes via
+TIMESTAMP_LTZ and therefore reads the session timezone — engine entry points
+pin ``spark.sql.session.timeZone=UTC`` so epoch values match naive-UTC
+oracles (DuckDB ``epoch(ts)``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def epoch_seconds(df: DataFrame, col: str) -> Column:
+    """Numeric seconds (double, fractional preserved) for a time column."""
+    dtype = df.schema[col].dataType
+    c = F.col(col)
+    if isinstance(dtype, (T.TimestampNTZType, T.DateType)):
+        return c.cast("timestamp_ltz").cast("double")
+    if isinstance(dtype, T.TimestampType):
+        return c.cast("double")
+    return c.cast("double")
+
+
+def pin_utc(spark) -> None:
+    """Pin the session timezone so NTZ->epoch conversions are tz-stable."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")

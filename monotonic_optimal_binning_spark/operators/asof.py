@@ -1,0 +1,284 @@
+"""Point-in-time (as-of) join with zero temporal leakage.
+
+The reference has no joins at all (SURVEY.md §2.9); this operator is new per
+BASELINE.json north_rule ("event-time as-of merges over sorted doc_id ×
+timestamp partitions guarantee zero temporal leakage").
+
+Spark SQL has no native as-of join, so we use the union-and-window plan:
+
+  1. tag left/right rows and union them by (key, ts)
+  2. one window ``partitionBy(key).orderBy(ts, side)`` carries the most
+     recent right-side values forward with ``last(..., ignorenulls=True)``
+  3. filter back to left rows
+
+Why this shape at 100 TB: it costs exactly ONE shuffle of |L|+|R| rows keyed
+by the join key (the same lower bound a sort-merge join would pay), the
+window sort happens within partitions (spillable, no driver state), and
+Catalyst keeps every expression in whole-stage codegen — no Python in the
+hot path. Tie-breaking on the ``side`` column gives exact
+allow_exact_matches semantics without a range self-join blowup.
+
+Skew: a single hot key serializes into one task. Mitigations (documented,
+benchmarked in BENCH.md): enable AQE skew handling for the shuffle, or
+pre-bucket time into coarse ranges and run the union-window per
+(key, time_bucket) with boundary carry-in — see ``asof_join_bucketed``.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.timeutil import epoch_seconds as _ts_expr
+
+_SIDE = "__asof_side"
+_MATCH_TS = "__asof_matched_ts"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_ts: Optional[str] = None,
+    value_cols: Optional[List[str]] = None,
+    *,
+    direction: str = "backward",
+    allow_exact_matches: bool = True,
+    tolerance: Optional[float] = None,
+    right_prefix: str = "",
+    include_matched_ts: Optional[str] = None,
+) -> DataFrame:
+    """Join each left row to the temporally closest right row per key.
+
+    Args:
+        left: probe side (one output row per input row).
+        right: build side providing ``value_cols``.
+        on: equality key column(s) (e.g. doc_id / user_id).
+        left_ts / right_ts: event-time columns (right_ts defaults to left_ts
+            name). Timestamps or numerics.
+        direction: 'backward' (right.ts <= left.ts — the zero-leakage
+            default) or 'forward' (right.ts >= left.ts).
+        allow_exact_matches: whether right.ts == left.ts is eligible.
+        tolerance: max |left.ts - right.ts| in seconds; matches farther away
+            are nulled (pandas.merge_asof semantics).
+        right_prefix: prefix for the emitted value columns.
+        include_matched_ts: if set, also emit the matched right timestamp
+            (seconds, double) under this name — used by leakage audits.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    right_ts = right_ts or left_ts
+    if value_cols is None:
+        value_cols = [
+            c for c in right.columns if c not in keys and c != right_ts
+        ]
+    out_names = [right_prefix + c for c in value_cols]
+    for c in out_names:
+        if c in left.columns:
+            raise ValueError(
+                f"output column '{c}' collides with a left column; set "
+                f"right_prefix"
+            )
+
+    backward = direction == "backward"
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
+
+    # Side ordering encodes exact-match eligibility:
+    #   backward + exact:  right rows sort BEFORE left at equal ts
+    #   backward + !exact: right rows sort AFTER  left at equal ts
+    # (mirrored for forward, where the frame looks at following rows)
+    if backward:
+        right_side, left_side = (0, 1) if allow_exact_matches else (1, 0)
+    else:
+        right_side, left_side = (1, 0) if allow_exact_matches else (0, 1)
+
+    lsel = [F.col(c) for c in left.columns]
+    lsel += [F.lit(None).cast("double").alias(c) for c in out_names]
+    lsel += [
+        F.lit(left_side).alias(_SIDE),
+        _ts_expr(left, left_ts).alias("__asof_ts"),
+        F.lit(None).cast("double").alias(_MATCH_TS),
+    ]
+    l_tagged = left.select(*lsel)
+
+    rsel = [F.col(k) for k in keys]
+    rsel += [
+        F.lit(None).cast(left.schema[c].dataType).alias(c)
+        for c in left.columns
+        if c not in keys
+    ]
+    rsel += [F.col(c).cast("double").alias(p) for c, p in zip(value_cols, out_names)]
+    rsel += [
+        F.lit(right_side).alias(_SIDE),
+        _ts_expr(right, right_ts).alias("__asof_ts"),
+        _ts_expr(right, right_ts).alias(_MATCH_TS),
+    ]
+    r_tagged = right.select(*rsel)
+
+    unioned = l_tagged.unionByName(r_tagged)
+
+    order = [F.col("__asof_ts"), F.col(_SIDE)]
+    if backward:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        fill = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(*order)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        fill = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
+
+    filled = unioned
+    for c in out_names:
+        filled = filled.withColumn(c, fill(c))
+    filled = filled.withColumn(_MATCH_TS, fill(_MATCH_TS))
+
+    is_left_row = F.col(_SIDE) == F.lit(left_side)
+    result = filled.filter(is_left_row)
+
+    if tolerance is not None:
+        too_far = (
+            F.abs(F.col("__asof_ts") - F.col(_MATCH_TS)) > F.lit(float(tolerance))
+        ) | F.col(_MATCH_TS).isNull()
+        for c in out_names:
+            result = result.withColumn(
+                c, F.when(too_far, F.lit(None).cast("double")).otherwise(F.col(c))
+            )
+        result = result.withColumn(
+            _MATCH_TS, F.when(too_far, F.lit(None)).otherwise(F.col(_MATCH_TS))
+        )
+
+    drop = [_SIDE, "__asof_ts"]
+    if include_matched_ts:
+        result = result.withColumnRenamed(_MATCH_TS, include_matched_ts)
+    else:
+        drop.append(_MATCH_TS)
+    return result.drop(*drop)
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_ts: Optional[str] = None,
+    value_cols: Optional[List[str]] = None,
+    *,
+    bucket_seconds: float,
+    allow_exact_matches: bool = True,
+    right_prefix: str = "",
+) -> DataFrame:
+    """Skew-resistant backward as-of join for hot keys.
+
+    Splits time into ``bucket_seconds`` ranges so one hot key parallelizes
+    across (key, bucket) tasks instead of serializing into one window task.
+    Right rows are replicated into their own bucket AND the next bucket's
+    carry-in (only the latest right row per (key, bucket) is carried, which
+    is all a backward as-of can ever need), then the union-window plan runs
+    per (key, bucket).
+
+    Trade-off vs :func:`asof_join`: one extra pre-aggregation of the right
+    side (tiny: one row per key×bucket) and a denser shuffle key. A left row
+    whose true match is older than one full bucket still finds it because
+    carry-ins chain through the right-side pre-aggregation below.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    right_ts = right_ts or left_ts
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in keys and c != right_ts]
+
+    bucket = lambda ts_col: F.floor(ts_col / F.lit(float(bucket_seconds)))  # noqa: E731
+
+    r_ts = _ts_expr(right, right_ts)
+    r_base = right.select(
+        *[F.col(k) for k in keys],
+        r_ts.alias("__ts"),
+        bucket(r_ts).alias("__bkt"),
+        *[F.col(c) for c in value_cols],
+    )
+
+    l_ts = _ts_expr(left, left_ts)
+    l_bkt = left.withColumn("__ts", l_ts).withColumn("__bkt", bucket(F.col("__ts")))
+
+    # Carry-in computation on a TINY table: one row per (key, bucket) that
+    # appears on either side. For every bucket containing left rows, find the
+    # latest right payload from any STRICTLY earlier bucket (same-bucket
+    # matches are handled by the in-bucket window). Equal timestamps always
+    # land in the same bucket, so carried rows can never violate the
+    # exact-match tie rule.
+    latest = r_base.groupBy(*keys, "__bkt").agg(
+        F.max("__ts").alias("__ts"),
+        *[F.expr(f"max_by(`{c}`, __ts)").alias(c) for c in value_cols],
+    )
+    left_buckets = l_bkt.select(*keys, "__bkt").distinct()
+    skeleton = left_buckets.join(latest, on=[*keys, "__bkt"], how="full")
+    wprev = (
+        Window.partitionBy(*keys)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = (
+        skeleton.select(
+            *keys,
+            F.col("__bkt"),
+            F.last("__ts", ignorenulls=True).over(wprev).alias("__ts"),
+            *[
+                F.last(c, ignorenulls=True).over(wprev).alias(c)
+                for c in value_cols
+            ],
+        )
+        .join(left_buckets, on=[*keys, "__bkt"], how="leftsemi")
+        .filter(F.col("__ts").isNotNull())
+    )
+
+    r_union = r_base.unionByName(carried)
+
+    return _bucketed_union_window(
+        l_bkt, r_union, keys, value_cols, allow_exact_matches, right_prefix
+    )
+
+
+def _bucketed_union_window(
+    l_bkt: DataFrame,
+    r_union: DataFrame,
+    keys: List[str],
+    value_cols: List[str],
+    allow_exact_matches: bool,
+    right_prefix: str,
+) -> DataFrame:
+    out_names = [right_prefix + c for c in value_cols]
+    right_side, left_side = (0, 1) if allow_exact_matches else (1, 0)
+
+    lsel = [F.col(c) for c in l_bkt.columns if c not in ("__ts", "__bkt")]
+    lsel += [F.lit(None).cast("double").alias(c) for c in out_names]
+    lsel += [F.lit(left_side).alias(_SIDE), F.col("__ts"), F.col("__bkt")]
+    l_tagged = l_bkt.select(*lsel)
+
+    rsel = [F.col(k) for k in keys]
+    rsel += [
+        F.lit(None).cast(l_bkt.schema[c].dataType).alias(c)
+        for c in l_bkt.columns
+        if c not in keys and c not in ("__ts", "__bkt")
+    ]
+    rsel += [F.col(c).cast("double").alias(p) for c, p in zip(value_cols, out_names)]
+    rsel += [F.lit(right_side).alias(_SIDE), F.col("__ts"), F.col("__bkt")]
+    r_tagged = r_union.select(*rsel)
+
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(*keys, "__bkt")
+        .orderBy("__ts", _SIDE)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned
+    for c in out_names:
+        filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return filled.filter(F.col(_SIDE) == left_side).drop(_SIDE, "__ts", "__bkt")

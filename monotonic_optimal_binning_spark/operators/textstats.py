@@ -1,0 +1,124 @@
+"""Text analysis operators over a documents table.
+
+Language-ID (stopword-ratio heuristic), quality scoring, token counting,
+and document fingerprinting — all pure Spark SQL column expressions so the
+scan is one codegen stage; nothing leaves the JVM.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny, deliberately-public stopword seeds per language (top function words).
+STOPWORDS: Dict[str, Sequence[str]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "for", "was"),
+    "de": ("der", "die", "und", "das", "ist", "von", "den", "mit", "für", "nicht"),
+    "fr": ("le", "la", "et", "les", "des", "est", "une", "dans", "que", "pour"),
+    "es": ("el", "la", "de", "que", "los", "en", "una", "por", "con", "para"),
+}
+
+
+def whitespace_tokens(text: Column) -> Column:
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(whitespace_tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: word pieces of <=4 chars + punctuation marks.
+
+    A deterministic regex stand-in for a BPE tokenizer: every run of up to 4
+    word characters and every non-space punctuation char counts as a token.
+    """
+    return F.size(
+        F.expr(
+            "regexp_extract_all(text_input, '[\\\\p{L}\\\\p{N}]{1,4}|[^\\\\p{L}\\\\p{N}\\\\s]', 0)"
+        )
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / digit ratios + composite score.
+
+    Columns: n_chars_calc, n_tokens, mean_token_len, punct_ratio,
+    digit_ratio, stopword_ratio, quality_score in [0, 1].
+    """
+    text = F.col(text_col)
+    toks = whitespace_tokens(text)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    digits = n_chars - F.length(F.regexp_replace(text, r"[0-9]", ""))
+    lower_toks = F.transform(toks, lambda t: F.lower(t))
+    en_stop = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(lower_toks, lambda t: F.array_contains(en_stop, t)))
+
+    out = (
+        df.withColumn("n_chars_calc", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn(
+            "mean_token_len",
+            F.when(n_tokens > 0, (n_chars - (n_tokens - 1)) / n_tokens),
+        )
+        .withColumn(
+            "punct_ratio", F.when(n_chars > 0, punct / n_chars).otherwise(0.0)
+        )
+        .withColumn(
+            "digit_ratio", F.when(n_chars > 0, digits / n_chars).otherwise(0.0)
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.when(n_tokens > 0, n_stop / n_tokens).otherwise(0.0),
+        )
+    )
+    # composite: long enough, not punctuation/digit soup, some function words
+    score = (
+        F.least(F.col("n_tokens") / F.lit(20.0), F.lit(1.0)) * 0.4
+        + (1.0 - F.least(F.col("punct_ratio") * 4, F.lit(1.0))) * 0.2
+        + (1.0 - F.least(F.col("digit_ratio") * 4, F.lit(1.0))) * 0.2
+        + F.least(F.col("stopword_ratio") * 5, F.lit(1.0)) * 0.2
+    )
+    return out.withColumn("quality_score", score)
+
+
+def language_id(
+    df: DataFrame, text_col: str = "text", out_col: str = "lang_pred"
+) -> DataFrame:
+    """Heuristic language ID: argmax over per-language stopword hit ratios.
+
+    Deterministic tie-break by language code; 'und' when nothing matches.
+    """
+    toks = F.transform(whitespace_tokens(F.col(text_col)), lambda t: F.lower(t))
+    n = F.size(toks)
+    def _hit_count(arr):
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    scores = []
+    for lang in sorted(STOPWORDS):
+        arr = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+        scores.append(
+            (lang, F.when(n > 0, _hit_count(arr) / n).otherwise(F.lit(0.0)))
+        )
+
+    pairs = F.array(
+        *[F.struct(s.alias("score"), F.lit(lang).alias("lang")) for lang, s in scores]
+    )
+    best = F.array_max(pairs)  # struct compare: score first, then lang
+    pred = F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+    return df.withColumn(out_col, pred)
+
+
+def fingerprint(
+    df: DataFrame, text_col: str = "text", out_col: str = "fingerprint"
+) -> DataFrame:
+    """Normalized content fingerprint: lowercase, collapse whitespace,
+    strip punctuation, then xxhash64 — stable under formatting noise."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"[^\p{L}\p{N} ]", "")
+    norm = F.regexp_replace(F.trim(norm), r"\s+", " ")
+    return df.withColumn(out_col, F.xxhash64(norm))

@@ -1,0 +1,181 @@
+"""Windowed feature operators: lag/lead, backfill, sessionize, rolling stats.
+
+New per BASELINE.json north_rule (the reference has no window functions,
+SURVEY.md §2.9). All pure DataFrame/window compositions — whole-stage
+codegen end to end, one shuffle on the partition key per distinct
+(partitionBy, orderBy) pair; chaining several of these operators with the
+same (key, ts) reuses the exchange.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.timeutil import epoch_seconds
+
+
+def _keys(key: str | Sequence[str]):
+    return [key] if isinstance(key, str) else list(key)
+
+
+def _order_cols(ts: str, tiebreak: Sequence[str]):
+    """Deterministic window ordering: event time first, then tiebreaks
+    (equal timestamps otherwise make lag/lead/rolling results run-dependent)."""
+    return [ts, *tiebreak]
+
+
+def with_lag_lead(
+    df: DataFrame,
+    cols: Sequence[str],
+    key: str | Sequence[str],
+    ts: str,
+    lags: Sequence[int] = (1,),
+    leads: Sequence[int] = (),
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Add ``{col}_lag{k}`` / ``{col}_lead{k}`` columns per entity time line."""
+    w = Window.partitionBy(*_keys(key)).orderBy(*_order_cols(ts, tiebreak))
+    out = df
+    for c in cols:
+        for k in lags:
+            out = out.withColumn(f"{c}_lag{k}", F.lag(c, k).over(w))
+        for k in leads:
+            out = out.withColumn(f"{c}_lead{k}", F.lead(c, k).over(w))
+    return out
+
+
+def backfill(
+    df: DataFrame,
+    cols: Sequence[str],
+    key: str | Sequence[str],
+    ts: str,
+    direction: str = "forward",
+    output_suffix: str = "_filled",
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Forward-fill (carry last observation) or backward-fill null values.
+
+    forward:  last(col, ignorenulls) over (-inf, current]
+    backward: first(col, ignorenulls) over [current, +inf)
+    """
+    keys = _keys(key)
+    order = _order_cols(ts, tiebreak)
+    if direction == "forward":
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        fill = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    elif direction == "backward":
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(*order)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        fill = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        raise ValueError(f"direction must be forward|backward, got {direction}")
+
+    out = df
+    for c in cols:
+        out = out.withColumn(c + output_suffix, fill(c))
+    return out
+
+
+def sessionize(
+    df: DataFrame,
+    key: str | Sequence[str],
+    ts: str,
+    gap_seconds: float,
+    session_col: str = "session_id",
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Assign gap-based session ids per entity.
+
+    A new session starts when the time since the previous event exceeds
+    ``gap_seconds`` (or at the first event). Session id is the 0-based
+    session index within the entity; ``{session_col}_start`` carries the
+    session's first event time for global uniqueness via (key, start).
+    Streaming analog: F.session_window (streaming/sessions.py).
+    """
+    keys = _keys(key)
+    order = _order_cols(ts, tiebreak)
+    w = Window.partitionBy(*keys).orderBy(*order)
+    tsd = epoch_seconds(df, ts)
+    prev = F.lag(tsd).over(w)
+    is_new = F.when(
+        prev.isNull() | ((tsd - prev) > F.lit(float(gap_seconds))), 1
+    ).otherwise(0)
+    out = df.withColumn("__is_new", is_new)
+    wrun = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = out.withColumn(session_col, F.sum("__is_new").over(wrun) - 1)
+    wsess = Window.partitionBy(*keys, session_col)
+    out = out.withColumn(f"{session_col}_start", F.min(ts).over(wsess))
+    return out.drop("__is_new")
+
+
+def rolling_stats(
+    df: DataFrame,
+    value: str,
+    key: str | Sequence[str],
+    ts: str,
+    *,
+    n_rows: Optional[int] = None,
+    range_seconds: Optional[float] = None,
+    stats: Sequence[str] = ("mean", "sum", "min", "max", "count"),
+    prefix: Optional[str] = None,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Trailing-window statistics per entity (row-count or time-range frame).
+
+    The produced columns are exactly the "derived per-window statistics"
+    the north_star bins into monotone WoE buckets downstream.
+    """
+    keys = _keys(key)
+    prefix = prefix or f"{value}_roll"
+    if (n_rows is None) == (range_seconds is None):
+        raise ValueError("specify exactly one of n_rows / range_seconds")
+
+    if n_rows is not None:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(*_order_cols(ts, tiebreak))
+            .rowsBetween(-(n_rows - 1), Window.currentRow)
+        )
+    else:
+        # rangeBetween requires integral bounds: order by millisecond longs
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy((epoch_seconds(df, ts) * 1000).cast("long"))
+            .rangeBetween(-int(round(range_seconds * 1000)), 0)
+        )
+
+    fns = {
+        "mean": F.avg,
+        "sum": F.sum,
+        "min": F.min,
+        "max": F.max,
+        "count": F.count,
+        "stddev": F.stddev_samp,
+    }
+    out = df
+    for s in stats:
+        if s not in fns:
+            raise ValueError(f"unknown stat '{s}'; choose from {sorted(fns)}")
+        out = out.withColumn(f"{prefix}_{s}", fns[s](F.col(value)).over(w))
+    return out
+
+
+def time_bucket(df: DataFrame, ts: str, seconds: float, out_col: str = "bucket") -> Column:
+    """Tumbling-window bucket index for a timestamp/numeric column."""
+    return df.withColumn(
+        out_col, F.floor(epoch_seconds(df, ts) / F.lit(float(seconds)))
+    )

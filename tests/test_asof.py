@@ -1,0 +1,153 @@
+"""As-of join: oracle parity vs pandas.merge_asof + zero-leakage audits."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from monotonic_optimal_binning_spark.operators.asof import (
+    asof_join,
+    asof_join_bucketed,
+)
+
+
+def make_frames(seed=0, n_left=400, n_right=300, n_keys=20):
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, n_keys, n_left),
+            "ts": rng.uniform(0, 1000, n_left).round(3),
+            "payload": rng.normal(size=n_left),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, n_keys, n_right),
+            "ts": rng.uniform(0, 1000, n_right).round(3),
+            "v": rng.uniform(0, 100, n_right).round(4),
+        }
+    )
+    return left, right
+
+
+def pandas_asof(left, right, direction="backward", allow_exact=True, tolerance=None):
+    kw = {}
+    if tolerance is not None:
+        kw["tolerance"] = tolerance
+    return pd.merge_asof(
+        left.sort_values(["ts", "k"]).reset_index(drop=True),
+        right.sort_values(["ts", "k"]).reset_index(drop=True),
+        on="ts",
+        by="k",
+        direction=direction,
+        allow_exact_matches=allow_exact,
+        **kw,
+    )
+
+
+def compare(spark_result, pdf_expected):
+    got = (
+        spark_result.toPandas()
+        .sort_values(["k", "ts", "payload"])
+        .reset_index(drop=True)
+    )
+    exp = pdf_expected.sort_values(["k", "ts", "payload"]).reset_index(drop=True)
+    np.testing.assert_allclose(
+        got["v"].to_numpy(dtype=float),
+        exp["v"].to_numpy(dtype=float),
+        rtol=1e-12,
+        equal_nan=True,
+    )
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("allow_exact", [True, False])
+def test_matches_pandas_merge_asof(spark, direction, allow_exact):
+    left, right = make_frames()
+    # force exact-timestamp collisions to exercise the tie rule
+    left.loc[:30, "ts"] = right.loc[:30, "ts"].to_numpy()
+    left.loc[:30, "k"] = right.loc[:30, "k"].to_numpy()
+    res = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        on="k",
+        left_ts="ts",
+        value_cols=["v"],
+        direction=direction,
+        allow_exact_matches=allow_exact,
+    )
+    compare(res, pandas_asof(left, right, direction, allow_exact))
+
+
+def test_tolerance(spark):
+    left, right = make_frames(seed=3)
+    res = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        on="k",
+        left_ts="ts",
+        value_cols=["v"],
+        tolerance=25.0,
+    )
+    compare(res, pandas_asof(left, right, tolerance=25.0))
+
+
+def test_zero_temporal_leakage(spark):
+    """Every matched right timestamp must be <= the left timestamp."""
+    left, right = make_frames(seed=7)
+    res = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        on="k",
+        left_ts="ts",
+        value_cols=["v"],
+        include_matched_ts="matched_ts",
+    ).toPandas()
+    matched = res.dropna(subset=["matched_ts"])
+    assert (matched["matched_ts"] <= matched["ts"] + 1e-9).all()
+    # and the match is the LATEST eligible one
+    for _, row in matched.head(50).iterrows():
+        eligible = right[(right["k"] == row["k"]) & (right["ts"] <= row["ts"])]
+        assert row["matched_ts"] == pytest.approx(eligible["ts"].max())
+
+
+def test_bucketed_matches_plain(spark):
+    left, right = make_frames(seed=11)
+    sl, sr = spark.createDataFrame(left), spark.createDataFrame(right)
+    plain = asof_join(sl, sr, on="k", left_ts="ts", value_cols=["v"])
+    bucketed = asof_join_bucketed(
+        sl, sr, on="k", left_ts="ts", value_cols=["v"], bucket_seconds=50.0
+    )
+    p = plain.toPandas().sort_values(["k", "ts", "payload"]).reset_index(drop=True)
+    b = bucketed.toPandas().sort_values(["k", "ts", "payload"]).reset_index(drop=True)
+    np.testing.assert_allclose(
+        p["v"].to_numpy(float), b["v"].to_numpy(float), rtol=1e-12, equal_nan=True
+    )
+
+
+def test_bucketed_carry_across_many_empty_buckets(spark):
+    """Right row far in the past must still match (carry-in chains)."""
+    left = pd.DataFrame({"k": [1, 1], "ts": [1000.0, 2000.0], "payload": [0.0, 0.0]})
+    right = pd.DataFrame({"k": [1], "ts": [5.0], "v": [42.0]})
+    res = asof_join_bucketed(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        on="k",
+        left_ts="ts",
+        value_cols=["v"],
+        bucket_seconds=10.0,
+    ).toPandas()
+    assert res["v"].tolist() == [42.0, 42.0]
+
+
+def test_column_collision_raises(spark):
+    left, right = make_frames()
+    right = right.rename(columns={"v": "payload"})
+    with pytest.raises(ValueError, match="collides"):
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="k",
+            left_ts="ts",
+            value_cols=["payload"],
+        )

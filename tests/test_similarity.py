@@ -1,0 +1,76 @@
+"""Similarity search vs numpy brute-force oracle on real embeddings."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from monotonic_optimal_binning_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_smoke_dir):
+    df = spark.read.parquet(f"{sf_smoke_dir}/embeddings.parquet")
+    pdf = df.toPandas()
+    return df, pdf
+
+
+def numpy_topk(pdf, query_ids, k):
+    M = np.stack(pdf["embedding"].to_numpy())
+    norms = np.linalg.norm(M, axis=1)
+    ids = pdf["vec_id"].to_numpy()
+    out = {}
+    for qid in query_ids:
+        qi = np.where(ids == qid)[0][0]
+        cos = (M @ M[qi]) / (norms * norms[qi])
+        order = sorted(
+            [(c, i) for c, i in zip(cos, ids) if i != qid],
+            key=lambda t: (-t[0], t[1]),
+        )
+        out[qid] = [(i, c) for c, i in order[:k]]
+    return out
+
+
+def test_brute_force_matches_numpy(emb, spark):
+    df, pdf = emb
+    query_ids = pdf["vec_id"].head(5).tolist()
+    queries = df.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = brute_force_topk(df, queries, k=5).toPandas()
+    oracle = numpy_topk(pdf, query_ids, 5)
+    for qid in query_ids:
+        got = res[res["query_id"] == qid].sort_values("rank")
+        exp = oracle[qid]
+        assert got["neighbor_id"].tolist() == [i for i, _ in exp]
+        np.testing.assert_allclose(
+            got["cosine"].to_numpy(), [c for _, c in exp], rtol=1e-5
+        )
+
+
+def test_lsh_topk_reasonable_recall(emb, spark):
+    df, pdf = emb
+    dim = len(pdf["embedding"].iloc[0])
+    query_ids = pdf["vec_id"].head(10).tolist()
+    queries = df.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = lsh_topk(
+        df, queries, k=5, dim=dim, n_planes=16, n_bands=8
+    ).toPandas()
+    oracle = numpy_topk(pdf, query_ids, 5)
+    hits = total = 0
+    for qid in query_ids:
+        got = set(res[res["query_id"] == qid]["neighbor_id"])
+        exp = {i for i, _ in oracle[qid]}
+        hits += len(got & exp)
+        total += len(exp)
+    assert hits / total >= 0.4, f"LSH recall too low: {hits}/{total}"
+    # and every returned cosine must be exact (verified re-scoring)
+    for _, row in res.head(20).iterrows():
+        a = np.array(pdf.loc[pdf["vec_id"] == row["query_id"], "embedding"].iloc[0])
+        b = np.array(pdf.loc[pdf["vec_id"] == row["neighbor_id"], "embedding"].iloc[0])
+        expected = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+        assert row["cosine"] == pytest.approx(expected, rel=1e-5)

@@ -1,0 +1,96 @@
+"""Text-analysis operators on the real documents table."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from monotonic_optimal_binning_spark.operators.textstats import (
+    bpe_ish_token_count,
+    fingerprint,
+    language_id,
+    quality_features,
+    token_count,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_smoke_dir):
+    return spark.read.parquet(f"{sf_smoke_dir}/documents.parquet")
+
+
+def test_token_count_matches_python(docs):
+    res = docs.select("doc_id", "text", token_count(F.col("text")).alias("n")).collect()
+    for r in res[:100]:
+        assert r["n"] == len(r["text"].split()), r["text"][:50]
+
+
+def test_quality_features_ranges(docs):
+    q = quality_features(docs).select(
+        "doc_id", "n_chars_calc", "n_tokens", "punct_ratio",
+        "digit_ratio", "stopword_ratio", "quality_score",
+    )
+    pdf = q.toPandas()
+    for c in ("punct_ratio", "digit_ratio", "stopword_ratio", "quality_score"):
+        assert (pdf[c] >= 0).all() and (pdf[c] <= 1.0 + 1e-9).all(), c
+    # n_chars matches the table's own n_chars column
+    joined = quality_features(docs).select("n_chars", "n_chars_calc").toPandas()
+    assert (joined["n_chars"] == joined["n_chars_calc"]).all()
+
+
+def test_language_id_on_crafted_sentences(spark):
+    """The testdata documents all share an English-ish synthetic vocabulary
+    (lang column is independent of text), so accuracy is checked on real
+    sentences per language instead."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "lang": ["en", "de", "fr", "es", "und"],
+            "text": [
+                "the cat sat on the mat and it was happy for a while",
+                "der hund und die katze sind nicht mit den kindern",
+                "le chat est dans la maison et les oiseaux sont pour",
+                "el perro y la casa de los gatos en una ciudad con luz",
+                "zzz qqq xxx www",
+            ],
+        }
+    )
+    res = language_id(spark.createDataFrame(pdf)).orderBy("lang").collect()
+    got = {r["lang"]: r["lang_pred"] for r in res}
+    assert got == {"en": "en", "de": "de", "fr": "fr", "es": "es", "und": "und"}
+
+
+def test_language_id_runs_on_documents(docs):
+    preds = language_id(docs).groupBy("lang_pred").count().collect()
+    assert all(r["lang_pred"] in {"en", "de", "fr", "es", "und"} for r in preds)
+
+
+def test_fingerprint_stable_under_formatting(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "Hello,   World! This is a TEST.",
+                "hello world this is a test",
+                "something else entirely",
+            ],
+        }
+    )
+    res = fingerprint(spark.createDataFrame(pdf)).orderBy("doc_id").collect()
+    assert res[0]["fingerprint"] == res[1]["fingerprint"]
+    assert res[0]["fingerprint"] != res[2]["fingerprint"]
+
+
+def test_bpe_ish_token_count(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame({"text_input": ["hello world!", "a,b", "internationalization"]})
+    res = (
+        spark.createDataFrame(pdf)
+        .select(bpe_ish_token_count(F.col("text_input")).alias("n"))
+        .collect()
+    )
+    # hello(2: hell+o) world(2: worl+d) !(1) = 5 ; a(1) ,(1) b(1) = 3 ;
+    # internationalization = 20 chars -> 5 pieces
+    assert [r["n"] for r in res] == [5, 3, 5]

@@ -1,0 +1,147 @@
+"""Windowed operators vs pandas oracles: lag/lead, backfill, sessionize,
+rolling stats."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from monotonic_optimal_binning_spark.operators.windows import (
+    backfill,
+    rolling_stats,
+    sessionize,
+    with_lag_lead,
+)
+
+
+def make_events(seed=0, n=500, n_keys=12):
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, n_keys, n),
+            "ts": rng.uniform(0, 10_000, n).round(2),
+            "v": rng.normal(size=n).round(5),
+        }
+    )
+    return df.drop_duplicates(subset=["k", "ts"]).reset_index(drop=True)
+
+
+def test_lag_lead_matches_pandas(spark):
+    pdf = make_events()
+    res = (
+        with_lag_lead(spark.createDataFrame(pdf), ["v"], "k", "ts", lags=[1, 2], leads=[1])
+        .toPandas()
+        .sort_values(["k", "ts"])
+        .reset_index(drop=True)
+    )
+    exp = pdf.sort_values(["k", "ts"]).reset_index(drop=True)
+    g = exp.groupby("k")["v"]
+    for col, series in [
+        ("v_lag1", g.shift(1)),
+        ("v_lag2", g.shift(2)),
+        ("v_lead1", g.shift(-1)),
+    ]:
+        np.testing.assert_allclose(
+            res[col].to_numpy(float), series.to_numpy(float), equal_nan=True
+        )
+
+
+def test_backfill_forward_and_backward(spark):
+    pdf = make_events(seed=5)
+    pdf.loc[pdf.sample(frac=0.4, random_state=1).index, "v"] = np.nan
+    sdf = spark.createDataFrame(pdf)
+    for direction, pd_method in [("forward", "ffill"), ("backward", "bfill")]:
+        res = (
+            backfill(sdf, ["v"], "k", "ts", direction=direction)
+            .toPandas()
+            .sort_values(["k", "ts"])
+            .reset_index(drop=True)
+        )
+        exp = pdf.sort_values(["k", "ts"]).reset_index(drop=True)
+        expected = exp.groupby("k")["v"].transform(pd_method)
+        np.testing.assert_allclose(
+            res["v_filled"].to_numpy(float), expected.to_numpy(float), equal_nan=True
+        )
+
+
+def test_sessionize_gap_semantics(spark):
+    pdf = pd.DataFrame(
+        {
+            "k": ["a"] * 6 + ["b"] * 3,
+            "ts": [0.0, 10.0, 20.0, 100.0, 105.0, 300.0, 0.0, 500.0, 505.0],
+        }
+    )
+    res = (
+        sessionize(spark.createDataFrame(pdf), "k", "ts", gap_seconds=30.0)
+        .toPandas()
+        .sort_values(["k", "ts"])
+        .reset_index(drop=True)
+    )
+    assert res[res["k"] == "a"]["session_id"].tolist() == [0, 0, 0, 1, 1, 2]
+    assert res[res["k"] == "b"]["session_id"].tolist() == [0, 1, 1]
+    starts = res[res["k"] == "a"]["session_id_start"].tolist()
+    assert starts == [0.0, 0.0, 0.0, 100.0, 100.0, 300.0]
+
+
+def test_sessionize_matches_pandas_on_random_data(spark):
+    pdf = make_events(seed=9, n=800)
+    gap = 120.0
+    res = (
+        sessionize(spark.createDataFrame(pdf), "k", "ts", gap_seconds=gap)
+        .toPandas()
+        .sort_values(["k", "ts"])
+        .reset_index(drop=True)
+    )
+    exp = pdf.sort_values(["k", "ts"]).reset_index(drop=True)
+    new = (exp.groupby("k")["ts"].diff() > gap) | exp.groupby("k")["ts"].diff().isna()
+    expected_id = new.groupby(exp["k"]).cumsum() - 1
+    np.testing.assert_array_equal(
+        res["session_id"].to_numpy(int), expected_id.to_numpy(int)
+    )
+
+
+def test_rolling_stats_rows_frame(spark):
+    pdf = make_events(seed=13, n=400)
+    res = (
+        rolling_stats(spark.createDataFrame(pdf), "v", "k", "ts", n_rows=3)
+        .toPandas()
+        .sort_values(["k", "ts"])
+        .reset_index(drop=True)
+    )
+    exp = pdf.sort_values(["k", "ts"]).reset_index(drop=True)
+    r = exp.groupby("k")["v"].rolling(3, min_periods=1)
+    np.testing.assert_allclose(
+        res["v_roll_mean"].to_numpy(float),
+        r.mean().reset_index(level=0, drop=True).sort_index().to_numpy(float),
+        rtol=1e-9,
+    )
+    np.testing.assert_allclose(
+        res["v_roll_sum"].to_numpy(float),
+        r.sum().reset_index(level=0, drop=True).sort_index().to_numpy(float),
+        rtol=1e-9,
+    )
+
+
+def test_rolling_stats_range_frame(spark):
+    pdf = make_events(seed=17, n=300)
+    res = (
+        rolling_stats(
+            spark.createDataFrame(pdf),
+            "v",
+            "k",
+            "ts",
+            range_seconds=500.0,
+            stats=("count", "sum"),
+        )
+        .toPandas()
+        .sort_values(["k", "ts"])
+        .reset_index(drop=True)
+    )
+    # brute-force oracle
+    for _, row in res.head(60).iterrows():
+        mask = (
+            (pdf["k"] == row["k"])
+            & (pdf["ts"] >= row["ts"] - 500.0)
+            & (pdf["ts"] <= row["ts"])
+        )
+        assert row["v_roll_count"] == mask.sum()
+        np.testing.assert_allclose(row["v_roll_sum"], pdf.loc[mask, "v"].sum(), rtol=1e-9)
