@@ -80,7 +80,7 @@ def entry(spark: SparkSession) -> DataFrame:
     )
     rows = []
     for src, b in binners.items():
-        s = b.summary_()
+        s = b.summary_df
         for _, r in s.iterrows():
             rows.append(
                 (
@@ -380,7 +380,7 @@ def q_per_source_fit(spark, sf_dir):
     )
     rows = []
     for src, b in sorted(binners.items()):
-        bins = b.bins_()
+        bins = b.bins_df
         for _, r in bins.iterrows():
             rows.append((src, float(r["left"]), float(r["right"]), int(r["n"]),
                          round(float(r["mean"]), _R)))

@@ -72,9 +72,12 @@ def main():
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
 
     li = load_table(spark, SF_DIR, "lineitem")
-    docs = load_table(spark, SF_DIR, "documents")
+    # testdata tables are single parquet files (one row group = one input
+    # split); repartition the per-row-heavy inputs so regex/vector work uses
+    # all cores — on a real multi-file table this parallelism comes free
+    docs = load_table(spark, SF_DIR, "documents").repartition(CPUS)
     ev = load_table(spark, SF_DIR, "events")
-    emb = load_table(spark, SF_DIR, "embeddings")
+    emb = load_table(spark, SF_DIR, "embeddings").repartition(CPUS)
     li_xy = li.select(
         F.col("l_quantity").alias("x"),
         (F.col("l_discount") > 0.05).cast("int").alias("y"),
@@ -109,11 +112,17 @@ def main():
         binner.transform(li_xy, assign="woe", output_col="woe")
     ))
 
+    from monotonic_optimal_binning_spark.functions.timeutil import (
+        epoch_seconds,
+        pin_utc,
+    )
+
+    pin_utc(spark)
     clicks = ev.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", F.col("ts").cast("double").alias("ts")
+        "event_id", "user_id", epoch_seconds(ev, "ts").alias("ts")
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("ts").cast("double").alias("ts"), "value"
+        "user_id", epoch_seconds(ev, "ts").alias("ts"), "value"
     )
     bench("asof_join", lambda: materialize(
         asof_join(clicks, purchases, on="user_id", left_ts="ts",
@@ -156,13 +165,8 @@ def main():
         prebins=128,
         constraints=BinningConstraints(max_bins=6, min_bins=3),
     )
-    out = None
-    for src, b in binners.items():
-        part = b.transform(
-            feat.filter(F.col("source") == src), assign="woe",
-            input_col="n_tok", output_col="n_tok_woe",
-        )
-        out = part if out is None else out.unionByName(part)
+    out = binners.transform(feat, assign="woe", input_col="n_tok",
+                            output_col="n_tok_woe")
     materialize(out.select("doc_id", "source", "n_tok", "n_tok_woe", "ev_value"))
     flagship_sec = time.time() - t0
     feature_rows = n_docs

@@ -19,7 +19,12 @@ from .exceptions import (
     MOBSparkError,
     NotFittedError,
 )
-from .operators.binning import FittedBins, SparkMonotonicBinner, fit_binners_per_group
+from .operators.binning import (
+    FittedBins,
+    GroupedBins,
+    SparkMonotonicBinner,
+    fit_binners_per_group,
+)
 
 __version__ = "0.1.0"
 
@@ -30,6 +35,7 @@ __all__ = [
     "DEFAULT_CONFIG",
     "EngineConfig",
     "FittedBins",
+    "GroupedBins",
     "FittingError",
     "MergeStrategy",
     "MOBSparkError",

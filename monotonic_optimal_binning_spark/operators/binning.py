@@ -27,7 +27,7 @@ from typing import Any, Dict, Iterable, List, Optional, Sequence, Union
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -337,6 +337,14 @@ class SparkMonotonicBinner:
             .collect()
         )
 
+        self.model_ = self._solve_from_stats(stats, is_binary, splits is not None)
+        self.fit_metrics_["fit_seconds"] = time.time() - t0
+        return self
+
+    def _solve_from_stats(self, stats, is_binary, prebinned) -> FittedBins:
+        """Driver-side solve over collected (tag, gkey) sufficient-statistic
+        rows: PAVA + merge + bins/summary assembly. Shared by the single fit
+        and the fused per-group fit (one scan for ALL groups)."""
         c_rows = sorted(
             (r for r in stats if r["tag"] == "C"),
             key=lambda r: (r["x_rep"] is None, r["x_rep"]),
@@ -394,6 +402,8 @@ class SparkMonotonicBinner:
 
         bins_df = self._blocks_to_df(merged)
         summary_df = self._build_summary(bins_df, m_rows, e_rows, is_binary)
+        total_n_missing = int(sum(r["n_rows"] for r in m_rows))
+        total_n_excluded = int(sum(r["n_rows"] for r in e_rows))
 
         lefts = bins_df["left"].to_numpy(dtype=float)
         rights = bins_df["right"].to_numpy(dtype=float)
@@ -403,7 +413,12 @@ class SparkMonotonicBinner:
             mask = ~summary_df["bucket"].str.contains("Missing|Excluded")
             woes = summary_df.loc[mask, "woe"].to_numpy(dtype=float)
 
-        self.model_ = FittedBins(
+        self.fit_metrics_ = {
+            "groups_collected": len(groups),
+            "total_n": total_n,
+            "total_pos": total_pos,
+        }
+        return FittedBins(
             x=self.x,
             y=self.y,
             lefts=lefts,
@@ -418,26 +433,19 @@ class SparkMonotonicBinner:
             diagnostics={
                 "partition_summary": {
                     "clean": total_n,
-                    "missing": int(sum(r["n_rows"] for r in m_rows)),
-                    "excluded": int(sum(r["n_rows"] for r in e_rows)),
+                    "missing": total_n_missing,
+                    "excluded": total_n_excluded,
                 },
                 "is_binary": is_binary,
                 "resolved_sign": pava.resolved_sign,
                 "n_pava_blocks": len(pava.blocks),
                 "n_initial_groups": pava.n_initial_groups,
                 "n_final_bins": len(merged),
-                "prebinned": splits is not None,
+                "prebinned": prebinned,
                 "merge_phase1_iterations": metrics.phase1_iterations,
                 "merge_phase2_iterations": metrics.phase2_iterations,
             },
         )
-        self.fit_metrics_ = {
-            "fit_seconds": time.time() - t0,
-            "groups_collected": len(groups),
-            "total_n": total_n,
-            "total_pos": total_pos,
-        }
-        return self
 
     # ---------- result tables ----------
 
@@ -611,6 +619,76 @@ class SparkMonotonicBinner:
         return df.withColumn(output_col, _assign(F.col(input_col)))
 
 
+class GroupedBins:
+    """Per-group fitted models (e.g. one per ``source``) with a single
+    broadcast lookup transform.
+
+    This is the north_star execution shape verbatim: "per-source
+    bin-boundary fitting runs as partition-parallel candidate-bin statistics
+    aggregated via treeAggregate-style DataFrame rollup, then a bounded
+    driver-side monotone merge pass broadcasts final cut-points".
+    """
+
+    def __init__(self, group_col: str, x: str, y: str, models: Dict[Any, FittedBins]):
+        self.group_col = group_col
+        self.x = x
+        self.y = y
+        self.models = models
+
+    def __getitem__(self, group):
+        return self.models[group]
+
+    def items(self):
+        return self.models.items()
+
+    def summary_pdf(self) -> pd.DataFrame:
+        """All per-group summaries stacked with a leading group column."""
+        frames = []
+        for g, m in sorted(self.models.items(), key=lambda kv: str(kv[0])):
+            f = m.summary_df.copy()
+            f.insert(0, self.group_col, g)
+            frames.append(f)
+        return pd.concat(frames, ignore_index=True)
+
+    def transform(
+        self,
+        df: DataFrame,
+        assign: str = "woe",
+        input_col: Optional[str] = None,
+        group_col: Optional[str] = None,
+        output_col: Optional[str] = None,
+    ) -> DataFrame:
+        """Vectorized per-group bin lookup in ONE pandas UDF pass.
+
+        The {group -> cut-point arrays} dict is closure-captured (broadcast
+        with the serialized UDF — kilobytes); each Arrow batch is split by
+        group and searchsorted per sub-batch. No join, no per-group scans.
+        """
+        input_col = input_col or self.x
+        group_col = group_col or self.group_col
+        output_col = output_col or f"{input_col}_{assign}"
+        ret_type = "string" if assign == "interval" else "double"
+        models = self.models
+
+        @F.pandas_udf(ret_type)
+        def _assign(groups: pd.Series, values: pd.Series) -> pd.Series:
+            out = pd.Series(
+                np.nan if ret_type == "double" else None,
+                index=values.index,
+                dtype="float64" if ret_type == "double" else "object",
+            )
+            for g, idx in values.groupby(groups, sort=False).groups.items():
+                model = models.get(g)
+                if model is None:
+                    continue
+                if assign == "woe" and model.woes is None:
+                    continue  # non-binary group: WoE undefined -> NaN
+                out.loc[idx] = model.assign_batch(values.loc[idx], assign).values
+            return out
+
+        return df.withColumn(output_col, _assign(F.col(group_col), F.col(input_col)))
+
+
 def fit_binners_per_group(
     df: DataFrame,
     group_col: str,
@@ -618,21 +696,116 @@ def fit_binners_per_group(
     y: str,
     *,
     prebins: Optional[int] = None,
+    prebin_relative_error: float = 0.001,
+    config: EngineConfig = DEFAULT_CONFIG,
     **binner_kwargs,
-) -> Dict[Any, SparkMonotonicBinner]:
-    """Fit one binner per distinct value of ``group_col`` (e.g. per source).
+) -> GroupedBins:
+    """Fit one binner per distinct ``group_col`` value in ONE distributed scan.
 
-    Scale path of BASELINE.json north_star ("per-source bin-boundary
-    fitting"): the candidate-bin statistics for ALL groups come from a single
-    ``groupBy(group, x)`` scan; the driver then runs the (tiny) PAVA+merge
-    solve once per group. Implemented for round 1 as a thin loop over
-    filtered fits for clarity; the fused single-scan variant lands with the
-    per-source pipeline work.
+    Plan: a single ``groupBy(group, tag, gkey)`` aggregation produces the
+    candidate-bin sufficient statistics for every group simultaneously
+    (plus one tiny pass for per-group binary detection and, when ``prebins``
+    is set, one approxQuantile pass for shared split points). The driver
+    then solves PAVA+merge per group over k-row slices — milliseconds per
+    group regardless of input size.
     """
-    groups = [r[0] for r in df.select(group_col).distinct().collect()]
-    out: Dict[Any, SparkMonotonicBinner] = {}
-    for g in sorted(groups, key=lambda v: (v is None, v)):
-        binner = SparkMonotonicBinner(x, y, prebins=prebins, **binner_kwargs)
-        binner.fit(df.filter(F.col(group_col) == F.lit(g)))
-        out[g] = binner
-    return out
+    tmpl = SparkMonotonicBinner(
+        x, y, prebins=prebins, prebin_relative_error=prebin_relative_error,
+        config=config, **binner_kwargs,
+    )
+    x_clean, x_missing, x_excluded, y_val = tmpl._predicates(df)
+    gcol = F.col(group_col)
+
+    # per-group binary detection: first 3 distinct non-null y per group
+    pairs = (
+        df.filter(x_clean)
+        .select(gcol.alias("_g"), y_val.alias("_y"))
+        .filter(F.col("_y").isNotNull())
+        .distinct()
+    )
+    wd = Window.partitionBy("_g").orderBy("_y")
+    top_vals = (
+        pairs.withColumn("_rn", F.row_number().over(wd))
+        .filter(F.col("_rn") <= 3)
+        .collect()
+    )
+    vals_by_group: Dict[Any, List[float]] = {}
+    for r in top_vals:
+        vals_by_group.setdefault(r["_g"], []).append(r["_y"])
+    binary_by_group = {g: _is_binary_values(sorted(v)) for g, v in vals_by_group.items()}
+    recode_by_group = {
+        g: (min(v), max(v))
+        for g, v in vals_by_group.items()
+        if binary_by_group[g] and len(v) == 2 and set(v) != {0.0, 1.0}
+    }
+
+    # recode expression: per-group min->0 / max->1 where needed (clean rows)
+    y_clean_eff = y_val
+    for g, (lo, hi) in recode_by_group.items():
+        y_clean_eff = F.when(
+            gcol == F.lit(g),
+            F.when(y_val == F.lit(hi), F.lit(1.0)).when(
+                y_val == F.lit(lo), F.lit(0.0)
+            ),
+        ).otherwise(y_clean_eff)
+    y_eff = F.when(x_clean, y_clean_eff).otherwise(y_val)
+
+    tag = (
+        F.when(x_missing, F.lit("M"))
+        .when(x_excluded, F.lit("E"))
+        .otherwise(F.lit("C"))
+    )
+    xd = F.col(x).cast("double")
+    splits = tmpl._prebin_splits(df, x_clean)
+    if splits is not None:
+        from pyspark.ml.feature import Bucketizer
+
+        work = df.withColumn("_mob_tag", tag).withColumn(
+            "_mob_xb", F.when(x_clean, xd)
+        )
+        work = Bucketizer(
+            splits=splits, inputCol="_mob_xb", outputCol="_mob_bucket",
+            handleInvalid="keep",
+        ).transform(work)
+        group_key = F.when(F.col("_mob_tag") == "C", F.col("_mob_bucket")).otherwise(xd)
+    else:
+        work = df.withColumn("_mob_tag", tag)
+        group_key = xd
+
+    nonfinite_y = F.when(
+        y_val.isNotNull() & (F.abs(y_val) == F.lit(float("inf"))), 1
+    ).otherwise(0)
+
+    stats = (
+        work.groupBy(
+            gcol.alias("_g"), F.col("_mob_tag").alias("tag"), group_key.alias("gkey")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(y_eff).alias("n_y"),
+            F.sum(y_eff).alias("sum_y"),
+            F.sum(y_eff * y_eff).alias("sum_y2"),
+            F.min(y_eff).alias("ymin"),
+            F.max(y_eff).alias("ymax"),
+            F.avg(y_eff).alias("ymean"),
+            F.stddev_samp(y_eff).alias("ystd"),
+            F.sum(nonfinite_y).alias("n_nonfinite"),
+            F.min(xd).alias("x_rep"),
+        )
+        .collect()
+    )
+
+    by_group: Dict[Any, list] = {}
+    for r in stats:
+        by_group.setdefault(r["_g"], []).append(r)
+
+    models: Dict[Any, FittedBins] = {}
+    for g in sorted(by_group, key=lambda v: (v is None, str(v))):
+        solver = SparkMonotonicBinner(
+            x, y, prebins=prebins, prebin_relative_error=prebin_relative_error,
+            config=config, **binner_kwargs,
+        )
+        models[g] = solver._solve_from_stats(
+            by_group[g], binary_by_group.get(g, False), splits is not None
+        )
+    return GroupedBins(group_col, x, y, models)

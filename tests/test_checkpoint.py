@@ -1,0 +1,96 @@
+"""Checkpoint/resume: idempotent stages, manifests, lineage report."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from monotonic_optimal_binning_spark.plans.checkpoint import (
+    PipelineRun,
+    load_manifest,
+    run_stage,
+)
+
+
+def test_stage_runs_once_and_resumes(spark, tmp_path):
+    stage_dir = str(tmp_path / "stage1")
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(100).withColumn("v", F.col("id") * 2)
+
+    df1 = run_stage(spark, stage_dir, "double_ids", build)
+    assert df1.count() == 100
+    assert calls["n"] == 1
+
+    m = load_manifest(stage_dir)
+    assert m.stage == "double_ids"
+    assert m.rows_written == 100
+    assert m.wall_seconds > 0
+
+    # resume: build() must NOT run again
+    df2 = run_stage(spark, stage_dir, "double_ids", build)
+    assert df2.count() == 100
+    assert calls["n"] == 1
+
+    # force re-runs
+    run_stage(spark, stage_dir, "double_ids", build, force=True)
+    assert calls["n"] == 2
+
+
+def test_crash_before_manifest_reruns(spark, tmp_path):
+    """Data written but no manifest (simulated crash) -> stage re-runs."""
+    stage_dir = str(tmp_path / "stage2")
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(10)
+
+    run_stage(spark, stage_dir, "s", build)
+    os.remove(os.path.join(stage_dir, "_MANIFEST.json"))
+    run_stage(spark, stage_dir, "s", build)
+    assert calls["n"] == 2
+
+
+def test_partitioned_write_and_lineage(spark, tmp_path):
+    root = str(tmp_path / "pipe")
+    s1 = os.path.join(root, "tokens")
+    s2 = os.path.join(root, "features")
+
+    run_stage(
+        spark,
+        s1,
+        "tokens",
+        lambda: spark.range(50).withColumn(
+            "source", F.when(F.col("id") % 2 == 0, "a").otherwise("b")
+        ),
+        partition_by=["source"],
+        params={"n": 50},
+    )
+    # partitioned layout on disk
+    assert os.path.isdir(os.path.join(s1, "data", "source=a"))
+
+    run_stage(
+        spark,
+        s2,
+        "features",
+        lambda: spark.read.parquet(os.path.join(s1, "data")).withColumn(
+            "f", F.col("id") * 3
+        ),
+        inputs=[s1],
+        extra_metrics={"merge_iterations": 7},
+    )
+
+    run = PipelineRun(root=root)
+    run.record(s1)
+    run.record(s2)
+    report_path = run.save()
+    with open(report_path) as f:
+        report = json.load(f)
+    assert report["n_stages"] == 2
+    assert report["total_rows"] == 100
+    assert report["stages"][1]["extra_metrics"]["merge_iterations"] == 7
+    assert report["stages"][1]["inputs"] == [s1]

@@ -1,0 +1,103 @@
+"""Fused per-group fit: one scan must equal N independent fits exactly."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from monotonic_optimal_binning_spark import (
+    BinningConstraints,
+    SparkMonotonicBinner,
+    fit_binners_per_group,
+)
+
+
+def make_grouped_frame(seed=0, n_per=400):
+    rng = np.random.default_rng(seed)
+    frames = []
+    for i, src in enumerate(["web", "books", "code"]):
+        x = np.linspace(-2, 3, n_per) + rng.normal(0, 0.15, n_per)
+        p = 1.0 / (1.0 + np.exp(-(0.8 + 0.4 * i) * x))
+        y = (rng.random(n_per) < p).astype(np.int64)
+        frames.append(pd.DataFrame({"src": src, "x": x, "y": y}))
+    return pd.concat(frames, ignore_index=True)
+
+
+def test_fused_equals_independent_fits(spark):
+    pdf = make_grouped_frame()
+    sdf = spark.createDataFrame(pdf)
+    ckw = dict(constraints=BinningConstraints(max_bins=5, min_bins=2))
+
+    grouped = fit_binners_per_group(sdf, "src", "x", "y", **ckw)
+    for src in ["web", "books", "code"]:
+        solo = SparkMonotonicBinner("x", "y", **ckw).fit(
+            sdf.filter(F.col("src") == src)
+        )
+        fused = grouped[src]
+        pd.testing.assert_frame_equal(solo.model_.bins_df, fused.bins_df)
+        pd.testing.assert_frame_equal(solo.model_.summary_df, fused.summary_df)
+        assert solo.model_.resolved_sign == fused.resolved_sign
+
+
+def test_grouped_binary_continuous_mix(spark):
+    """Groups may independently be binary or continuous; 'web' uses a
+    non-{0,1} pair which the reference's binary check rejects
+    (/root/reference/src/MOBPY/core/utils.py:119 — only {0,1}-coercible
+    pairs count), so it must be treated as continuous in both paths."""
+    pdf = make_grouped_frame(seed=5)
+    pdf.loc[pdf["src"] == "web", "y"] = pdf.loc[pdf["src"] == "web", "y"].map(
+        {0: 3, 1: 9}
+    )
+    rng = np.random.default_rng(6)
+    cont = pdf["src"] == "code"
+    pdf.loc[cont, "y"] = pdf.loc[cont, "y"] * 10.0 + rng.normal(0, 1, cont.sum())
+    sdf = spark.createDataFrame(pdf.astype({"y": float}))
+    ckw = dict(constraints=BinningConstraints(max_bins=5, min_bins=2))
+
+    grouped = fit_binners_per_group(sdf, "src", "x", "y", **ckw)
+    assert grouped["books"].is_binary
+    assert not grouped["web"].is_binary
+    assert not grouped["code"].is_binary
+    for src in ["web", "books", "code"]:
+        solo = SparkMonotonicBinner("x", "y", **ckw).fit(
+            sdf.filter(F.col("src") == src)
+        )
+        pd.testing.assert_frame_equal(solo.model_.bins_df, grouped[src].bins_df)
+
+
+def test_grouped_transform_matches_per_model(spark):
+    pdf = make_grouped_frame(seed=9)
+    sdf = spark.createDataFrame(pdf)
+    grouped = fit_binners_per_group(
+        sdf, "src", "x", "y", constraints=BinningConstraints(max_bins=5, min_bins=2)
+    )
+    out = (
+        grouped.transform(sdf, assign="woe", input_col="x", group_col="src")
+        .toPandas()
+        .sort_values(["src", "x"])
+        .reset_index(drop=True)
+    )
+    for src in ["web", "books", "code"]:
+        model = grouped[src]
+        sub = out[out["src"] == src]
+        expected = model.assign_batch(sub["x"], "woe")
+        np.testing.assert_allclose(
+            sub["x_woe"].to_numpy(), expected.to_numpy(), rtol=1e-12
+        )
+    # interval mode too
+    out2 = grouped.transform(sdf, assign="interval", input_col="x", group_col="src")
+    assert out2.filter(F.col("x_interval").isNull()).count() == 0
+
+
+def test_grouped_fit_scan_count(spark):
+    """The fused fit's Spark-job count must not scale with group count
+    (binary-detect + stats agg, each a couple of jobs — never one per
+    group). 3 groups here; a per-group implementation would need ~3x."""
+    pdf = make_grouped_frame(seed=11)
+    sdf = spark.createDataFrame(pdf)
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
+    fit_binners_per_group(
+        sdf, "src", "x", "y", constraints=BinningConstraints(max_bins=5, min_bins=2)
+    )
+    after = len(tracker.getJobIdsForGroup() or [])
+    assert after - before <= 6, f"too many Spark jobs: {after - before}"

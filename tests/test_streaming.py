@@ -1,0 +1,91 @@
+"""Structured Streaming analogs: session_window aggregation + stateless WoE
+lookup driven end-to-end with a file stream and memory sink."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from monotonic_optimal_binning_spark import SparkMonotonicBinner
+from monotonic_optimal_binning_spark.streaming.sessions import (
+    streaming_sessionize,
+    streaming_tumbling_stats,
+    streaming_woe_lookup,
+)
+
+
+@pytest.fixture()
+def stream_source(spark, tmp_path):
+    pdf = pd.DataFrame(
+        {
+            "user": ["a"] * 4 + ["b"] * 2,
+            "ts": pd.to_datetime(
+                [
+                    "2026-01-01 00:00:00",
+                    "2026-01-01 00:05:00",
+                    "2026-01-01 02:00:00",
+                    "2026-01-01 02:10:00",
+                    "2026-01-01 01:00:00",
+                    "2026-01-01 05:00:00",
+                ]
+            ),
+            "value": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+        }
+    )
+    src = str(tmp_path / "events")
+    spark.createDataFrame(pdf).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    return spark.readStream.schema(schema).parquet(src)
+
+
+def _run_to_memory(df, name, mode):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_streaming_sessionize(spark, stream_source):
+    out = streaming_sessionize(stream_source, "user", "ts", gap="30 minutes")
+    _run_to_memory(out, "sess", "complete")
+    res = spark.sql("select * from sess").toPandas()
+    a = res[res["user"] == "a"].sort_values("session_start")
+    # two sessions for user a (00:00-00:05 and 02:00-02:10), two singletons for b
+    assert len(a) == 2
+    assert a["n_events"].tolist() == [2, 2]
+    assert len(res[res["user"] == "b"]) == 2
+
+
+def test_streaming_tumbling_stats(spark, stream_source):
+    out = streaming_tumbling_stats(
+        stream_source, "user", "ts", "value", window="1 hour"
+    )
+    _run_to_memory(out, "tumb", "complete")
+    res = spark.sql("select * from tumb").toPandas()
+    first_hour_a = res[
+        (res["user"] == "a")
+        & (res["window_start"] == pd.Timestamp("2026-01-01 00:00:00"))
+    ]
+    assert first_hour_a["value_count"].iloc[0] == 2
+    assert first_hour_a["value_sum"].iloc[0] == pytest.approx(3.0)
+
+
+def test_streaming_woe_lookup(spark, stream_source, tmp_path):
+    # fit a model in batch, apply it on the stream (stateless pandas UDF)
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 10, 500)
+    y = (rng.random(500) < x / 10).astype(int)
+    b = SparkMonotonicBinner("x", "y").fit(
+        spark.createDataFrame(pd.DataFrame({"x": x, "y": y}))
+    )
+    out = streaming_woe_lookup(stream_source, b.model_, "value")
+    _run_to_memory(out, "woes", "append")
+    res = spark.sql("select * from woes").toPandas()
+    assert len(res) == 6
+    expected = b.model_.assign_batch(res["value"], "woe")
+    np.testing.assert_allclose(res["value_woe"].to_numpy(), expected.to_numpy())
