@@ -140,7 +140,7 @@ def main():
     ))
     bench("exact_dedup", lambda: materialize(exact_dedup(docs, ["text"], "doc_id")))
     bench("minhash_pairs", lambda: materialize(
-        minhash_lsh_candidates(docs, "text", "doc_id", num_hashes=32, n_bands=8)
+        minhash_lsh_candidates(docs, "text", "doc_id", num_hashes=32, n_bands=8, shingle_size=3, shingle_unit="word")
     ))
     bench("quality_features", lambda: materialize(quality_features(docs)))
     queries16 = emb.filter(F.col("vec_id") < 16).select(
@@ -160,6 +160,10 @@ def main():
         value_cols=["value", "label"], right_prefix="ev_",
     )
     feat = feat.withColumn("y", F.coalesce(F.col("ev_label"), F.lit(0.0)).cast("int"))
+    # feat feeds BOTH the fit aggregation and the transform: persist so the
+    # as-of window computes once (on a cluster this would be a checkpoint
+    # stage, plans/checkpoint.py)
+    feat = feat.persist()
     binners = fit_binners_per_group(
         feat, "source", "n_tok", "y",
         prebins=128,

@@ -35,4 +35,20 @@ class EngineConfig:
     shuffle_partitions: int = 32
 
 
+    def to_json(self, path: str) -> None:
+        """JSON round-trip (reference config.py:100-143 save/load analog)."""
+        import dataclasses
+        import json
+
+        with open(path, "w") as f:
+            json.dump(dataclasses.asdict(self), f, indent=2)
+
+    @classmethod
+    def from_json(cls, path: str) -> "EngineConfig":
+        import json
+
+        with open(path) as f:
+            return cls(**json.load(f))
+
+
 DEFAULT_CONFIG = EngineConfig()

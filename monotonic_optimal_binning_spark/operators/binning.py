@@ -213,6 +213,8 @@ class SparkMonotonicBinner:
         self.model_: Optional[FittedBins] = None
         self.merge_metrics_: Optional[MergeMetrics] = None
         self.fit_metrics_: Dict[str, Any] = {}
+        self._pava_result = None
+        self._groups: List[GroupStats] = []
 
     # ---------- fit ----------
 
@@ -389,6 +391,8 @@ class SparkMonotonicBinner:
         constraints.resolve(total_n=total_n, total_pos=total_pos)
 
         pava = fit_pava(groups, sign=self.sign, strict=self.strict, config=self.config)
+        self._pava_result = pava
+        self._groups = groups
         metrics = MergeMetrics()
         merged = merge_adjacent(
             pava.blocks,
@@ -579,6 +583,35 @@ class SparkMonotonicBinner:
 
     def get_diagnostics(self) -> Dict[str, Any]:
         return dict(self._model().diagnostics)
+
+    def pava_blocks_(self, as_dict: bool = True):
+        """PAVA blocks before constraint merging
+        (/root/reference/src/MOBPY/binning/mob.py:497-519)."""
+        self._model()
+        blocks = self._pava_result.blocks
+        if as_dict:
+            return [b.as_dict() for b in blocks]
+        return [(b.left, b.right, b.n, b.sum, b.sum2, b.ymin, b.ymax) for b in blocks]
+
+    def pava_groups_(self) -> pd.DataFrame:
+        """Pre-PAVA grouped statistics with cumulative columns
+        (/root/reference/src/MOBPY/core/pava.py:284-293)."""
+        self._model()
+        g = pd.DataFrame(
+            {
+                "x": [gr.x for gr in self._groups],
+                "count": [gr.count for gr in self._groups],
+                "sum": [gr.sum for gr in self._groups],
+                "sum2": [gr.sum2 for gr in self._groups],
+                "ymin": [gr.ymin for gr in self._groups],
+                "ymax": [gr.ymax for gr in self._groups],
+            }
+        )
+        g["cum_count"] = g["count"].cumsum().astype(float)
+        g["cum_sum"] = g["sum"].cumsum()
+        g["cum_mean"] = g["cum_sum"] / g["cum_count"]
+        g["group_mean"] = g["sum"] / g["count"]
+        return g
 
     @property
     def resolved_sign_(self) -> str:

@@ -62,6 +62,31 @@ def char_shingles(text: Column, n: int = 5) -> Column:
     return F.array_distinct(grams)
 
 
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct hashed word n-grams (array<bigint>).
+
+    ~5x fewer shingles than char 5-grams on natural text, so the MinHash
+    signature costs ~5x less — the standard trade-off large-corpus dedup
+    pipelines make (word-level Jaccard instead of char-level).
+    """
+    toks = F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+    idx = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))
+    )
+    grams = F.transform(
+        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+    return F.array_distinct(grams)
+
+
+def _shingles(text: Column, size: int, unit: str) -> Column:
+    if unit == "char":
+        return char_shingles(text, size)
+    if unit == "word":
+        return word_shingles(text, size)
+    raise ValueError(f"shingle unit must be char|word, got {unit}")
+
+
 def _minhash_params(num_hashes: int, seed: int) -> List[Tuple[int, int]]:
     """Deterministic (a, b) pairs for the universal hash family."""
     import numpy as np
@@ -100,38 +125,67 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     n_bands: int = 16,
     shingle_size: int = 5,
+    shingle_unit: str = "char",
     seed: int = 42,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash LSH,
-    with the exact shingle-Jaccard attached for thresholding."""
+    with the exact shingle-Jaccard attached for thresholding.
+
+    Shuffle discipline: the banded explode and the bucket self-join carry
+    ONLY (id, band, bucket) — never the shingle arrays (which would be
+    amplified n_bands times through the shuffle). Shingle sets are re-joined
+    by id onto the (small) candidate-pair set for the exact verify; AQE
+    typically broadcasts the pair side.
+    """
     rows_per_band = num_hashes // n_bands
     base = df.select(
         F.col(id_col).alias("id"),
-        char_shingles(F.col(text_col), shingle_size).alias("__sh"),
+        _shingles(F.col(text_col), shingle_size, shingle_unit).alias("__sh"),
     ).withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes, seed))
 
     bands = F.array(
         *[
             F.xxhash64(
-                F.lit(b), *[F.col("__sig")[b * rows_per_band + i] for i in range(rows_per_band)]
+                F.lit(b),
+                *[F.col("__sig")[b * rows_per_band + i] for i in range(rows_per_band)],
             )
             for b in range(n_bands)
         ]
     )
-    banded = base.select(
-        "id", "__sh", F.posexplode(bands).alias("band", "bucket")
-    )
+    # persist the TINY (id, band, bucket) table: the self-join would
+    # otherwise recompute the full signature pipeline once per side
+    banded = base.select("id", F.posexplode(bands).alias("band", "bucket")).persist()
 
-    a = banded.select(
-        F.col("id").alias("id_a"), F.col("__sh").alias("__sh_a"), "band", "bucket"
-    )
-    b = banded.select(
-        F.col("id").alias("id_b"), F.col("__sh").alias("__sh_b"), "band", "bucket"
-    )
+    a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
     pairs = (
         a.join(b, on=["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+        .persist()
+    )
+
+    # shingles for the exact verify: restrict to candidate ids FIRST (semi
+    # join), so the expensive shingle expression only evaluates for the few
+    # rows that made it out of LSH
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh = (
+        df.join(cand_ids, on=F.col(id_col) == cand_ids["id"], how="leftsemi")
+        .select(
+            F.col(id_col).alias("id"),
+            _shingles(F.col(text_col), shingle_size, shingle_unit).alias("__sh"),
+        )
+    )
+    pairs = (
+        pairs.join(sh.select(F.col("id").alias("id_a"), F.col("__sh").alias("__sh_a")),
+                   on="id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("__sh").alias("__sh_b")),
+              on="id_b")
     )
     inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
     union = F.size(F.array_union("__sh_a", "__sh_b"))
@@ -151,6 +205,7 @@ def minhash_dedup(
     num_hashes: int = 64,
     n_bands: int = 16,
     shingle_size: int = 5,
+    shingle_unit: str = "char",
     seed: int = 42,
 ) -> DataFrame:
     """Drop near-duplicates: a row is removed if it pairs (jaccard >=
@@ -166,6 +221,7 @@ def minhash_dedup(
         num_hashes=num_hashes,
         n_bands=n_bands,
         shingle_size=shingle_size,
+        shingle_unit=shingle_unit,
         seed=seed,
     ).filter(F.col("jaccard") >= threshold)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
@@ -226,3 +282,70 @@ def simhash_dedup(
     toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
     out = df.withColumn("__simhash", simhash(toks))
     return exact_dedup(out, ["__simhash"], id_col, keep=keep).drop("__simhash")
+
+
+def embedding_neardup_pairs(
+    df: "DataFrame",
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    *,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    seed: int = 42,
+) -> "DataFrame":
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= threshold).
+
+    Candidates come from banded random-hyperplane LSH (operators/similarity),
+    so the only join is an equi-join on (band, bucket); every candidate is
+    exactly re-scored with the JVM-side cosine expression. High thresholds
+    (>= 0.9) pair naturally with LSH because near-identical vectors almost
+    always share at least one band.
+    """
+    from ..functions.vector import cosine_similarity
+    from .similarity import add_lsh_buckets
+
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"))
+    # ids-only through the self-join (persisted: tiny), vectors re-joined
+    # onto the candidate pairs for exact scoring
+    banded = add_lsh_buckets(
+        base, "__v", dim, n_planes=n_planes, n_bands=n_bands, seed=seed
+    ).select("id", "band", "bucket").persist()
+    a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
+    pairs = (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    scored = (
+        pairs.join(base.select(F.col("id").alias("id_a"), F.col("__v").alias("__va")),
+                   on="id_a")
+        .join(base.select(F.col("id").alias("id_b"), F.col("__v").alias("__vb")),
+              on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            cosine_similarity(F.col("__va"), F.col("__vb")).alias("cosine"),
+        )
+    )
+    return scored.filter(F.col("cosine") >= threshold)
+
+
+def embedding_neardup_dedup(
+    df: "DataFrame",
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    *,
+    threshold: float = 0.95,
+    **lsh_kwargs,
+) -> "DataFrame":
+    """Drop rows whose embedding near-duplicates a surviving smaller id."""
+    pairs = embedding_neardup_pairs(
+        df, vec_col, id_col, dim, threshold=threshold, **lsh_kwargs
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
