@@ -94,6 +94,78 @@ def _is_binary_values(vals: Sequence[float]) -> bool:
     return set(ints) == {0, 1} or len(vals) == 1
 
 
+def _detect_binary_from_stats(c_rows, eps: float = 1e-9):
+    """Binary-target detection from the collected per-group sufficient
+    statistics — costs ZERO extra distributed passes (the obvious
+    ``distinct().limit(3)`` probe is a second full scan of the input).
+
+    y is binary iff (a) the union of per-group {ymin, ymax} has ≤2 distinct
+    values passing the reference's integer-like {0,1}/single-value rules
+    (/root/reference/src/MOBPY/core/utils.py:71-121), and (b) every group's
+    (n, sum, sum2) moments are consistent with a two-point distribution on
+    exactly those values — which rules out interior values that happen not
+    to be any group's min or max.
+
+    Returns (is_binary, recode) where recode mirrors the reference's
+    min->0/max->1 mapping (/root/reference/src/MOBPY/binning/mob.py:216-227;
+    effectively unreachable for numeric inputs, kept for parity).
+    """
+    rows = [r for r in c_rows if r["n_y"] and r["n_y"] > 0]
+    if not rows:
+        return False, None
+    vals = set()
+    for r in rows:
+        vals.add(float(r["ymin"]))
+        vals.add(float(r["ymax"]))
+        if len(vals) > 2:
+            return False, None
+    svals = sorted(vals)
+    if not _is_binary_values(svals):
+        return False, None
+    if len(svals) == 2:
+        lo, hi = svals
+        span = hi - lo
+        for r in rows:
+            n = int(r["n_y"])
+            mn, mx = float(r["ymin"]), float(r["ymax"])
+            if mn == mx:
+                continue  # single-valued group: trivially two-point
+            s, s2 = float(r["sum_y"]), float(r["sum_y2"])
+            n_lo = (n * mx - s) / span
+            if abs(n_lo - round(n_lo)) > eps * max(1.0, n):
+                return False, None
+            n_lo = round(n_lo)
+            if n_lo < 0 or n_lo > n:
+                return False, None
+            s2_expect = n_lo * mn * mn + (n - n_lo) * mx * mx
+            if abs(s2_expect - s2) > eps * max(1.0, abs(s2)):
+                return False, None
+    recode = None
+    if len(svals) == 2 and set(svals) != {0.0, 1.0}:
+        recode = (svals[0], svals[1])
+    return True, recode
+
+
+def _recode_c_rows(c_rows, lo: float, hi: float):
+    """Apply the reference's binary min->0/max->1 recode ALGEBRAICALLY on
+    the collected sufficient statistics (y' = (y-lo)/(hi-lo), so
+    sum' = (sum - n*lo)/span, sum2' = (sum2 - 2*lo*sum + n*lo^2)/span^2) —
+    the raw rows were aggregated once, before detection was possible."""
+    span = hi - lo
+    out = []
+    for r in c_rows:
+        d = dict(r.asDict()) if hasattr(r, "asDict") else dict(r)
+        n = d["n_y"]
+        if n and n > 0:
+            s, s2 = float(d["sum_y"]), float(d["sum_y2"])
+            d["sum_y"] = (s - n * lo) / span
+            d["sum_y2"] = (s2 - 2.0 * lo * s + n * lo * lo) / (span * span)
+            d["ymin"] = (float(d["ymin"]) - lo) / span
+            d["ymax"] = (float(d["ymax"]) - lo) / span
+        out.append(d)
+    return out
+
+
 @dataclass
 class FittedBins:
     """Driver-side fitted model; small and picklable for broadcast.
@@ -235,22 +307,6 @@ class SparkMonotonicBinner:
         y_val = F.when(~_null_or_nan(F.col(self.y), y_dtype), y_raw)
         return x_clean, x_missing, x_excluded, y_val
 
-    def _detect_binary(self, df: DataFrame, x_clean, y_val):
-        rows = (
-            df.filter(x_clean)
-            .select(y_val.alias("_y"))
-            .filter(F.col("_y").isNotNull())
-            .distinct()
-            .limit(3)
-            .collect()
-        )
-        vals = sorted(r["_y"] for r in rows)
-        is_binary = _is_binary_values(vals)
-        recode = None
-        if is_binary and len(vals) == 2 and set(vals) != {0.0, 1.0}:
-            recode = (min(vals), max(vals))
-        return is_binary, recode
-
     def _prebin_splits(self, df: DataFrame, x_clean) -> Optional[List[float]]:
         if not self.prebins or self.prebins < 2:
             return None
@@ -269,22 +325,13 @@ class SparkMonotonicBinner:
         t0 = time.time()
         x_clean, x_missing, x_excluded, y_val = self._predicates(df)
 
-        is_binary, recode = self._detect_binary(df, x_clean, y_val)
-
-        # Binary recode min->0 / max->1 applies to the CLEAN partition only
-        # (the reference mutates parts.clean in place,
-        #  /root/reference/src/MOBPY/binning/mob.py:216-227; Missing/Excluded
-        #  summary rows keep original y values).
-        if recode is not None:
-            lo, hi = recode
-            y_clean_eff = (
-                F.when(y_val == F.lit(hi), F.lit(1.0))
-                .when(y_val == F.lit(lo), F.lit(0.0))
-                .otherwise(F.lit(None).cast("double"))
-            )
-        else:
-            y_clean_eff = y_val
-        y_eff = F.when(x_clean, y_clean_eff).otherwise(y_val)
+        # Binary detection, and the reference's binary recode
+        # (/root/reference/src/MOBPY/binning/mob.py:216-227, clean partition
+        # only), both happen DRIVER-SIDE on the collected sufficient
+        # statistics (_detect_binary_from_stats/_recode_c_rows) — the fit is
+        # a single full scan of the input (plus one approxQuantile pass when
+        # prebinning).
+        y_eff = y_val
 
         tag = (
             F.when(x_missing, F.lit("M"))
@@ -339,20 +386,25 @@ class SparkMonotonicBinner:
             .collect()
         )
 
-        self.model_ = self._solve_from_stats(stats, is_binary, splits is not None)
+        self.model_ = self._solve_from_stats(stats, splits is not None)
         self.fit_metrics_["fit_seconds"] = time.time() - t0
         return self
 
-    def _solve_from_stats(self, stats, is_binary, prebinned) -> FittedBins:
+    def _solve_from_stats(self, stats, prebinned) -> FittedBins:
         """Driver-side solve over collected (tag, gkey) sufficient-statistic
-        rows: PAVA + merge + bins/summary assembly. Shared by the single fit
-        and the fused per-group fit (one scan for ALL groups)."""
+        rows: binary detection + PAVA + merge + bins/summary assembly.
+        Shared by the single fit and the fused per-group fit (one scan for
+        ALL groups)."""
         c_rows = sorted(
             (r for r in stats if r["tag"] == "C"),
             key=lambda r: (r["x_rep"] is None, r["x_rep"]),
         )
         m_rows = [r for r in stats if r["tag"] == "M"]
         e_rows = sorted((r for r in stats if r["tag"] == "E"), key=lambda r: r["gkey"])
+
+        is_binary, recode = _detect_binary_from_stats(c_rows)
+        if recode is not None:
+            c_rows = _recode_c_rows(c_rows, *recode)
 
         n_nonfinite = sum(r["n_nonfinite"] for r in c_rows)
         if n_nonfinite > 0:
@@ -749,39 +801,11 @@ def fit_binners_per_group(
     x_clean, x_missing, x_excluded, y_val = tmpl._predicates(df)
     gcol = F.col(group_col)
 
-    # per-group binary detection: first 3 distinct non-null y per group
-    pairs = (
-        df.filter(x_clean)
-        .select(gcol.alias("_g"), y_val.alias("_y"))
-        .filter(F.col("_y").isNotNull())
-        .distinct()
-    )
-    wd = Window.partitionBy("_g").orderBy("_y")
-    top_vals = (
-        pairs.withColumn("_rn", F.row_number().over(wd))
-        .filter(F.col("_rn") <= 3)
-        .collect()
-    )
-    vals_by_group: Dict[Any, List[float]] = {}
-    for r in top_vals:
-        vals_by_group.setdefault(r["_g"], []).append(r["_y"])
-    binary_by_group = {g: _is_binary_values(sorted(v)) for g, v in vals_by_group.items()}
-    recode_by_group = {
-        g: (min(v), max(v))
-        for g, v in vals_by_group.items()
-        if binary_by_group[g] and len(v) == 2 and set(v) != {0.0, 1.0}
-    }
-
-    # recode expression: per-group min->0 / max->1 where needed (clean rows)
-    y_clean_eff = y_val
-    for g, (lo, hi) in recode_by_group.items():
-        y_clean_eff = F.when(
-            gcol == F.lit(g),
-            F.when(y_val == F.lit(hi), F.lit(1.0)).when(
-                y_val == F.lit(lo), F.lit(0.0)
-            ),
-        ).otherwise(y_clean_eff)
-    y_eff = F.when(x_clean, y_clean_eff).otherwise(y_val)
+    # per-group binary detection + recode happen driver-side on the
+    # collected stats (_detect_binary_from_stats) — the per-group fit is
+    # ONE full scan for all groups (plus the shared approxQuantile pass
+    # when prebinning)
+    y_eff = y_val
 
     tag = (
         F.when(x_missing, F.lit("M"))
@@ -838,7 +862,5 @@ def fit_binners_per_group(
             x, y, prebins=prebins, prebin_relative_error=prebin_relative_error,
             config=config, **binner_kwargs,
         )
-        models[g] = solver._solve_from_stats(
-            by_group[g], binary_by_group.get(g, False), splits is not None
-        )
+        models[g] = solver._solve_from_stats(by_group[g], splits is not None)
     return GroupedBins(group_col, x, y, models)

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import List, Optional, Sequence, Tuple
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -103,18 +104,34 @@ def minhash_signature(
     """MinHash signature (array<bigint>) of a shingle-set column.
 
     h_j(S) = min over s in S of (a_j * s + b_j) mod p, with the shingle
-    hashes folded into [0, p) first. Entirely in Spark SQL — one
-    array_min(transform(...)) per hash function.
+    hashes folded into [0, p) first. Entirely in Spark SQL.
+
+    Implementation note: ONE ``aggregate`` fold that keeps all num_hashes
+    running minima in an array accumulator — the shingle column appears
+    exactly once in the expression tree. The obvious alternative (one
+    ``array_min(transform(shingles, h_j))`` per hash function) references
+    the shingle column num_hashes times, and Catalyst's project-collapse
+    then inlines the (expensive) upstream shingle expression into every
+    copy — measured 10x slower end-to-end at sf0.1.
     """
     params = _minhash_params(num_hashes, seed)
-    pos = F.transform(shingles, lambda s: F.pmod(s, F.lit(_MERSENNE_P)))
 
-    def _hash_fn(a, b):
-        return lambda s: F.pmod(F.lit(a) * s + F.lit(b), F.lit(_MERSENNE_P))
+    def _hashes(s: Column) -> Column:
+        pos = F.pmod(s, F.lit(_MERSENNE_P))
+        return F.array(
+            *[
+                F.pmod(F.lit(a) * pos + F.lit(b), F.lit(_MERSENNE_P))
+                for a, b in params
+            ]
+        )
 
-    return F.array(
-        *[F.array_min(F.transform(pos, _hash_fn(a, b))) for a, b in params]
+    init = F.array_repeat(F.lit(_MERSENNE_P).cast("long"), num_hashes)
+    sig = F.aggregate(
+        shingles, init,
+        lambda acc, s: F.zip_with(acc, _hashes(s), lambda x, y: F.least(x, y)),
     )
+    # empty shingle set -> null signature (parity with array_min semantics)
+    return F.when(F.size(shingles) > 0, sig)
 
 
 def minhash_lsh_candidates(
@@ -140,21 +157,33 @@ def minhash_lsh_candidates(
     rows_per_band = num_hashes // n_bands
     base = df.select(
         F.col(id_col).alias("id"),
-        _shingles(F.col(text_col), shingle_size, shingle_unit).alias("__sh"),
-    ).withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes, seed))
-
-    bands = F.array(
-        *[
-            F.xxhash64(
-                F.lit(b),
-                *[F.col("__sig")[b * rows_per_band + i] for i in range(rows_per_band)],
-            )
-            for b in range(n_bands)
-        ]
+        minhash_signature(
+            _shingles(F.col(text_col), shingle_size, shingle_unit), num_hashes, seed
+        ).alias("__sig"),
     )
-    # persist the TINY (id, band, bucket) table: the self-join would
-    # otherwise recompute the full signature pipeline once per side
-    banded = base.select("id", F.posexplode(bands).alias("band", "bucket")).persist()
+
+    # Explode the band index FIRST: Generate is a project-collapse barrier,
+    # so the signature expression evaluates exactly once per input row (the
+    # obvious transform-lambda formulation re-evaluates the whole signature
+    # pipeline once per band — measured 8x slower). Buckets then hash a
+    # slice of the already-materialized signature array.
+    banded = (
+        base.select(
+            "id", "__sig",
+            F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+        )
+        .select(
+            "id",
+            "band",
+            F.xxhash64(
+                "band",
+                F.slice(F.col("__sig"), F.col("band") * rows_per_band + 1, rows_per_band),
+            ).alias("bucket"),
+        )
+        # persist the TINY (id, band, bucket) table: the self-join would
+        # otherwise recompute the signature pipeline once per side
+        .persist()
+    )
 
     a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
     b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
@@ -232,37 +261,45 @@ def simhash(tokens: Column, bits: int = 64) -> Column:
     """SimHash fingerprint (bigint) of a token-array column.
 
     Per-bit vote: each token hash contributes +1/-1 to each bit position;
-    the sign of the vote sets the bit. aggregate() carries the 64 counters
-    as an array — no Python.
-    """
-    # bit positions are unrolled with Python ints: shiftright/shiftleft
-    # require literal shift amounts, not Columns
-    def _votes(t):
-        h = F.xxhash64(t)
-        return F.array(
-            *[
-                F.when(
-                    F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-                ).otherwise(F.lit(-1))
-                for i in range(bits)
-            ]
-        )
+    the sign of the vote sets the bit.
 
-    counters = F.aggregate(
-        tokens,
-        F.array_repeat(F.lit(0), bits),
-        lambda acc, t: F.zip_with(acc, _votes(t), lambda a, b: a + b),
-    )
-    fp = F.lit(0).cast("long")
-    for i in range(bits):
-        # i == 63 is the sign bit of int64: its set-value is -2^63
-        bit_val = (1 << i) if i < 63 else -(1 << 63)
-        fp = fp.bitwiseXOR(
-            F.when(counters[i] > 0, F.lit(bit_val).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    return fp
+    Execution split: the per-token hash stays JVM-side (one ``xxhash64``
+    per token inside codegen); the 64-counter vote aggregation runs as a
+    vectorized Arrow/numpy UDF. A pure-SQL formulation exists
+    (``aggregate`` + ``zip_with`` over 64-element vote arrays) but
+    higher-order functions are interpreted per element — 64 boxed ops per
+    token made it ~10x slower end-to-end at sf0.1, which is exactly the
+    "UDFs beat built-ins" exception: numpy does the bit matrix for a whole
+    Arrow batch in a handful of SIMD passes.
+    """
+    if bits > 64:
+        raise ValueError("simhash supports at most 64 bits")
+
+    @F.pandas_udf("long")
+    def _vote(hashes: pd.Series) -> pd.Series:
+        import numpy as np
+
+        n = len(hashes)
+        lens = np.fromiter((len(a) for a in hashes), dtype=np.int64, count=n)
+        out = np.zeros(n, dtype=np.uint64)
+        nz = lens > 0
+        if nz.any():
+            flat = np.concatenate(
+                [np.asarray(a, dtype=np.int64) for a in hashes[nz]]
+            ).astype(np.uint64)
+            shifts = np.arange(bits, dtype=np.uint64)
+            bitmat = ((flat[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+            nzlens = lens[nz]
+            offsets = np.zeros(len(nzlens), dtype=np.int64)
+            np.cumsum(nzlens[:-1], out=offsets[1:])
+            ones = np.add.reduceat(bitmat, offsets, axis=0)
+            # vote_i = ones_i - zeros_i = 2*ones_i - n_tokens; bit set iff > 0
+            setbits = (2 * ones) > nzlens[:, None]
+            out[nz] = (setbits.astype(np.uint64) << shifts).sum(axis=1)
+        return pd.Series(out.astype(np.int64))
+
+    hashed = F.transform(tokens, lambda t: F.xxhash64(t))
+    return _vote(hashed)
 
 
 def hamming_distance(a: Column, b: Column) -> Column:
