@@ -24,13 +24,20 @@ from monotonic_optimal_binning_spark import (
     SparkMonotonicBinner,
     fit_binners_per_group,
 )
-from monotonic_optimal_binning_spark.operators.asof import asof_join
+from monotonic_optimal_binning_spark.operators.asof import (
+    asof_join,
+    asof_join_bucketed,
+)
 from monotonic_optimal_binning_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_candidates,
+    ngram_jaccard_pairs,
     simhash_dedup,
 )
-from monotonic_optimal_binning_spark.operators.similarity import brute_force_topk
+from monotonic_optimal_binning_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
 from monotonic_optimal_binning_spark.operators.textstats import (
     fingerprint,
     language_id,
@@ -214,6 +221,29 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_asof_bucketed(spark, sf_dir):
+    """Skew-resistant bucketed as-of join — must equal the plain as-of
+    (same DuckDB ASOF oracle verifies both paths)."""
+    pin_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", epoch_seconds(ev, "ts").alias("ts")
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", epoch_seconds(ev, "ts").alias("ts"), "value"
+    )
+    out = asof_join_bucketed(
+        left, right, on="user_id", left_ts="ts", value_cols=["value"],
+        bucket_seconds=3600.0, right_prefix="purchase_",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("ts", _R).alias("ts"),
+        F.round("purchase_value", _R).alias("purchase_value"),
+    )
+
+
 def q_lag_lead(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "value"
@@ -305,6 +335,14 @@ def q_minhash_pairs(spark, sf_dir):
     )
 
 
+def q_ngram_jaccard(spark, sf_dir):
+    """EXACT word-3-gram Jaccard pairs >= 0.5 via inverted-index join
+    (SQL-expressible -> full value check against DuckDB)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", _R).alias("jaccard"))
+
+
 def q_simhash_dedup(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return simhash_dedup(docs, "text", "doc_id").select("doc_id")
@@ -316,6 +354,20 @@ def q_cosine_topk(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     out = brute_force_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", _R).alias("cosine"), "rank"
+    )
+
+
+def q_lsh_topk(spark, sf_dir):
+    """Approximate ANN via banded random-hyperplane LSH + exact re-score
+    (candidate set is engine-specific -> rows-only)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dim = len(emb.select("embedding").first()["embedding"])
+    out = lsh_topk(emb, queries, k=5, dim=dim, n_planes=16, n_bands=8)
     return out.select(
         "query_id", "neighbor_id", F.round("cosine", _R).alias("cosine"), "rank"
     )
@@ -397,6 +449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "woe_transform": q_woe_transform,
         "fixed_bucket_woe": q_fixed_bucket_woe,
         "asof_join": q_asof_join,
+        "asof_join_bucketed": q_asof_bucketed,
         "lag_lead": q_lag_lead,
         "backfill": q_backfill,
         "sessionize": q_sessionize,
@@ -407,8 +460,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_dedup": q_fingerprint_dedup,
         "lang_id": q_lang_id,
         "minhash_pairs": q_minhash_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
         "simhash_dedup": q_simhash_dedup,
         "cosine_topk": q_cosine_topk,
+        "lsh_topk": q_lsh_topk,
         "tpch_q1": q_tpch_q1,
         "join_topk": q_join_topk,
         "rollup": q_rollup,
@@ -478,6 +533,18 @@ def oracle_sql() -> dict[str, str]:
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
+        "asof_join_bucketed": """
+            WITH l AS (
+              SELECT event_id, user_id, epoch(ts) AS ts FROM events
+              WHERE event_type = 'click'),
+            r AS (
+              SELECT user_id, epoch(ts) AS ts, value FROM events
+              WHERE event_type = 'purchase')
+            SELECT l.event_id, l.user_id, round(l.ts, 6) AS ts,
+                   round(r.value, 6) AS purchase_value
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
         "lag_lead": """
             SELECT event_id,
                    round(lag(value) OVER w, 6) AS value_lag1,
@@ -533,6 +600,81 @@ def oracle_sql() -> dict[str, str]:
                                    x -> x != '')) AS n_tok
             FROM documents
         """,
+        "quality": r"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     length(text) AS n_chars,
+                     list_filter(string_split_regex(trim(text), '\s+'),
+                                 x -> x != '') AS toks
+              FROM documents)
+            SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   round(CASE WHEN n_chars > 0 THEN
+                     (n_chars - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+                       / CAST(n_chars AS DOUBLE) ELSE 0.0 END, 6) AS punct_ratio,
+                   round(CASE WHEN n_chars > 0 THEN
+                     (n_chars - length(regexp_replace(text, '[0-9]', '', 'g')))
+                       / CAST(n_chars AS DOUBLE) ELSE 0.0 END, 6) AS digit_ratio,
+                   round(CASE WHEN len(toks) > 0 THEN
+                     len(list_filter(toks, x -> list_contains(
+                       ['the','and','of','to','in','is','that','it','for','was'],
+                       lower(x)))) / CAST(len(toks) AS DOUBLE)
+                     ELSE 0.0 END, 6) AS stopword_ratio
+            FROM t
+        """,
+        "lang_id": r"""
+            WITH t AS (
+              SELECT lang,
+                     list_transform(list_filter(string_split_regex(trim(text), '\s+'),
+                                                x -> x != ''),
+                                    x -> lower(x)) AS toks
+              FROM documents),
+            s AS (
+              SELECT lang,
+                CASE WHEN len(toks) > 0 THEN list_max([
+                  struct_pack(score := len(list_filter(toks, x -> list_contains(
+                    ['the','and','of','to','in','is','that','it','for','was'], x)))
+                    / CAST(len(toks) AS DOUBLE), lang := 'en'),
+                  struct_pack(score := len(list_filter(toks, x -> list_contains(
+                    ['der','die','und','das','ist','von','den','mit','für','nicht'], x)))
+                    / CAST(len(toks) AS DOUBLE), lang := 'de'),
+                  struct_pack(score := len(list_filter(toks, x -> list_contains(
+                    ['le','la','et','les','des','est','une','dans','que','pour'], x)))
+                    / CAST(len(toks) AS DOUBLE), lang := 'fr'),
+                  struct_pack(score := len(list_filter(toks, x -> list_contains(
+                    ['el','la','de','que','los','en','una','por','con','para'], x)))
+                    / CAST(len(toks) AS DOUBLE), lang := 'es')
+                ]) ELSE struct_pack(score := 0.0, lang := 'zz') END AS best
+              FROM t)
+            SELECT lang,
+                   CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS lang_pred,
+                   count(*) AS n
+            FROM s GROUP BY lang, lang_pred
+        """,
+        "ngram_jaccard": r"""
+            WITH toks AS (
+              SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+                                         x -> x != '') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(0, greatest(len(t)-3, 0)+1),
+                       i -> array_to_string(list_slice(t, i+1, i+3), ' '))) AS sset
+              FROM toks),
+            post AS (SELECT doc_id, unnest(sset) AS s FROM sh),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM post GROUP BY doc_id),
+            common AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+              FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+            SELECT id_a, id_b,
+                   round(common / CAST(sa.sz + sb.sz - common AS DOUBLE), 6) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE common / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.5
+        """,
         "fingerprint_dedup": """
             SELECT doc_id,
                    md5(regexp_replace(trim(regexp_replace(lower(text),
@@ -579,6 +721,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # bin_fit_summary / woe_transform / per_source_fit: iterative
         # driver-side solve, not SQL-expressible -> rows-only check.
-        # quality / lang_id / minhash_pairs / simhash_dedup: engine-specific
-        # hashing/regex semantics -> rows-only check.
+        # minhash_pairs / lsh_topk: probabilistic LSH candidate sets (the
+        # exact counterparts ngram_jaccard / cosine_topk ARE value-checked);
+        # simhash_dedup: xxhash64-specific fingerprints -> rows-only.
     }

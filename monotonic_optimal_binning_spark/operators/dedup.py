@@ -257,6 +257,70 @@ def minhash_dedup(
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    threshold: float = 0.5,
+    shingle_size: int = 3,
+    shingle_unit: str = "word",
+    max_df: Optional[int] = None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity for every pair >= threshold, via an
+    inverted-index (posting-list) self-join — no LSH approximation.
+
+    Plan shape: explode distinct shingles to (id, shingle) postings; the
+    self-join key is the shingle, so two documents only ever meet if they
+    share a shingle (never an all-pairs product); |intersection| is a
+    count per (id_a, id_b); |union| = sz_a + sz_b - common from the
+    per-doc posting counts. All aggregates are algebraic -> map-side
+    partial aggregation throughout.
+
+    ``max_df`` drops shingles occurring in more than max_df documents
+    (stop-shingles) before the join — the standard guard against the
+    frequent-key blowup at corpus scale; exact results need max_df=None.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        _shingles(F.col(text_col), shingle_size, shingle_unit).alias("__sh"),
+    )
+    post = base.select("id", F.explode("__sh").alias("s"))
+    sizes = post.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    if max_df is not None:
+        keep = post.groupBy("s").agg(F.count(F.lit(1)).alias("df_")).filter(
+            F.col("df_") <= max_df
+        )
+        post = post.join(keep.select("s"), on="s", how="leftsemi")
+    a = post.select(F.col("id").alias("id_a"), "s")
+    b = post.select(F.col("id").alias("id_b"), "s")
+    common = (
+        a.join(b, on="s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("__sza")),
+            on="id_a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("__szb")),
+            on="id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("common").cast("double")
+                / (F.col("__sza") + F.col("__szb") - F.col("common"))
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
 def simhash(tokens: Column, bits: int = 64) -> Column:
     """SimHash fingerprint (bigint) of a token-array column.
 
