@@ -212,6 +212,22 @@ def main():
     feature_rows = n_docs
     timings["flagship_pipeline"] = round(flagship_sec, 3)
 
+    cpu_calib_sec = None
+    if flagship_only:
+        # per-session CPU calibration: a fixed pure-CPU hash-aggregate whose
+        # wall time reveals how much real CPU the host is granting this VM
+        # during THIS session (it varies ~6x between host-load windows; the
+        # scaling harness uses it to identify full-speed measurements).
+        # Rebuilt per run — re-collecting one DataFrame reuses shuffle maps.
+        def calib():
+            t0 = time.time()
+            spark.range(0, 1_000_000_000, 1, CPUS * 2).select(
+                F.sum(F.shiftright(F.xxhash64("id", F.lit(int(t0) % 97)), 32))
+            ).collect()
+            return time.time() - t0
+        calib()
+        cpu_calib_sec = round(min(calib(), calib()), 3)
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline_total_sec",
@@ -223,6 +239,8 @@ def main():
         "flagship_rows": feature_rows,
         "cpus": CPUS,
     }
+    if cpu_calib_sec is not None:
+        result["cpu_calib_sec"] = cpu_calib_sec
     print(json.dumps(result))
     spark.stop()
 

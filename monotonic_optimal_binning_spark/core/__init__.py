@@ -17,7 +17,16 @@ from .pava import (
     resolve_sign,
     validate_monotonicity,
 )
-from .stats import norm_cdf, pearson_corr, t_cdf, welch_two_tailed_pvalue, woe_iv
+from .stats import (
+    calculate_correlation,
+    kendall_corr,
+    norm_cdf,
+    pearson_corr,
+    spearman_corr,
+    t_cdf,
+    welch_two_tailed_pvalue,
+    woe_iv,
+)
 
 __all__ = [
     "Block",
@@ -32,9 +41,12 @@ __all__ = [
     "enforce_strict_monotonicity",
     "fit_pava",
     "merge_adjacent",
+    "calculate_correlation",
+    "kendall_corr",
     "norm_cdf",
     "pearson_corr",
     "resolve_sign",
+    "spearman_corr",
     "t_cdf",
     "validate_monotonicity",
     "welch_two_tailed_pvalue",

@@ -177,3 +177,81 @@ def pearson_corr(x: np.ndarray, y: np.ndarray) -> float:
     if math.isnan(corr):
         return 0.0
     return corr
+
+
+def _rank_average_ties(a: np.ndarray) -> np.ndarray:
+    """Average ranks (1-based) with ties sharing their mean rank — the same
+    ranking pandas uses for Spearman."""
+    order = np.argsort(a, kind="mergesort")
+    ranks = np.empty(len(a), dtype=float)
+    ranks[order] = np.arange(1, len(a) + 1, dtype=float)
+    sa = a[order]
+    i = 0
+    while i < len(sa):
+        j = i
+        while j + 1 < len(sa) and sa[j + 1] == sa[i]:
+            j += 1
+        if j > i:
+            ranks[order[i : j + 1]] = (i + j + 2) / 2.0
+        i = j + 1
+    return ranks
+
+
+def spearman_corr(x: np.ndarray, y: np.ndarray) -> float:
+    """Spearman rho: Pearson over average-tie ranks (pandas-compatible)."""
+    x = np.asarray(x, dtype=float)
+    y = np.asarray(y, dtype=float)
+    mask = ~(np.isnan(x) | np.isnan(y))
+    xc, yc = x[mask], y[mask]
+    if len(xc) < 2:
+        return 0.0
+    return pearson_corr(_rank_average_ties(xc), _rank_average_ties(yc))
+
+
+def kendall_corr(x: np.ndarray, y: np.ndarray) -> float:
+    """Kendall tau-b (tie-corrected, pandas-compatible). O(k^2) via numpy
+    broadcast — fine for the k-row driver tables this runs on."""
+    x = np.asarray(x, dtype=float)
+    y = np.asarray(y, dtype=float)
+    mask = ~(np.isnan(x) | np.isnan(y))
+    xc, yc = x[mask], y[mask]
+    n = len(xc)
+    if n < 2:
+        return 0.0
+    dx = np.sign(xc[:, None] - xc[None, :])
+    dy = np.sign(yc[:, None] - yc[None, :])
+    iu = np.triu_indices(n, k=1)
+    prod = dx[iu] * dy[iu]
+    concordant = float((prod > 0).sum())
+    discordant = float((prod < 0).sum())
+    n0 = n * (n - 1) / 2.0
+    tx = n0 - float((dx[iu] != 0).sum())
+    ty = n0 - float((dy[iu] != 0).sum())
+    denom = math.sqrt((n0 - tx) * (n0 - ty))
+    if denom == 0:
+        return 0.0
+    tau = (concordant - discordant) / denom
+    return 0.0 if math.isnan(tau) else float(tau)
+
+
+def calculate_correlation(
+    x: np.ndarray, y: np.ndarray, method: str = "pearson"
+) -> float:
+    """Correlation with the reference's utility surface
+    (/root/reference/src/MOBPY/core/utils.py:388-438): pearson (default,
+    the one PAVA sign resolution uses, core/pava.py:301-304), spearman,
+    kendall; all share the drop-null / <2-pairs / zero-variance -> 0.0
+    guards."""
+    if method == "pearson":
+        return pearson_corr(x, y)
+    if method == "spearman":
+        return spearman_corr(x, y)
+    if method == "kendall":
+        x = np.asarray(x, dtype=float)
+        y = np.asarray(y, dtype=float)
+        mask = ~(np.isnan(x) | np.isnan(y))
+        xc, yc = x[mask], y[mask]
+        if len(xc) < 2 or np.std(xc, ddof=1) == 0 or np.std(yc, ddof=1) == 0:
+            return 0.0
+        return kendall_corr(xc, yc)
+    raise ValueError(f"Unknown correlation method: {method}")

@@ -269,3 +269,107 @@ def test_detect_binary_single_value_and_noninteger(v):
              "ymin": 0.5, "ymax": 1.5}]
     is_binary, _ = _detect_binary_from_stats(rows)
     assert not is_binary
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-20, max_value=20),
+            st.integers(min_value=-20, max_value=20),
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_pearson_matches_pandas(pairs):
+    """calculate_correlation('pearson') reproduces pandas' corr (the
+    reference's backend, /root/reference/src/MOBPY/core/utils.py:420-425)
+    including the zero-variance/NaN -> 0.0 guards. (pandas delegates
+    spearman/kendall to scipy, which this runtime lacks — those get exact
+    hand-computed spot checks below instead.)"""
+    import pandas as pd
+
+    from monotonic_optimal_binning_spark.core.stats import calculate_correlation
+
+    x = pd.Series([float(a) for a, _ in pairs])
+    y = pd.Series([float(b) for _, b in pairs])
+    ours = calculate_correlation(x.to_numpy(), y.to_numpy(), method="pearson")
+    if x.std() == 0 or y.std() == 0:
+        assert ours == 0.0
+        return
+    theirs = x.corr(y, method="pearson")
+    theirs = 0.0 if (theirs != theirs) else float(theirs)
+    assert math.isclose(ours, theirs, rel_tol=1e-9, abs_tol=1e-9)
+
+
+def test_spearman_kendall_exact_values():
+    from monotonic_optimal_binning_spark.core.stats import (
+        calculate_correlation,
+        kendall_corr,
+        spearman_corr,
+    )
+
+    # perfect monotone (nonlinear) relations
+    x = np.array([1.0, 2.0, 3.0, 4.0])
+    assert spearman_corr(x, x**3) == pytest.approx(1.0)
+    assert kendall_corr(x, -(x**3)) == pytest.approx(-1.0)
+
+    # one swap: spearman 0.8, kendall tau 2/3 (hand-computed)
+    y = np.array([1.0, 3.0, 2.0, 4.0])
+    assert spearman_corr(x, y) == pytest.approx(0.8)
+    assert kendall_corr(x, y) == pytest.approx(2.0 / 3.0)
+
+    # ties on both sides: spearman 3.75/4.5, tau-b 4/5 (hand-computed)
+    xt = np.array([1.0, 1.0, 2.0, 3.0])
+    yt = np.array([1.0, 2.0, 2.0, 3.0])
+    assert spearman_corr(xt, yt) == pytest.approx(3.75 / 4.5)
+    assert kendall_corr(xt, yt) == pytest.approx(0.8)
+
+    # guards: <2 pairs and zero variance -> 0.0
+    assert calculate_correlation(np.array([1.0]), np.array([2.0]), "spearman") == 0.0
+    assert calculate_correlation(
+        np.array([1.0, 1.0, 1.0]), np.array([1.0, 2.0, 3.0]), "kendall"
+    ) == 0.0
+    with pytest.raises(ValueError):
+        calculate_correlation(x, y, "nope")
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-8, max_value=8),
+            st.integers(min_value=-8, max_value=8),
+        ),
+        min_size=2,
+        max_size=25,
+    )
+)
+def test_kendall_matches_bruteforce(pairs):
+    """tau-b against an independent O(n^2) pure-Python reference."""
+    from monotonic_optimal_binning_spark.core.stats import kendall_corr
+
+    x = [float(a) for a, _ in pairs]
+    y = [float(b) for _, b in pairs]
+    n = len(x)
+    conc = disc = tx = ty = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            sx = (x[i] > x[j]) - (x[i] < x[j])
+            sy = (y[i] > y[j]) - (y[i] < y[j])
+            if sx == 0 and sy == 0:
+                tx += 1
+                ty += 1
+            elif sx == 0:
+                tx += 1
+            elif sy == 0:
+                ty += 1
+            elif sx == sy:
+                conc += 1
+            else:
+                disc += 1
+    n0 = n * (n - 1) / 2.0
+    denom = math.sqrt((n0 - tx) * (n0 - ty))
+    expected = 0.0 if denom == 0 else (conc - disc) / denom
+    assert kendall_corr(np.array(x), np.array(y)) == pytest.approx(expected, abs=1e-12)
