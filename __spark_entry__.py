@@ -39,6 +39,7 @@ from monotonic_optimal_binning_spark.operators.similarity import (
     lsh_topk,
 )
 from monotonic_optimal_binning_spark.operators.textstats import (
+    bpe_ish_token_count,
     fingerprint,
     language_id,
     quality_features,
@@ -299,6 +300,12 @@ def q_token_count(spark, sf_dir):
     return docs.select("doc_id", token_count(F.col("text")).alias("n_tok"))
 
 
+def q_bpe_token_count(spark, sf_dir):
+    """BPE-ish sub-word token count (regex stand-in for a tokenizer)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", bpe_ish_token_count("text").alias("n_bpe"))
+
+
 def q_quality(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     q = quality_features(docs)
@@ -456,6 +463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_stats": q_rolling_stats,
         "exact_dedup": q_exact_dedup,
         "token_count": q_token_count,
+        "bpe_token_count": q_bpe_token_count,
         "quality": q_quality,
         "fingerprint_dedup": q_fingerprint_dedup,
         "lang_id": q_lang_id,
@@ -674,6 +682,12 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE common / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.5
+        """,
+        "bpe_token_count": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[\p{L}\p{N}]{1,4}|[^\p{L}\p{N}\s]')) AS n_bpe
+            FROM documents
         """,
         "fingerprint_dedup": """
             SELECT doc_id,

@@ -188,6 +188,66 @@ class FittedBins:
     summary_df: pd.DataFrame
     diagnostics: Dict[str, Any] = field(default_factory=dict)
 
+    def to_dict(self) -> Dict[str, Any]:
+        """JSON-safe model export (reference model-export surface:
+        /root/reference/src/MOBPY/binning/mob.py:307-335 bins table +
+        core/pava.py:441-469 block dicts; plus everything transform needs,
+        so a saved model serves lookups without refitting)."""
+        def _floats(a):
+            return [float(v) for v in a]
+
+        return {
+            "x": self.x,
+            "y": self.y,
+            "lefts": _floats(self.lefts),
+            "rights": _floats(self.rights),
+            "labels": list(self.labels),
+            "is_binary": bool(self.is_binary),
+            "resolved_sign": self.resolved_sign,
+            "woes": _floats(self.woes) if self.woes is not None else None,
+            "exclude_values": self.exclude_values,
+            "bins": self.bins_df.to_dict(orient="records"),
+            "summary": self.summary_df.replace({np.nan: None}).to_dict(
+                orient="records"
+            ),
+            "diagnostics": self.diagnostics,
+        }
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "FittedBins":
+        summary = pd.DataFrame(d["summary"])
+        # None -> NaN for numeric columns (JSON has no NaN)
+        for c in summary.columns:
+            if c != "bucket":
+                summary[c] = pd.to_numeric(summary[c], errors="coerce")
+        return cls(
+            x=d["x"],
+            y=d["y"],
+            lefts=np.asarray(d["lefts"], dtype=float),
+            rights=np.asarray(d["rights"], dtype=float),
+            labels=list(d["labels"]),
+            is_binary=d["is_binary"],
+            resolved_sign=d["resolved_sign"],
+            woes=np.asarray(d["woes"], dtype=float) if d["woes"] is not None else None,
+            exclude_values=d["exclude_values"],
+            bins_df=pd.DataFrame(d["bins"]),
+            summary_df=summary,
+            diagnostics=d.get("diagnostics", {}),
+        )
+
+    def save_json(self, path: str) -> None:
+        import json
+
+        with open(path, "w") as f:
+            json.dump(self.to_dict(), f, indent=2)
+
+    @classmethod
+    def load_json(cls, path: str) -> "FittedBins":
+        import json
+
+        with open(path) as f:
+            return cls.from_dict(json.load(f))
+
     def assign_batch(self, values: pd.Series, assign: str) -> pd.Series:
         """Vectorized bin assignment for one Arrow batch."""
         vals = values.to_numpy()
@@ -725,6 +785,30 @@ class GroupedBins:
 
     def items(self):
         return self.models.items()
+
+    def save_json(self, path: str) -> None:
+        """Persist all per-group models (broadcastable serving artifact)."""
+        import json
+
+        payload = {
+            "group_col": self.group_col,
+            "x": self.x,
+            "y": self.y,
+            "models": [[g, m.to_dict()] for g, m in sorted(
+                self.models.items(), key=lambda kv: str(kv[0])
+            )],
+        }
+        with open(path, "w") as f:
+            json.dump(payload, f)
+
+    @classmethod
+    def load_json(cls, path: str) -> "GroupedBins":
+        import json
+
+        with open(path) as f:
+            d = json.load(f)
+        models = {g: FittedBins.from_dict(md) for g, md in d["models"]}
+        return cls(d["group_col"], d["x"], d["y"], models)
 
     def summary_pdf(self) -> pd.DataFrame:
         """All per-group summaries stacked with a leading group column."""

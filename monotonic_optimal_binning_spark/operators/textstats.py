@@ -30,15 +30,18 @@ def token_count(text: Column) -> Column:
     return F.size(whitespace_tokens(text))
 
 
-def bpe_ish_token_count(text: Column) -> Column:
+def bpe_ish_token_count(text_col: str) -> Column:
     """Sub-word-ish token count: word pieces of <=4 chars + punctuation marks.
 
     A deterministic regex stand-in for a BPE tokenizer: every run of up to 4
     word characters and every non-space punctuation char counts as a token.
+    Takes the column NAME (regexp_extract_all is reachable only via expr,
+    which needs an identifier, not a Column).
     """
     return F.size(
         F.expr(
-            "regexp_extract_all(text_input, '[\\\\p{L}\\\\p{N}]{1,4}|[^\\\\p{L}\\\\p{N}\\\\s]', 0)"
+            f"regexp_extract_all({text_col}, "
+            "'[\\\\p{L}\\\\p{N}]{1,4}|[^\\\\p{L}\\\\p{N}\\\\s]', 0)"
         )
     )
 

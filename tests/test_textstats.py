@@ -88,7 +88,7 @@ def test_bpe_ish_token_count(spark):
     pdf = pd.DataFrame({"text_input": ["hello world!", "a,b", "internationalization"]})
     res = (
         spark.createDataFrame(pdf)
-        .select(bpe_ish_token_count(F.col("text_input")).alias("n"))
+        .select(bpe_ish_token_count("text_input").alias("n"))
         .collect()
     )
     # hello(2: hell+o) world(2: worl+d) !(1) = 5 ; a(1) ,(1) b(1) = 3 ;
