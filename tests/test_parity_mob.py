@@ -270,3 +270,38 @@ class TestBinProperties:
         woe = numeric["woe"].to_numpy()
         diffs = np.diff(woe)
         assert (diffs <= 1e-9).all() or (diffs >= -1e-9).all()
+
+
+# ------------------------- real-data parity (reference CSV fixtures) -------
+
+_REF_DATA = "/root/reference/data"
+
+
+def _csv_frame(name, x, y):
+    import os
+
+    path = os.path.join(_REF_DATA, name)
+    if not os.path.exists(path):
+        pytest.skip(f"{path} not present")
+    pdf = pd.read_csv(path)[[x, y]].rename(columns={x: "x", y: "y"})
+    return pdf
+
+
+@pytest.mark.parametrize(
+    "csv,x,y",
+    [
+        ("insurance2.csv", "bmi", "insuranceclaim"),   # binary target
+        ("insurance2.csv", "age", "insuranceclaim"),
+        ("insurance3r2.csv", "bmi", "charges"),        # continuous target
+    ],
+)
+def test_parity_on_reference_csvs(spark, csv, x, y):
+    """Allclose parity on the reference's own shipped datasets (1,338 rows),
+    not just synthetic fixtures — bins, labels, WoE/IV, and summary all
+    match the installed reference implementation."""
+    pdf = _csv_frame(csv, x, y)
+    kwargs = {"constraints_kwargs": {"max_bins": 6, "min_bins": 4,
+                                     "min_samples": 0.05}}
+    ref = ref_binner(pdf, **kwargs)
+    eng = spark_binner(spark, pdf, **kwargs)
+    assert_full_parity(ref, eng)
