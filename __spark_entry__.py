@@ -29,6 +29,7 @@ from monotonic_optimal_binning_spark.operators.asof import (
     asof_join_bucketed,
 )
 from monotonic_optimal_binning_spark.operators.dedup import (
+    embedding_neardup_pairs,
     exact_dedup,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
@@ -380,6 +381,19 @@ def q_lsh_topk(spark, sf_dir):
     )
 
 
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs via hyperplane-LSH candidates +
+    exact re-score (candidate set is probabilistic -> rows-only)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    # synthetic embeddings are near-orthogonal (max pairwise cosine ~0.51 at
+    # sf0.01), so 0.4 exercises the candidate->verify path with real output
+    out = embedding_neardup_pairs(
+        emb, "embedding", "vec_id", dim, threshold=0.4, n_planes=16, n_bands=8
+    )
+    return out.select("id_a", "id_b", F.round("cosine", _R).alias("cosine"))
+
+
 def q_tpch_q1(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     return (
@@ -472,6 +486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": q_simhash_dedup,
         "cosine_topk": q_cosine_topk,
         "lsh_topk": q_lsh_topk,
+        "embedding_neardup": q_embedding_neardup,
         "tpch_q1": q_tpch_q1,
         "join_topk": q_join_topk,
         "rollup": q_rollup,
