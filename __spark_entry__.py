@@ -57,6 +57,10 @@ from monotonic_optimal_binning_spark.sources.synthetic import tokenize_text
 from monotonic_optimal_binning_spark.functions.timeutil import epoch_seconds, pin_utc
 
 _R = 6  # float rounding for stable value-hash comparison
+_EMBED_DIM = 64  # embeddings.parquet vector length at every sf (fixed by the
+# testdata generator) — avoids a driver first() probe per LSH query
+_MEDIA_ROWS = 2000  # synthetic media table size for the media_features query
+_MEDIA_SEED = 42
 
 
 def _round(df: DataFrame, cols) -> DataFrame:
@@ -275,9 +279,14 @@ def q_sessionize(spark, sf_dir):
     pin_utc(spark)
     ev = load_table(spark, sf_dir, "events")
     s = sessionize(ev, "user_id", "ts", gap_seconds=1800.0, tiebreak=["event_id"])
+    # session_value as a micro-scaled integer sum: floor(v*1e6) per row is
+    # deterministic and the integer sum is partition-order-independent, so
+    # the value-hash is stable at any parallelism (a double sum could flip
+    # its 6-dp rounding by one ulp depending on reduction order)
+    micro = F.floor(F.col("value") * 1e6).cast("long")
     return s.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), _R).alias("session_value"),
+        F.sum(micro).alias("session_value_micro"),
     )
 
 
@@ -304,7 +313,7 @@ def q_token_count(spark, sf_dir):
 def q_bpe_token_count(spark, sf_dir):
     """BPE-ish sub-word token count (regex stand-in for a tokenizer)."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", bpe_ish_token_count("text").alias("n_bpe"))
+    return docs.select("doc_id", bpe_ish_token_count(F.col("text")).alias("n_bpe"))
 
 
 def q_quality(spark, sf_dir):
@@ -374,8 +383,7 @@ def q_lsh_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    dim = len(emb.select("embedding").first()["embedding"])
-    out = lsh_topk(emb, queries, k=5, dim=dim, n_planes=16, n_bands=8)
+    out = lsh_topk(emb, queries, k=5, dim=_EMBED_DIM, n_planes=16, n_bands=8)
     return out.select(
         "query_id", "neighbor_id", F.round("cosine", _R).alias("cosine"), "rank"
     )
@@ -385,13 +393,33 @@ def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs via hyperplane-LSH candidates +
     exact re-score (candidate set is probabilistic -> rows-only)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()["embedding"])
     # synthetic embeddings are near-orthogonal (max pairwise cosine ~0.51 at
     # sf0.01), so 0.4 exercises the candidate->verify path with real output
     out = embedding_neardup_pairs(
-        emb, "embedding", "vec_id", dim, threshold=0.4, n_planes=16, n_bands=8
+        emb, "embedding", "vec_id", _EMBED_DIM, threshold=0.4, n_planes=16, n_bands=8
     )
     return out.select("id_a", "id_b", F.round("cosine", _R).alias("cosine"))
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing end-to-end: deterministic binary media table ->
+    Arrow-batched mapInPandas decode/featurize -> typed aggregate. The
+    n_bytes/media_type aggregates are SQL-reproducible (the synthetic table
+    is plain arithmetic + sha256 over row ids); the feature vectors
+    themselves come from the stubbed codec and stay engine-side."""
+    from monotonic_optimal_binning_spark.operators.multimodal import (
+        extract_media_features,
+        synthetic_media_table,
+    )
+
+    media = synthetic_media_table(spark, _MEDIA_ROWS, seed=_MEDIA_SEED)
+    feats = extract_media_features(media, feature_dim=16, decoder="fake")
+    return feats.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("n_bytes").cast("long")).alias("total_bytes"),
+        F.min(F.col("n_bytes").cast("long")).alias("min_bytes"),
+        F.max(F.col("n_bytes").cast("long")).alias("max_bytes"),
+    )
 
 
 def q_tpch_q1(spark, sf_dir):
@@ -487,6 +515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "lsh_topk": q_lsh_topk,
         "embedding_neardup": q_embedding_neardup,
+        "media_features": q_media_features,
         "tpch_q1": q_tpch_q1,
         "join_topk": q_join_topk,
         "rollup": q_rollup,
@@ -516,10 +545,13 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT l_quantity, CAST(l_discount > 0.05 AS INT) AS y
                     FROM lineitem)
               GROUP BY l_quantity)
+            -- window sum(<int>) is HUGEINT in DuckDB (fetches as float64);
+            -- Spark's is BIGINT — cast so the value-hash dtypes agree
             SELECT round(x, 6) AS x,
-                   sum(n) OVER w AS cum_count,
-                   round(sum(sum_y) OVER w, 6) AS cum_sum,
-                   round((sum(sum_y) OVER w) / (sum(n) OVER w), 6) AS cum_mean
+                   CAST(sum(n) OVER w AS BIGINT) AS cum_count,
+                   round(CAST(sum(sum_y) OVER w AS DOUBLE), 6) AS cum_sum,
+                   round(CAST(sum(sum_y) OVER w AS DOUBLE)
+                         / CAST(sum(n) OVER w AS DOUBLE), 6) AS cum_mean
             FROM g
             WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         """,
@@ -595,12 +627,14 @@ def oracle_sql() -> dict[str, str]:
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
             sess AS (
               SELECT user_id, value, event_id,
-                     sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     CAST(sum(is_new) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
-                       AS session_id
+                       AS BIGINT) AS session_id
               FROM flagged)
             SELECT user_id, session_id, count(*) AS n_events,
-                   round(sum(value), 6) AS session_value
+                   CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT)
+                     AS session_value_micro
             FROM sess GROUP BY user_id, session_id
         """,
         "rolling_stats": """
@@ -711,16 +745,41 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "cosine_topk": """
+            -- CAST to DOUBLE[] so DuckDB scores in float64 like the engine
+            -- (list_cosine_similarity on FLOAT[] computes in float32, which
+            -- flips 6-dp rounding on boundary values)
             SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank FROM (
               SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                     list_cosine_similarity(q.embedding, c.embedding) AS cosine,
+                     list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                            CAST(c.embedding AS DOUBLE[])) AS cosine,
                      row_number() OVER (
                        PARTITION BY q.vec_id
-                       ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                       ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                  CAST(c.embedding AS DOUBLE[])) DESC,
                                 c.vec_id) AS rank
               FROM embeddings q CROSS JOIN embeddings c
               WHERE q.vec_id < 10 AND c.vec_id != q.vec_id)
             WHERE rank <= 5
+        """,
+        "media_features": f"""
+            -- regenerates synthetic_media_table(n={_MEDIA_ROWS}, seed={_MEDIA_SEED})
+            -- in SQL: media_type = id % 3, payload = repeat(sha256('seed:id'),
+            -- 1 + id % 4) as bytes (64-char hex digest -> 64*(1+id%4) bytes)
+            WITH media AS (
+              SELECT range AS id,
+                     CASE WHEN range % 3 = 0 THEN 'image'
+                          WHEN range % 3 = 1 THEN 'audio'
+                          ELSE 'video' END AS media_type,
+                     octet_length(CAST(repeat(
+                       sha256(concat('{_MEDIA_SEED}:', CAST(range AS VARCHAR))),
+                       CAST(1 + range % 4 AS INT)) AS BLOB)) AS n_bytes
+              FROM range({_MEDIA_ROWS}))
+            SELECT media_type,
+                   count(*) AS n,
+                   CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+                   CAST(min(n_bytes) AS BIGINT) AS min_bytes,
+                   CAST(max(n_bytes) AS BIGINT) AS max_bytes
+            FROM media GROUP BY media_type
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,

@@ -11,8 +11,18 @@ from pyspark.sql import functions as F
 
 
 def dot(a: Column, b: Column) -> Column:
+    """Dot product accumulated entirely in DOUBLE.
+
+    The elements are widened to double BEFORE the multiply: ``array<float>``
+    inputs would otherwise produce float32 products (then summed in double),
+    which differs from a pure-double evaluation by ~1e-7 relative — enough
+    to flip 6-dp rounding on cosine boundary values against a
+    double-precision oracle.
+    """
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(
+            a.cast("array<double>"), b.cast("array<double>"), lambda x, y: x * y
+        ),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
@@ -31,7 +41,11 @@ def cosine_similarity(a: Column, b: Column) -> Column:
 def l2_distance(a: Column, b: Column) -> Column:
     return F.sqrt(
         F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.zip_with(
+                a.cast("array<double>"),
+                b.cast("array<double>"),
+                lambda x, y: (x - y) * (x - y),
+            ),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )

@@ -95,8 +95,14 @@ def asof_join(
     else:
         right_side, left_side = (1, 0) if allow_exact_matches else (0, 1)
 
+    # value columns keep their NATIVE right-side types (string/struct/array
+    # payloads survive; pandas merge_asof parity) — only the left side's
+    # null placeholders are cast, to the right schema's type
     lsel = [F.col(c) for c in left.columns]
-    lsel += [F.lit(None).cast("double").alias(c) for c in out_names]
+    lsel += [
+        F.lit(None).cast(right.schema[c].dataType).alias(p)
+        for c, p in zip(value_cols, out_names)
+    ]
     lsel += [
         F.lit(left_side).alias(_SIDE),
         _ts_expr(left, left_ts).alias("__asof_ts"),
@@ -110,7 +116,7 @@ def asof_join(
         for c in left.columns
         if c not in keys
     ]
-    rsel += [F.col(c).cast("double").alias(p) for c, p in zip(value_cols, out_names)]
+    rsel += [F.col(c).alias(p) for c, p in zip(value_cols, out_names)]
     rsel += [
         F.lit(right_side).alias(_SIDE),
         _ts_expr(right, right_ts).alias("__asof_ts"),
@@ -150,7 +156,7 @@ def asof_join(
         ) | F.col(_MATCH_TS).isNull()
         for c in out_names:
             result = result.withColumn(
-                c, F.when(too_far, F.lit(None).cast("double")).otherwise(F.col(c))
+                c, F.when(too_far, F.lit(None)).otherwise(F.col(c))
             )
         result = result.withColumn(
             _MATCH_TS, F.when(too_far, F.lit(None)).otherwise(F.col(_MATCH_TS))
@@ -258,7 +264,10 @@ def _bucketed_union_window(
     right_side, left_side = (0, 1) if allow_exact_matches else (1, 0)
 
     lsel = [F.col(c) for c in l_bkt.columns if c not in ("__ts", "__bkt")]
-    lsel += [F.lit(None).cast("double").alias(c) for c in out_names]
+    lsel += [
+        F.lit(None).cast(r_union.schema[c].dataType).alias(p)
+        for c, p in zip(value_cols, out_names)
+    ]
     lsel += [F.lit(left_side).alias(_SIDE), F.col("__ts"), F.col("__bkt")]
     l_tagged = l_bkt.select(*lsel)
 
@@ -268,7 +277,7 @@ def _bucketed_union_window(
         for c in l_bkt.columns
         if c not in keys and c not in ("__ts", "__bkt")
     ]
-    rsel += [F.col(c).cast("double").alias(p) for c, p in zip(value_cols, out_names)]
+    rsel += [F.col(c).alias(p) for c, p in zip(value_cols, out_names)]
     rsel += [F.lit(right_side).alias(_SIDE), F.col("__ts"), F.col("__bkt")]
     r_tagged = r_union.select(*rsel)
 

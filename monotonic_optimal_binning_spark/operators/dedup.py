@@ -18,6 +18,7 @@ array_*) — zero Python UDFs; the whole family stays in codegen.
 
 from __future__ import annotations
 
+import warnings
 from typing import List, Optional, Sequence, Tuple
 
 import pandas as pd
@@ -144,6 +145,7 @@ def minhash_lsh_candidates(
     shingle_size: int = 5,
     shingle_unit: str = "char",
     seed: int = 42,
+    max_bucket_size: Optional[int] = 5000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash LSH,
     with the exact shingle-Jaccard attached for thresholding.
@@ -153,6 +155,17 @@ def minhash_lsh_candidates(
     amplified n_bands times through the shuffle). Shingle sets are re-joined
     by id onto the (small) candidate-pair set for the exact verify; AQE
     typically broadcasts the pair side.
+
+    ``max_bucket_size`` guards the self-join against degenerate buckets
+    (m near-identical docs → m²/2 candidate pairs): buckets holding more ids
+    are DROPPED from candidate generation and a ``UserWarning`` reports how
+    many were dropped (run :func:`exact_dedup` first — byte-identical docs
+    are exactly the degenerate case and are cheaper as an exact pass).
+    ``None`` disables the cap.
+
+    The result is materialized EAGERLY (``localCheckpoint``) so the two
+    intermediate caches this plan needs are released before returning — the
+    returned DataFrame is the only storage handle the caller holds.
     """
     rows_per_band = num_hashes // n_bands
     base = df.select(
@@ -182,11 +195,32 @@ def minhash_lsh_candidates(
         )
         # persist the TINY (id, band, bucket) table: the self-join would
         # otherwise recompute the signature pipeline once per side
+        # (measured: no ReusedExchange fires for the aliased self-join)
         .persist()
     )
 
-    a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
-    b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
+    banded_use = banded
+    if max_bucket_size is not None:
+        big = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        n_big = big.count()  # cheap: aggregates the persisted tiny table
+        if n_big:
+            warnings.warn(
+                f"minhash_lsh_candidates: dropped {n_big} LSH buckets larger "
+                f"than max_bucket_size={max_bucket_size}; near-duplicates "
+                f"only reachable through those buckets are missed",
+                UserWarning,
+            )
+            banded_use = banded.join(
+                F.broadcast(big), on=["band", "bucket"], how="left_anti"
+            )
+
+    a = banded_use.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = banded_use.select(F.col("id").alias("id_b"), "band", "bucket")
     pairs = (
         a.join(b, on=["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -210,7 +244,7 @@ def minhash_lsh_candidates(
             _shingles(F.col(text_col), shingle_size, shingle_unit).alias("__sh"),
         )
     )
-    pairs = (
+    joined = (
         pairs.join(sh.select(F.col("id").alias("id_a"), F.col("__sh").alias("__sh_a")),
                    on="id_a")
         .join(sh.select(F.col("id").alias("id_b"), F.col("__sh").alias("__sh_b")),
@@ -218,11 +252,14 @@ def minhash_lsh_candidates(
     )
     inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
     union = F.size(F.array_union("__sh_a", "__sh_b"))
-    return pairs.select(
+    out = joined.select(
         "id_a",
         "id_b",
         (inter.cast("double") / F.when(union > 0, union)).alias("jaccard"),
-    )
+    ).localCheckpoint(eager=True)
+    banded.unpersist()
+    pairs.unpersist()
+    return out
 
 
 def minhash_dedup(
@@ -286,12 +323,15 @@ def ngram_jaccard_pairs(
         _shingles(F.col(text_col), shingle_size, shingle_unit).alias("__sh"),
     )
     post = base.select("id", F.explode("__sh").alias("s"))
-    sizes = post.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     if max_df is not None:
         keep = post.groupBy("s").agg(F.count(F.lit(1)).alias("df_")).filter(
             F.col("df_") <= max_df
         )
         post = post.join(keep.select("s"), on="s", how="leftsemi")
+    # sizes AFTER the stop-shingle filter so numerator and denominator use
+    # the same (filtered) shingle universe — a consistent filtered-set
+    # jaccard; with max_df=None this is the exact jaccard
+    sizes = post.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = post.select(F.col("id").alias("id_a"), "s")
     b = post.select(F.col("id").alias("id_b"), "s")
     common = (
@@ -344,7 +384,12 @@ def simhash(tokens: Column, bits: int = 64) -> Column:
         import numpy as np
 
         n = len(hashes)
-        lens = np.fromiter((len(a) for a in hashes), dtype=np.int64, count=n)
+        # null token arrays (null text upstream) -> null fingerprint, matching
+        # the SQL-aggregate formulation this UDF replaced; empty arrays -> 0
+        isnull = np.fromiter((a is None for a in hashes), dtype=bool, count=n)
+        lens = np.fromiter(
+            (0 if a is None else len(a) for a in hashes), dtype=np.int64, count=n
+        )
         out = np.zeros(n, dtype=np.uint64)
         nz = lens > 0
         if nz.any():
@@ -360,7 +405,11 @@ def simhash(tokens: Column, bits: int = 64) -> Column:
             # vote_i = ones_i - zeros_i = 2*ones_i - n_tokens; bit set iff > 0
             setbits = (2 * ones) > nzlens[:, None]
             out[nz] = (setbits.astype(np.uint64) << shifts).sum(axis=1)
-        return pd.Series(out.astype(np.int64))
+        result = pd.Series(out.astype(np.int64))
+        if isnull.any():
+            result = result.astype(object)
+            result[isnull] = None
+        return result
 
     hashed = F.transform(tokens, lambda t: F.xxhash64(t))
     return _vote(hashed)
@@ -395,6 +444,7 @@ def embedding_neardup_pairs(
     n_planes: int = 16,
     n_bands: int = 4,
     seed: int = 42,
+    max_bucket_size: Optional[int] = 5000,
 ) -> "DataFrame":
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= threshold).
 
@@ -403,6 +453,11 @@ def embedding_neardup_pairs(
     exactly re-scored with the JVM-side cosine expression. High thresholds
     (>= 0.9) pair naturally with LSH because near-identical vectors almost
     always share at least one band.
+
+    ``max_bucket_size`` drops degenerate buckets (with a UserWarning count)
+    before the m²/2 self-join blowup; the result is eagerly materialized so
+    the intermediate cache is released before returning (see
+    :func:`minhash_lsh_candidates`).
     """
     from ..functions.vector import cosine_similarity
     from .similarity import add_lsh_buckets
@@ -413,8 +468,28 @@ def embedding_neardup_pairs(
     banded = add_lsh_buckets(
         base, "__v", dim, n_planes=n_planes, n_bands=n_bands, seed=seed
     ).select("id", "band", "bucket").persist()
-    a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
-    b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
+
+    banded_use = banded
+    if max_bucket_size is not None:
+        big = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        n_big = big.count()
+        if n_big:
+            warnings.warn(
+                f"embedding_neardup_pairs: dropped {n_big} LSH buckets larger "
+                f"than max_bucket_size={max_bucket_size}",
+                UserWarning,
+            )
+            banded_use = banded.join(
+                F.broadcast(big), on=["band", "bucket"], how="left_anti"
+            )
+
+    a = banded_use.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = banded_use.select(F.col("id").alias("id_b"), "band", "bucket")
     pairs = (
         a.join(b, on=["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -432,7 +507,9 @@ def embedding_neardup_pairs(
             cosine_similarity(F.col("__va"), F.col("__vb")).alias("cosine"),
         )
     )
-    return scored.filter(F.col("cosine") >= threshold)
+    out = scored.filter(F.col("cosine") >= threshold).localCheckpoint(eager=True)
+    banded.unpersist()
+    return out
 
 
 def embedding_neardup_dedup(

@@ -104,11 +104,24 @@ def extract_media_features(
 
 
 def synthetic_media_table(spark, n_rows: int, *, seed: int = 42) -> DataFrame:
-    """Deterministic media table matching MEDIA_SCHEMA (payload = hash bytes)."""
+    """Deterministic media table matching MEDIA_SCHEMA.
+
+    Every field is plain arithmetic / SHA-256 over the row id so an ANSI-SQL
+    oracle (DuckDB ``range`` + ``sha256`` + ``repeat``) can regenerate the
+    exact table — that is what makes ``media_features`` a fully value-checked
+    driver query rather than rows-only. Payload length varies by row
+    (64 * (1 + id % 4) bytes) so size aggregates are non-trivial.
+    """
     base = spark.range(n_rows)
-    kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
-    kind = kinds[(F.abs(F.xxhash64("id", F.lit(seed))) % 3).cast("int")]
-    payload = F.sha2(F.concat(F.lit(str(seed)), F.col("id").cast("string")), 256).cast(
+    kind = (
+        F.when(F.col("id") % 3 == 0, "image")
+        .when(F.col("id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    hex_digest = F.sha2(
+        F.concat(F.lit(f"{seed}:"), F.col("id").cast("string")), 256
+    )
+    payload = F.repeat(hex_digest, (F.lit(1) + F.col("id") % 4).cast("int")).cast(
         "binary"
     )
     return base.select(
@@ -116,11 +129,9 @@ def synthetic_media_table(spark, n_rows: int, *, seed: int = 42) -> DataFrame:
         kind.alias("media_type"),
         payload.alias("payload"),
         F.struct(
-            (F.abs(F.xxhash64("id", F.lit("w"))) % 1920).cast("int").alias("width"),
-            (F.abs(F.xxhash64("id", F.lit("h"))) % 1080).cast("int").alias("height"),
-            (F.abs(F.xxhash64("id", F.lit("d"))) % 60000).cast("int").alias(
-                "duration_ms"
-            ),
+            ((F.col("id") * 37) % 1920).cast("int").alias("width"),
+            ((F.col("id") * 53) % 1080).cast("int").alias("height"),
+            ((F.col("id") * 997) % 60000).cast("int").alias("duration_ms"),
             F.lit("stub").alias("codec"),
         ).alias("meta"),
     )

@@ -30,20 +30,17 @@ def token_count(text: Column) -> Column:
     return F.size(whitespace_tokens(text))
 
 
-def bpe_ish_token_count(text_col: str) -> Column:
+def bpe_ish_token_count(text) -> Column:
     """Sub-word-ish token count: word pieces of <=4 chars + punctuation marks.
 
     A deterministic regex stand-in for a BPE tokenizer: every run of up to 4
     word characters and every non-space punctuation char counts as a token.
-    Takes the column NAME (regexp_extract_all is reachable only via expr,
-    which needs an identifier, not a Column).
+    Accepts a Column (or a column name for convenience) — no string
+    interpolation into SQL, so weird identifiers can't break or inject.
     """
-    return F.size(
-        F.expr(
-            f"regexp_extract_all({text_col}, "
-            "'[\\\\p{L}\\\\p{N}]{1,4}|[^\\\\p{L}\\\\p{N}\\\\s]', 0)"
-        )
-    )
+    col = F.col(text) if isinstance(text, str) else text
+    pattern = r"[\p{L}\p{N}]{1,4}|[^\p{L}\p{N}\s]"
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0)))
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -37,6 +37,11 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> str
     if len(a) != len(b):
         return f"ROWCOUNT MISMATCH: {len(a)} vs {len(b)}"
     for c in a.columns:
+        # the driver's value-hash is dtype-sensitive (int 7 != float 7.0):
+        # flag kind mismatches that allclose would silently absorb
+        if a[c].dtype.kind != b[c].dtype.kind:
+            return f"DTYPE MISMATCH in {c}: {a[c].dtype} vs {b[c].dtype}"
+    for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         if np.issubdtype(a[c].dtype, np.number) and np.issubdtype(b[c].dtype, np.number):
             ok = np.allclose(
