@@ -38,6 +38,10 @@ def _spark(app: str) -> SparkSession:
     return SparkSession.builder.appName(app).getOrCreate()
 
 
+def _parse_prebins(v: str):
+    return v if v in ("auto", "exact") else int(v)
+
+
 def fit_woe_job(args) -> None:
     """Stage 1: (optional) as-of join features. Stage 2: per-group fit.
     Stage 3: WoE transform written partitioned by group."""
@@ -139,7 +143,10 @@ def main(argv: Optional[list] = None) -> None:
     fw.add_argument("--y", required=True)
     fw.add_argument("--group-col", default=None)
     fw.add_argument("--workdir", required=True)
-    fw.add_argument("--prebins", type=int, default=256)
+    fw.add_argument(
+        "--prebins", type=_parse_prebins, default="auto",
+        help="'auto' (scale-safe default), 'exact', or a bucket count",
+    )
     fw.add_argument("--max-bins", type=int, default=6)
     fw.add_argument("--min-bins", type=int, default=4)
     fw.add_argument("--min-samples", type=float, default=None)

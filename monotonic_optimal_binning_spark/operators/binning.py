@@ -308,12 +308,23 @@ class SparkMonotonicBinner:
         exclude_values: special codes reported separately (e.g. [-999]).
         merge_strategy: HIGHEST_PVALUE (Welch t-test) | SMALLEST_LOSS |
             BALANCED_SIZE.
-        prebins: cap candidate groups via approxQuantile pre-binning.
-            ``None`` = exact distinct-x grouping (parity mode; the reference
-            always runs exact, /root/reference/src/MOBPY/core/pava.py:268).
-            At 10^12 rows always set this (default_prebins=256 bounds the
-            collected state to kilobytes regardless of cardinality).
+        prebins: candidate-group policy.
+            ``"auto"`` (DEFAULT, the scale-safe path): one cheap
+            ``approx_count_distinct(x)`` probe decides — low-cardinality x
+            groups exactly (reference parity for free), high-cardinality x
+            is pre-binned to ``config.default_prebins`` quantiles so the
+            driver collect is bounded to kilobytes at ANY input size.
+            ``None`` / ``"exact"``: exact distinct-x grouping, matching the
+            reference verbatim (/root/reference/src/MOBPY/core/pava.py:268)
+            — the parity-test mode; a driver OOM hazard on continuous x at
+            10^12 rows, hence opt-in.
+            ``int``: always pre-bin to that many quantile buckets.
     """
+
+    #: "auto" groups exactly while approx distinct(x) is at most this many
+    #: groups (well inside driver-collect comfort); above it, quantile
+    #: pre-binning bounds the collected state regardless of cardinality
+    AUTO_EXACT_MAX_GROUPS = 1024
 
     def __init__(
         self,
@@ -325,7 +336,7 @@ class SparkMonotonicBinner:
         constraints: Optional[BinningConstraints] = None,
         exclude_values: Optional[Iterable] = None,
         merge_strategy: Union[MergeStrategy, str] = MergeStrategy.HIGHEST_PVALUE,
-        prebins: Optional[int] = None,
+        prebins: Union[int, str, None] = "auto",
         prebin_relative_error: float = 0.001,
         config: EngineConfig = DEFAULT_CONFIG,
     ):
@@ -367,10 +378,34 @@ class SparkMonotonicBinner:
         y_val = F.when(~_null_or_nan(F.col(self.y), y_dtype), y_raw)
         return x_clean, x_missing, x_excluded, y_val
 
-    def _prebin_splits(self, df: DataFrame, x_clean) -> Optional[List[float]]:
-        if not self.prebins or self.prebins < 2:
+    def _resolve_prebins(self, df: DataFrame, x_clean) -> Optional[int]:
+        """Resolve the prebins policy to a concrete bucket count (or None
+        for exact grouping). 'auto' costs one approx_count_distinct probe —
+        a single-column scan — and keeps small-cardinality fits byte-exact
+        with the reference while bounding the driver collect at scale."""
+        if self.prebins is None or self.prebins == "exact":
             return None
-        probs = [i / self.prebins for i in range(1, self.prebins)]
+        if self.prebins == "auto":
+            approx = (
+                df.filter(x_clean)
+                .select(F.approx_count_distinct(F.col(self.x)).alias("d"))
+                .first()["d"]
+            )
+            if approx <= self.AUTO_EXACT_MAX_GROUPS:
+                return None
+            return self.config.default_prebins
+        if isinstance(self.prebins, str):
+            raise ValueError(
+                f"prebins must be 'auto', 'exact', None or an int, "
+                f"got {self.prebins!r}"
+            )
+        return int(self.prebins)
+
+    def _prebin_splits(self, df: DataFrame, x_clean) -> Optional[List[float]]:
+        k = self._resolve_prebins(df, x_clean)
+        if not k or k < 2:
+            return None
+        probs = [i / k for i in range(1, k)]
         qs = (
             df.filter(x_clean)
             .select(F.col(self.x).cast("double").alias("_x"))
@@ -864,7 +899,7 @@ def fit_binners_per_group(
     x: str,
     y: str,
     *,
-    prebins: Optional[int] = None,
+    prebins: Union[int, str, None] = "auto",
     prebin_relative_error: float = 0.001,
     config: EngineConfig = DEFAULT_CONFIG,
     **binner_kwargs,
@@ -877,6 +912,12 @@ def fit_binners_per_group(
     is set, one approxQuantile pass for shared split points). The driver
     then solves PAVA+merge per group over k-row slices — milliseconds per
     group regardless of input size.
+
+    When pre-binning is active (``"auto"`` resolving high-cardinality, or an
+    explicit int) the quantile split points are GLOBAL — shared across all
+    groups — by design: one approxQuantile pass instead of one per group.
+    Fits therefore equal independent per-group fits only in exact mode
+    (``prebins="exact"``).
     """
     tmpl = SparkMonotonicBinner(
         x, y, prebins=prebins, prebin_relative_error=prebin_relative_error,

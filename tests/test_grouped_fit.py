@@ -25,7 +25,8 @@ def make_grouped_frame(seed=0, n_per=400):
 def test_fused_equals_independent_fits(spark):
     pdf = make_grouped_frame()
     sdf = spark.createDataFrame(pdf)
-    ckw = dict(constraints=BinningConstraints(max_bins=5, min_bins=2))
+    ckw = dict(constraints=BinningConstraints(max_bins=5, min_bins=2),
+               prebins="exact")
 
     grouped = fit_binners_per_group(sdf, "src", "x", "y", **ckw)
     for src in ["web", "books", "code"]:
@@ -51,7 +52,8 @@ def test_grouped_binary_continuous_mix(spark):
     cont = pdf["src"] == "code"
     pdf.loc[cont, "y"] = pdf.loc[cont, "y"] * 10.0 + rng.normal(0, 1, cont.sum())
     sdf = spark.createDataFrame(pdf.astype({"y": float}))
-    ckw = dict(constraints=BinningConstraints(max_bins=5, min_bins=2))
+    ckw = dict(constraints=BinningConstraints(max_bins=5, min_bins=2),
+               prebins="exact")
 
     grouped = fit_binners_per_group(sdf, "src", "x", "y", **ckw)
     assert grouped["books"].is_binary

@@ -47,6 +47,9 @@ def spark_binner(spark, pdf, **kwargs):
     ckw = kwargs.pop("constraints_kwargs", None)
     if ckw is not None:
         kwargs["constraints"] = BinningConstraints(**ckw)
+    # parity demands the reference's exact distinct-x grouping; the engine
+    # default is the scale-safe "auto" policy
+    kwargs.setdefault("prebins", "exact")
     sdf = spark.createDataFrame(pdf)
     b = SparkMonotonicBinner("x", "y", **kwargs)
     b.fit(sdf)
