@@ -19,6 +19,7 @@ from .exceptions import (
     MOBSparkError,
     NotFittedError,
 )
+from .logging_utils import BinningProgressLogger, get_logger, set_verbosity
 from .operators.binning import (
     FittedBins,
     GroupedBins,
@@ -30,7 +31,10 @@ __version__ = "0.1.0"
 
 __all__ = [
     "BinningConstraints",
+    "BinningProgressLogger",
     "ConstraintError",
+    "get_logger",
+    "set_verbosity",
     "DataError",
     "DEFAULT_CONFIG",
     "EngineConfig",

@@ -195,12 +195,19 @@ def _merge_at(blocks: List[Block], idx: int) -> List[Block]:
     return blocks[:idx] + [merged_block] + blocks[idx + 2 :]
 
 
+def _snapshot(blocks: List[Block]) -> List[dict]:
+    """Per-iteration block snapshot for merge lineage
+    (reference core/merge.py:629-638)."""
+    return [b.as_dict() for b in blocks]
+
+
 def _statistical_merge_phase(
     blocks: List[Block],
     constraints: BinningConstraints,
     scorer: MergeScorer,
     max_iterations: int,
     metrics: MergeMetrics,
+    history: Optional[List[List[dict]]] = None,
 ) -> List[Block]:
     """Phase 1 greedy loop (merge.py:486-572).
 
@@ -235,6 +242,8 @@ def _statistical_merge_phase(
         if should_merge:
             current = _merge_at(current, best_idx)
             metrics.scores.append(best_score)
+            if history is not None:
+                history.append(_snapshot(current))
         else:
             break
         iteration += 1
@@ -253,6 +262,7 @@ def _enforce_min_samples(
     constraints: BinningConstraints,
     scorer: MergeScorer,
     metrics: MergeMetrics,
+    history: Optional[List[List[dict]]] = None,
 ) -> List[Block]:
     """Phase 2 sweep (merge.py:892-967): merge the first undersized block
     with its better-scoring neighbor until none remain or min_bins reached."""
@@ -280,6 +290,8 @@ def _enforce_min_samples(
             right_score = scorer.score_pair(current[idx], current[idx + 1])
             merge_idx = idx if right_score >= left_score else idx - 1
         current = _merge_at(current, merge_idx)
+        if history is not None:
+            history.append(_snapshot(current))
         iteration += 1
         if iteration >= max_iterations:
             warnings.warn(
@@ -294,12 +306,43 @@ def _enforce_min_samples(
 def _validate_merge_result(
     blocks: List[Block], constraints: BinningConstraints
 ) -> None:
-    """Hard error only on max_bins violation in maximize mode / zero blocks
-    (merge.py:641-685 — the other checks are warnings there, omitted here)."""
+    """Hard error on max_bins violation in maximize mode; advisory warnings
+    mirroring the reference's check set (merge.py:641-685: missing ±inf
+    edges, undersized bins past min_bins, oversized bins)."""
     if constraints.maximize_bins and len(blocks) > constraints.max_bins:
         raise FittingError(
             f"Merge failed: {len(blocks)} blocks exceeds "
             f"max_bins={constraints.max_bins}"
+        )
+    if not blocks:
+        return
+    if blocks[0].left != float("-inf"):
+        warnings.warn(
+            f"First block does not start at -inf (starts at {blocks[0].left})",
+            UserWarning,
+        )
+    if blocks[-1].right != float("inf"):
+        warnings.warn(
+            f"Last block does not end at +inf (ends at {blocks[-1].right})",
+            UserWarning,
+        )
+    undersized = [b for b in blocks if b.n < constraints.abs_min_samples]
+    if undersized and len(blocks) > constraints.min_bins:
+        warnings.warn(
+            f"{len(undersized)} blocks have fewer than "
+            f"{constraints.abs_min_samples} samples",
+            UserWarning,
+        )
+    oversized = [
+        b
+        for b in blocks
+        if constraints.abs_max_samples and b.n > constraints.abs_max_samples
+    ]
+    if oversized:
+        warnings.warn(
+            f"{len(oversized)} blocks exceed "
+            f"max_samples={constraints.abs_max_samples}",
+            UserWarning,
         )
 
 
@@ -312,8 +355,14 @@ def merge_adjacent(
     max_iterations: Optional[int] = None,
     config: EngineConfig = DEFAULT_CONFIG,
     metrics: Optional[MergeMetrics] = None,
+    history: Optional[List[List[dict]]] = None,
 ) -> List[Block]:
-    """Two-phase constraint-aware merge of PAVA blocks (merge.py:407-483)."""
+    """Two-phase constraint-aware merge of PAVA blocks (merge.py:407-483).
+
+    ``history``, when a list, receives one block-table snapshot per merge
+    iteration across both phases (reference merge.py:413,545-546,952-953) —
+    the per-iteration lineage the north rule asks for.
+    """
     if not blocks:
         return []
     metrics = metrics if metrics is not None else MergeMetrics()
@@ -323,9 +372,11 @@ def merge_adjacent(
     scorer = MergeScorer(constraints, is_binary_y, strategy, config)
     max_iter = max_iterations or constraints.max_bins * 100
 
-    current = _statistical_merge_phase(current, constraints, scorer, max_iter, metrics)
+    current = _statistical_merge_phase(
+        current, constraints, scorer, max_iter, metrics, history
+    )
     if constraints.abs_min_samples > 0:
-        current = _enforce_min_samples(current, constraints, scorer, metrics)
+        current = _enforce_min_samples(current, constraints, scorer, metrics, history)
 
     if len(current) == 0:
         raise FittingError("Merging produced zero blocks")

@@ -29,7 +29,11 @@ from pyspark.sql import functions as F
 from .core.constraints import BinningConstraints
 from .functions.timeutil import pin_utc
 from .operators.asof import asof_join
-from .operators.binning import SparkMonotonicBinner, fit_binners_per_group
+from .operators.binning import (
+    SparkMonotonicBinner,
+    _json_float,
+    fit_binners_per_group,
+)
 from .plans.checkpoint import PipelineRun, run_stage
 from .sources.tables import load_table
 
@@ -86,11 +90,12 @@ def fit_woe_job(args) -> None:
         )
         cut_points = {
             str(g): {
-                "lefts": m.lefts.tolist(),
+                "lefts": [_json_float(v) for v in m.lefts],
                 "woes": None if m.woes is None else m.woes.tolist(),
                 "labels": m.labels,
                 "merge_iterations": m.diagnostics["merge_phase1_iterations"]
                 + m.diagnostics["merge_phase2_iterations"],
+                "merge_history_len": m.diagnostics.get("merge_history_len", 0),
             }
             for g, m in grouped.items()
         }
@@ -105,9 +110,17 @@ def fit_woe_job(args) -> None:
         ).fit(df)
         m = binner.model_
         cut_points = {
-            "lefts": m.lefts.tolist(),
+            "lefts": [_json_float(v) for v in m.lefts],
             "woes": None if m.woes is None else m.woes.tolist(),
             "labels": m.labels,
+            "merge_iterations": m.diagnostics["merge_phase1_iterations"]
+            + m.diagnostics["merge_phase2_iterations"],
+            # full per-iteration block snapshots (north rule: merge-iteration
+            # lineage); single-model artifact so size is bounded
+            "merge_history": [
+                [{k: _json_float(v) for k, v in b.items()} for b in snap]
+                for snap in binner.merge_history_
+            ],
         }
         # continuous targets have no WoE: emit interval labels instead
         assign = "woe" if m.is_binary else "interval"
@@ -119,7 +132,7 @@ def fit_woe_job(args) -> None:
 
     os.makedirs(args.workdir, exist_ok=True)
     with open(os.path.join(args.workdir, "cut_points.json"), "w") as f:
-        json.dump(cut_points, f, indent=2)
+        json.dump(cut_points, f, indent=2, allow_nan=False)
 
     out_dir = os.path.join(args.workdir, "stage_transform")
     run_stage(

@@ -166,6 +166,30 @@ def _recode_c_rows(c_rows, lo: float, hi: float):
     return out
 
 
+def _json_float(v):
+    """Strict-JSON encoding of a float-ish scalar: NaN -> None, ±inf ->
+    "-inf"/"inf" strings, everything else a plain float (ints pass through)."""
+    if v is None:
+        return None
+    f = float(v)
+    if math.isnan(f):
+        return None
+    if math.isinf(f):
+        return "inf" if f > 0 else "-inf"
+    if isinstance(v, (int, np.integer)):
+        return int(v)
+    return f
+
+
+def _parse_float(v):
+    """Inverse of :func:`_json_float` (None -> NaN for array contexts)."""
+    if v is None:
+        return float("nan")
+    if isinstance(v, str):
+        return float(v)
+    return v
+
+
 @dataclass
 class FittedBins:
     """Driver-side fitted model; small and picklable for broadcast.
@@ -189,12 +213,17 @@ class FittedBins:
     diagnostics: Dict[str, Any] = field(default_factory=dict)
 
     def to_dict(self) -> Dict[str, Any]:
-        """JSON-safe model export (reference model-export surface:
+        """STRICT-JSON-safe model export (reference model-export surface:
         /root/reference/src/MOBPY/binning/mob.py:307-335 bins table +
         core/pava.py:441-469 block dicts; plus everything transform needs,
-        so a saved model serves lookups without refitting)."""
+        so a saved model serves lookups without refitting).
+
+        Infinite bin edges encode as the strings "-inf"/"inf" and NaN as
+        null, so the artifact parses under any strict JSON reader (Python's
+        default would otherwise emit the non-standard Infinity/NaN literals).
+        """
         def _floats(a):
-            return [float(v) for v in a]
+            return [_json_float(v) for v in a]
 
         return {
             "x": self.x,
@@ -206,7 +235,10 @@ class FittedBins:
             "resolved_sign": self.resolved_sign,
             "woes": _floats(self.woes) if self.woes is not None else None,
             "exclude_values": self.exclude_values,
-            "bins": self.bins_df.to_dict(orient="records"),
+            "bins": [
+                {k: _json_float(v) for k, v in rec.items()}
+                for rec in self.bins_df.to_dict(orient="records")
+            ],
             "summary": self.summary_df.replace({np.nan: None}).to_dict(
                 orient="records"
             ),
@@ -220,17 +252,24 @@ class FittedBins:
         for c in summary.columns:
             if c != "bucket":
                 summary[c] = pd.to_numeric(summary[c], errors="coerce")
+        bins = pd.DataFrame(
+            [{k: _parse_float(v) for k, v in rec.items()} for rec in d["bins"]]
+        )
         return cls(
             x=d["x"],
             y=d["y"],
-            lefts=np.asarray(d["lefts"], dtype=float),
-            rights=np.asarray(d["rights"], dtype=float),
+            lefts=np.asarray([_parse_float(v) for v in d["lefts"]], dtype=float),
+            rights=np.asarray([_parse_float(v) for v in d["rights"]], dtype=float),
             labels=list(d["labels"]),
             is_binary=d["is_binary"],
             resolved_sign=d["resolved_sign"],
-            woes=np.asarray(d["woes"], dtype=float) if d["woes"] is not None else None,
+            woes=(
+                np.asarray([_parse_float(v) for v in d["woes"]], dtype=float)
+                if d["woes"] is not None
+                else None
+            ),
             exclude_values=d["exclude_values"],
-            bins_df=pd.DataFrame(d["bins"]),
+            bins_df=bins,
             summary_df=summary,
             diagnostics=d.get("diagnostics", {}),
         )
@@ -239,7 +278,8 @@ class FittedBins:
         import json
 
         with open(path, "w") as f:
-            json.dump(self.to_dict(), f, indent=2)
+            # allow_nan=False asserts the strict-JSON guarantee at write time
+            json.dump(self.to_dict(), f, indent=2, allow_nan=False)
 
     @classmethod
     def load_json(cls, path: str) -> "FittedBins":
@@ -355,6 +395,10 @@ class SparkMonotonicBinner:
 
         self.model_: Optional[FittedBins] = None
         self.merge_metrics_: Optional[MergeMetrics] = None
+        #: per-iteration block-table snapshots across both merge phases
+        #: (reference core/merge.py:413,629-638) — kept on the binner, NOT in
+        #: the broadcastable FittedBins, so transforms stay lean
+        self.merge_history_: List[List[Dict[str, Any]]] = []
         self.fit_metrics_: Dict[str, Any] = {}
         self._pava_result = None
         self._groups: List[GroupStats] = []
@@ -541,6 +585,7 @@ class SparkMonotonicBinner:
         self._pava_result = pava
         self._groups = groups
         metrics = MergeMetrics()
+        history: List[List[Dict[str, Any]]] = []
         merged = merge_adjacent(
             pava.blocks,
             constraints,
@@ -548,8 +593,10 @@ class SparkMonotonicBinner:
             strategy=self.merge_strategy,
             config=self.config,
             metrics=metrics,
+            history=history,
         )
         self.merge_metrics_ = metrics
+        self.merge_history_ = history
 
         bins_df = self._blocks_to_df(merged)
         summary_df = self._build_summary(bins_df, m_rows, e_rows, is_binary)
@@ -595,6 +642,7 @@ class SparkMonotonicBinner:
                 "prebinned": prebinned,
                 "merge_phase1_iterations": metrics.phase1_iterations,
                 "merge_phase2_iterations": metrics.phase2_iterations,
+                "merge_history_len": len(history),
             },
         )
 
@@ -729,7 +777,9 @@ class SparkMonotonicBinner:
         return self._model().summary_df.copy()
 
     def get_diagnostics(self) -> Dict[str, Any]:
-        return dict(self._model().diagnostics)
+        d = dict(self._model().diagnostics)
+        d["merge_history"] = self.merge_history_
+        return d
 
     def pava_blocks_(self, as_dict: bool = True):
         """PAVA blocks before constraint merging
@@ -809,11 +859,22 @@ class GroupedBins:
     driver-side monotone merge pass broadcasts final cut-points".
     """
 
-    def __init__(self, group_col: str, x: str, y: str, models: Dict[Any, FittedBins]):
+    def __init__(
+        self,
+        group_col: str,
+        x: str,
+        y: str,
+        models: Dict[Any, FittedBins],
+        merge_histories: Optional[Dict[Any, list]] = None,
+    ):
         self.group_col = group_col
         self.x = x
         self.y = y
         self.models = models
+        # per-group merge-iteration snapshots (driver-side observability;
+        # deliberately NOT serialized by save_json — the serving artifact
+        # stays lean, lineage counters live in each model's diagnostics)
+        self.merge_histories = merge_histories or {}
 
     def __getitem__(self, group):
         return self.models[group]
@@ -834,7 +895,7 @@ class GroupedBins:
             )],
         }
         with open(path, "w") as f:
-            json.dump(payload, f)
+            json.dump(payload, f, allow_nan=False)
 
     @classmethod
     def load_json(cls, path: str) -> "GroupedBins":
@@ -982,10 +1043,12 @@ def fit_binners_per_group(
         by_group.setdefault(r["_g"], []).append(r)
 
     models: Dict[Any, FittedBins] = {}
+    histories: Dict[Any, list] = {}
+    solver = SparkMonotonicBinner(
+        x, y, prebins=prebins, prebin_relative_error=prebin_relative_error,
+        config=config, **binner_kwargs,
+    )
     for g in sorted(by_group, key=lambda v: (v is None, str(v))):
-        solver = SparkMonotonicBinner(
-            x, y, prebins=prebins, prebin_relative_error=prebin_relative_error,
-            config=config, **binner_kwargs,
-        )
         models[g] = solver._solve_from_stats(by_group[g], splits is not None)
-    return GroupedBins(group_col, x, y, models)
+        histories[g] = solver.merge_history_
+    return GroupedBins(group_col, x, y, models, merge_histories=histories)
