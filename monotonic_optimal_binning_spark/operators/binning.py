@@ -166,6 +166,57 @@ def _recode_c_rows(c_rows, lo: float, hi: float):
     return out
 
 
+def _suff_stats_agg(work: DataFrame, group_cols, y_eff, nonfinite_y, xd) -> DataFrame:
+    """THE distributed pass: one shuffle on the group columns; every
+    aggregate is algebraic → full map-side partial aggregation."""
+    return work.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(y_eff).alias("n_y"),
+        F.sum(y_eff).alias("sum_y"),
+        F.sum(y_eff * y_eff).alias("sum_y2"),
+        F.min(y_eff).alias("ymin"),
+        F.max(y_eff).alias("ymax"),
+        F.avg(y_eff).alias("ymean"),
+        F.stddev_samp(y_eff).alias("ystd"),
+        F.sum(nonfinite_y).alias("n_nonfinite"),
+        F.min(xd).alias("x_rep"),
+    )
+
+
+def _rebucket_stats(stats_df: DataFrame, splits: List[float], extra_keys=()) -> DataFrame:
+    """Re-aggregate already-computed EXACT sufficient statistics into
+    quantile buckets — every aggregate is algebraic, so bucket stats are a
+    pure fold of the cached per-x stats and the input is NOT re-scanned
+    (this is the auto-mode high-cardinality fallback path). Only C-tag rows
+    re-bucket; Missing/Excluded rows keep their own group keys."""
+    from pyspark.ml.feature import Bucketizer
+
+    c = stats_df.filter(F.col("tag") == "C").withColumn(
+        "_xb", F.col("gkey").cast("double")
+    )
+    c = Bucketizer(
+        splits=splits, inputCol="_xb", outputCol="_b", handleInvalid="keep"
+    ).transform(c)
+    n = F.sum("n_y")
+    s = F.sum("sum_y")
+    s2 = F.sum("sum_y2")
+    var = (s2 / n - (s / n) ** 2) * n / (n - 1)
+    return c.groupBy(
+        *[F.col(k) for k in extra_keys], "tag", F.col("_b").alias("gkey")
+    ).agg(
+        F.sum("n_rows").alias("n_rows"),
+        n.alias("n_y"),
+        s.alias("sum_y"),
+        s2.alias("sum_y2"),
+        F.min("ymin").alias("ymin"),
+        F.max("ymax").alias("ymax"),
+        F.when(n > 0, s / n).alias("ymean"),
+        F.when(n > 1, F.sqrt(F.greatest(var, F.lit(0.0)))).alias("ystd"),
+        F.sum("n_nonfinite").alias("n_nonfinite"),
+        F.min("x_rep").alias("x_rep"),
+    )
+
+
 def _json_float(v):
     """Strict-JSON encoding of a float-ish scalar: NaN -> None, ±inf ->
     "-inf"/"inf" strings, everything else a plain float (ints pass through)."""
@@ -422,31 +473,25 @@ class SparkMonotonicBinner:
         y_val = F.when(~_null_or_nan(F.col(self.y), y_dtype), y_raw)
         return x_clean, x_missing, x_excluded, y_val
 
-    def _resolve_prebins(self, df: DataFrame, x_clean) -> Optional[int]:
-        """Resolve the prebins policy to a concrete bucket count (or None
-        for exact grouping). 'auto' costs one approx_count_distinct probe —
-        a single-column scan — and keeps small-cardinality fits byte-exact
-        with the reference while bounding the driver collect at scale."""
+    def _static_prebins(self) -> Optional[int]:
+        """Resolve an explicit (non-auto) prebins policy to a bucket count
+        (None = exact grouping)."""
         if self.prebins is None or self.prebins == "exact":
             return None
-        if self.prebins == "auto":
-            approx = (
-                df.filter(x_clean)
-                .select(F.approx_count_distinct(F.col(self.x)).alias("d"))
-                .first()["d"]
-            )
-            if approx <= self.AUTO_EXACT_MAX_GROUPS:
-                return None
-            return self.config.default_prebins
         if isinstance(self.prebins, str):
+            if self.prebins == "auto":
+                raise ValueError("auto prebins is resolved inside fit()")
             raise ValueError(
                 f"prebins must be 'auto', 'exact', None or an int, "
                 f"got {self.prebins!r}"
             )
         return int(self.prebins)
 
-    def _prebin_splits(self, df: DataFrame, x_clean) -> Optional[List[float]]:
-        k = self._resolve_prebins(df, x_clean)
+    def _prebin_splits(
+        self, df: DataFrame, x_clean, k: Optional[int] = None
+    ) -> Optional[List[float]]:
+        if k is None:
+            k = self._static_prebins()
         if not k or k < 2:
             return None
         probs = [i / k for i in range(1, k)]
@@ -469,7 +514,7 @@ class SparkMonotonicBinner:
         # only), both happen DRIVER-SIDE on the collected sufficient
         # statistics (_detect_binary_from_stats/_recode_c_rows) — the fit is
         # a single full scan of the input (plus one approxQuantile pass when
-        # prebinning).
+        # prebinning explicitly).
         y_eff = y_val
 
         tag = (
@@ -477,55 +522,77 @@ class SparkMonotonicBinner:
             .when(x_excluded, F.lit("E"))
             .otherwise(F.lit("C"))
         )
-
-        splits = self._prebin_splits(df, x_clean)
         xd = F.col(self.x).cast("double")
-        if splits is not None:
-            from pyspark.ml.feature import Bucketizer
-
-            work = df.withColumn("_mob_tag", tag).withColumn(
-                "_mob_xb", F.when(x_clean, xd)
-            )
-            bucketizer = Bucketizer(
-                splits=splits,
-                inputCol="_mob_xb",
-                outputCol="_mob_bucket",
-                handleInvalid="keep",
-            )
-            work = bucketizer.transform(work)
-            group_key = F.when(
-                F.col("_mob_tag") == "C", F.col("_mob_bucket")
-            ).otherwise(xd)
-        else:
-            work = df.withColumn("_mob_tag", tag)
-            group_key = xd
-
         nonfinite_y = F.when(
             y_val.isNotNull() & (F.abs(y_val) == F.lit(float("inf"))), 1
         ).otherwise(0)
 
-        # THE distributed pass: one shuffle on (tag, group_key); all
-        # aggregates are algebraic → full map-side partial aggregation.
-        stats = (
-            work.groupBy(
-                F.col("_mob_tag").alias("tag"), group_key.alias("gkey")
+        def _exact_agg() -> DataFrame:
+            work = df.withColumn("_mob_tag", tag)
+            return _suff_stats_agg(
+                work,
+                [F.col("_mob_tag").alias("tag"), xd.alias("gkey")],
+                y_eff,
+                nonfinite_y,
+                xd,
             )
-            .agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                F.count(y_eff).alias("n_y"),
-                F.sum(y_eff).alias("sum_y"),
-                F.sum(y_eff * y_eff).alias("sum_y2"),
-                F.min(y_eff).alias("ymin"),
-                F.max(y_eff).alias("ymax"),
-                F.avg(y_eff).alias("ymean"),
-                F.stddev_samp(y_eff).alias("ystd"),
-                F.sum(nonfinite_y).alias("n_nonfinite"),
-                F.min(xd).alias("x_rep"),
-            )
-            .collect()
-        )
 
-        self.model_ = self._solve_from_stats(stats, splits is not None)
+        if self.prebins == "auto":
+            # Common case is ONE job: collect the exact aggregate behind a
+            # LIMIT guard — if it returns <= MAX rows the result is complete
+            # and exact (reference-identical); if the guard trips, the
+            # high-cardinality fallback re-runs the aggregate cached
+            # executor-side and folds it into quantile buckets without
+            # re-collecting per-x state (driver never sees > MAX+1 rows).
+            guard = self.AUTO_EXACT_MAX_GROUPS
+            stats = _exact_agg().limit(guard + 1).collect()
+            prebinned = False
+            if len(stats) > guard:
+                splits = self._prebin_splits(
+                    df, x_clean, k=self.config.default_prebins
+                )
+                if splits is not None:
+                    stats_df = _exact_agg().persist()
+                    stats = _rebucket_stats(stats_df, splits).collect()
+                    stats += stats_df.filter(F.col("tag") != "C").collect()
+                    stats_df.unpersist()
+                    prebinned = True
+                # else: degenerate x (no finite interior quantiles) — the
+                # guard overflow can then only come from M/E tag rows; keep
+                # the exact rows already collected
+                else:
+                    stats = _exact_agg().collect()
+        else:
+            splits = self._prebin_splits(df, x_clean)
+            if splits is not None:
+                from pyspark.ml.feature import Bucketizer
+
+                work = df.withColumn("_mob_tag", tag).withColumn(
+                    "_mob_xb", F.when(x_clean, xd)
+                )
+                work = Bucketizer(
+                    splits=splits,
+                    inputCol="_mob_xb",
+                    outputCol="_mob_bucket",
+                    handleInvalid="keep",
+                ).transform(work)
+                group_key = F.when(
+                    F.col("_mob_tag") == "C", F.col("_mob_bucket")
+                ).otherwise(xd)
+                prebinned = True
+            else:
+                work = df.withColumn("_mob_tag", tag)
+                group_key = xd
+                prebinned = False
+            stats = _suff_stats_agg(
+                work,
+                [F.col("_mob_tag").alias("tag"), group_key.alias("gkey")],
+                y_eff,
+                nonfinite_y,
+                xd,
+            ).collect()
+
+        self.model_ = self._solve_from_stats(stats, prebinned)
         self.fit_metrics_["fit_seconds"] = time.time() - t0
         return self
 
@@ -999,44 +1066,67 @@ def fit_binners_per_group(
         .otherwise(F.lit("C"))
     )
     xd = F.col(x).cast("double")
-    splits = tmpl._prebin_splits(df, x_clean)
-    if splits is not None:
-        from pyspark.ml.feature import Bucketizer
-
-        work = df.withColumn("_mob_tag", tag).withColumn(
-            "_mob_xb", F.when(x_clean, xd)
-        )
-        work = Bucketizer(
-            splits=splits, inputCol="_mob_xb", outputCol="_mob_bucket",
-            handleInvalid="keep",
-        ).transform(work)
-        group_key = F.when(F.col("_mob_tag") == "C", F.col("_mob_bucket")).otherwise(xd)
-    else:
-        work = df.withColumn("_mob_tag", tag)
-        group_key = xd
-
     nonfinite_y = F.when(
         y_val.isNotNull() & (F.abs(y_val) == F.lit(float("inf"))), 1
     ).otherwise(0)
 
-    stats = (
-        work.groupBy(
-            gcol.alias("_g"), F.col("_mob_tag").alias("tag"), group_key.alias("gkey")
+    def _exact_agg() -> DataFrame:
+        work = df.withColumn("_mob_tag", tag)
+        return _suff_stats_agg(
+            work,
+            [gcol.alias("_g"), F.col("_mob_tag").alias("tag"), xd.alias("gkey")],
+            y_eff,
+            nonfinite_y,
+            xd,
         )
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.count(y_eff).alias("n_y"),
-            F.sum(y_eff).alias("sum_y"),
-            F.sum(y_eff * y_eff).alias("sum_y2"),
-            F.min(y_eff).alias("ymin"),
-            F.max(y_eff).alias("ymax"),
-            F.avg(y_eff).alias("ymean"),
-            F.stddev_samp(y_eff).alias("ystd"),
-            F.sum(nonfinite_y).alias("n_nonfinite"),
-            F.min(xd).alias("x_rep"),
-        )
-        .collect()
-    )
+
+    if prebins == "auto":
+        # same ONE-job guarded-collect policy as the single fit, bounding
+        # the TOTAL (all-groups) collect size; the fallback's prebinned
+        # collect is bounded by n_groups * default_prebins rows
+        guard = tmpl.AUTO_EXACT_MAX_GROUPS
+        stats = _exact_agg().limit(guard + 1).collect()
+        prebinned = False
+        if len(stats) > guard:
+            splits = tmpl._prebin_splits(df, x_clean, k=config.default_prebins)
+            if splits is not None:
+                stats_df = _exact_agg().persist()
+                stats = _rebucket_stats(
+                    stats_df, splits, extra_keys=("_g",)
+                ).collect()
+                stats += stats_df.filter(F.col("tag") != "C").collect()
+                stats_df.unpersist()
+                prebinned = True
+            else:
+                stats = _exact_agg().collect()
+    else:
+        splits = tmpl._prebin_splits(df, x_clean)
+        if splits is not None:
+            from pyspark.ml.feature import Bucketizer
+
+            work = df.withColumn("_mob_tag", tag).withColumn(
+                "_mob_xb", F.when(x_clean, xd)
+            )
+            work = Bucketizer(
+                splits=splits, inputCol="_mob_xb", outputCol="_mob_bucket",
+                handleInvalid="keep",
+            ).transform(work)
+            group_key = F.when(
+                F.col("_mob_tag") == "C", F.col("_mob_bucket")
+            ).otherwise(xd)
+            prebinned = True
+        else:
+            work = df.withColumn("_mob_tag", tag)
+            group_key = xd
+            prebinned = False
+        stats = _suff_stats_agg(
+            work,
+            [gcol.alias("_g"), F.col("_mob_tag").alias("tag"),
+             group_key.alias("gkey")],
+            y_eff,
+            nonfinite_y,
+            xd,
+        ).collect()
 
     by_group: Dict[Any, list] = {}
     for r in stats:
@@ -1049,6 +1139,6 @@ def fit_binners_per_group(
         config=config, **binner_kwargs,
     )
     for g in sorted(by_group, key=lambda v: (v is None, str(v))):
-        models[g] = solver._solve_from_stats(by_group[g], splits is not None)
+        models[g] = solver._solve_from_stats(by_group[g], prebinned)
         histories[g] = solver.merge_history_
     return GroupedBins(group_col, x, y, models, merge_histories=histories)

@@ -459,10 +459,14 @@ def embedding_neardup_pairs(
     the intermediate cache is released before returning (see
     :func:`minhash_lsh_candidates`).
     """
-    from ..functions.vector import cosine_similarity
+    from ..functions.vector import dot, l2_norm
     from .similarity import add_lsh_buckets
 
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"))
+    # double-cast + norm computed once per row (not per candidate pair)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).withColumn("__n", l2_norm(F.col("__v")))
     # ids-only through the self-join (persisted: tiny), vectors re-joined
     # onto the candidate pairs for exact scoring
     banded = add_lsh_buckets(
@@ -496,15 +500,30 @@ def embedding_neardup_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    denom = F.col("__na") * F.col("__nb")
     scored = (
-        pairs.join(base.select(F.col("id").alias("id_a"), F.col("__v").alias("__va")),
-                   on="id_a")
-        .join(base.select(F.col("id").alias("id_b"), F.col("__v").alias("__vb")),
-              on="id_b")
+        pairs.join(
+            base.select(
+                F.col("id").alias("id_a"),
+                F.col("__v").alias("__va"),
+                F.col("__n").alias("__na"),
+            ),
+            on="id_a",
+        )
+        .join(
+            base.select(
+                F.col("id").alias("id_b"),
+                F.col("__v").alias("__vb"),
+                F.col("__n").alias("__nb"),
+            ),
+            on="id_b",
+        )
         .select(
             "id_a",
             "id_b",
-            cosine_similarity(F.col("__va"), F.col("__vb")).alias("cosine"),
+            F.when(denom > 0, dot(F.col("__va"), F.col("__vb")) / denom).alias(
+                "cosine"
+            ),
         )
     )
     out = scored.filter(F.col("cosine") >= threshold).localCheckpoint(eager=True)
