@@ -44,12 +44,14 @@ from monotonic_optimal_binning_spark.operators.textstats import (
     fingerprint,
     language_id,
     quality_features,
+    tf_idf,
     token_count,
 )
 from monotonic_optimal_binning_spark.operators.windows import (
     backfill,
     rolling_stats,
     sessionize,
+    time_bucket,
     with_lag_lead,
 )
 from monotonic_optimal_binning_spark.sources.tables import load_table
@@ -250,6 +252,51 @@ def q_asof_bucketed(spark, sf_dir):
     )
 
 
+def q_asof_forward(spark, sf_dir):
+    """Forward-direction as-of: each click joined to the user's NEXT
+    purchase at-or-after it (the mirrored window frame)."""
+    pin_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", epoch_seconds(ev, "ts").alias("ts")
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", epoch_seconds(ev, "ts").alias("ts"), "value"
+    )
+    out = asof_join(
+        left, right, on="user_id", left_ts="ts", value_cols=["value"],
+        direction="forward", right_prefix="next_",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("ts", _R).alias("ts"),
+        F.round("next_value", _R).alias("next_value"),
+    )
+
+
+def q_asof_tolerance(spark, sf_dir):
+    """Backward as-of with a 1-hour tolerance: matches farther away are
+    nulled (pandas merge_asof semantics)."""
+    pin_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", epoch_seconds(ev, "ts").alias("ts")
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", epoch_seconds(ev, "ts").alias("ts"), "value"
+    )
+    out = asof_join(
+        left, right, on="user_id", left_ts="ts", value_cols=["value"],
+        tolerance=3600.0, right_prefix="purchase_",
+    )
+    return out.select(
+        "event_id",
+        F.round("ts", _R).alias("ts"),
+        F.round("purchase_value", _R).alias("purchase_value"),
+    )
+
+
 def q_lag_lead(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "value"
@@ -297,6 +344,18 @@ def q_rolling_stats(spark, sf_dir):
         "event_id",
         F.round("value_roll_mean", _R).alias("roll_mean"),
         F.col("value_roll_count").alias("roll_count"),
+    )
+
+
+def q_tumbling_agg(spark, sf_dir):
+    """Tumbling 1-hour window aggregate (time_bucket operator)."""
+    pin_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    b = time_bucket(ev, "ts", 3600.0, out_col="bucket")
+    micro = F.floor(F.col("value") * 1e6).cast("long")
+    return b.groupBy("bucket", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(micro).alias("value_micro"),
     )
 
 
@@ -360,6 +419,33 @@ def q_ngram_jaccard(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("jaccard", _R).alias("jaccard"))
 
 
+def q_ngram_jaccard_maxdf(spark, sf_dir):
+    """n-gram Jaccard with the max_df stop-shingle guard: both numerator
+    and denominator use the FILTERED shingle universe (the guard a 100 TB
+    corpus needs against frequent-shingle join blowup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.4, max_df=4)
+    return out.select("id_a", "id_b", F.round("jaccard", _R).alias("jaccard"))
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (first 30 docs)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    scored = tf_idf(docs, "text", "doc_id")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id", "term", "tf", "df",
+            F.round("tfidf", _R).alias("tfidf"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def q_simhash_dedup(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return simhash_dedup(docs, "text", "doc_id").select("doc_id")
@@ -372,7 +458,8 @@ def q_cosine_topk(spark, sf_dir):
     )
     out = brute_force_topk(emb, queries, k=5)
     return out.select(
-        "query_id", "neighbor_id", F.round("cosine", _R).alias("cosine"), "rank"
+        "query_id", "neighbor_id", F.round("cosine", _R).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
     )
 
 
@@ -385,7 +472,8 @@ def q_lsh_topk(spark, sf_dir):
     )
     out = lsh_topk(emb, queries, k=5, dim=_EMBED_DIM, n_planes=16, n_bands=8)
     return out.select(
-        "query_id", "neighbor_id", F.round("cosine", _R).alias("cosine"), "rank"
+        "query_id", "neighbor_id", F.round("cosine", _R).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
     )
 
 
@@ -499,10 +587,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fixed_bucket_woe": q_fixed_bucket_woe,
         "asof_join": q_asof_join,
         "asof_join_bucketed": q_asof_bucketed,
+        "asof_forward": q_asof_forward,
+        "asof_tolerance": q_asof_tolerance,
         "lag_lead": q_lag_lead,
         "backfill": q_backfill,
         "sessionize": q_sessionize,
         "rolling_stats": q_rolling_stats,
+        "tumbling_agg": q_tumbling_agg,
         "exact_dedup": q_exact_dedup,
         "token_count": q_token_count,
         "bpe_token_count": q_bpe_token_count,
@@ -511,6 +602,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "minhash_pairs": q_minhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
+        "ngram_jaccard_maxdf": q_ngram_jaccard_maxdf,
+        "tfidf_topk": q_tfidf_topk,
         "simhash_dedup": q_simhash_dedup,
         "cosine_topk": q_cosine_topk,
         "lsh_topk": q_lsh_topk,
@@ -599,6 +692,40 @@ def oracle_sql() -> dict[str, str]:
                    round(r.value, 6) AS purchase_value
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "asof_forward": """
+            WITH l AS (
+              SELECT event_id, user_id, epoch(ts) AS ts FROM events
+              WHERE event_type = 'click'),
+            r AS (
+              SELECT user_id, epoch(ts) AS ts, value FROM events
+              WHERE event_type = 'purchase')
+            SELECT l.event_id, l.user_id, round(l.ts, 6) AS ts,
+                   round(r.value, 6) AS next_value
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts <= r.ts
+        """,
+        "asof_tolerance": """
+            WITH l AS (
+              SELECT event_id, user_id, epoch(ts) AS ts FROM events
+              WHERE event_type = 'click'),
+            r AS (
+              SELECT user_id, epoch(ts) AS ts, value FROM events
+              WHERE event_type = 'purchase')
+            SELECT l.event_id, round(l.ts, 6) AS ts,
+                   round(CASE WHEN l.ts - r.ts <= 3600 THEN r.value END, 6)
+                     AS purchase_value
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "tumbling_agg": """
+            SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket,
+                   event_type,
+                   count(*) AS n,
+                   CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT)
+                     AS value_micro
+            FROM events
+            GROUP BY 1, 2
         """,
         "lag_lead": """
             SELECT event_id,
@@ -731,6 +858,57 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE common / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.5
+        """,
+        "ngram_jaccard_maxdf": r"""
+            WITH toks AS (
+              SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+                                         x -> x != '') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(0, greatest(len(t)-3, 0)+1),
+                       i -> array_to_string(list_slice(t, i+1, i+3), ' '))) AS sset
+              FROM toks),
+            post AS (SELECT doc_id, unnest(sset) AS s FROM sh),
+            keep AS (SELECT s FROM post GROUP BY s HAVING count(*) <= 4),
+            fpost AS (SELECT p.doc_id, p.s FROM post p JOIN keep USING (s)),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM fpost GROUP BY doc_id),
+            common AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+              FROM fpost a JOIN fpost b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+            SELECT id_a, id_b,
+                   round(common / CAST(sa.sz + sb.sz - common AS DOUBLE), 6) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE common / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.4
+        """,
+        "tfidf_topk": r"""
+            WITH docs30 AS (SELECT doc_id, text FROM documents WHERE doc_id < 30),
+            post AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       list_filter(string_split_regex(trim(text), '\s+'),
+                                   x -> x != ''),
+                       x -> lower(x))) AS term
+              FROM docs30),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM post GROUP BY doc_id, term),
+            dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            n AS (SELECT count(DISTINCT doc_id) AS nd FROM docs30),
+            scored AS (
+              SELECT doc_id, term, tf, df,
+                     tf * ln(CAST(nd AS DOUBLE) / df) AS tfidf
+              FROM tf JOIN dfq USING (term) CROSS JOIN n),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+              FROM scored)
+            SELECT doc_id, term, tf, df, round(tfidf, 6) AS tfidf,
+                   CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 3
         """,
         "bpe_token_count": r"""
             SELECT doc_id,

@@ -114,6 +114,51 @@ def language_id(
     return df.withColumn(out_col, pred)
 
 
+def tf_idf(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Per-(document, term) TF-IDF over whitespace tokens.
+
+    Output: (doc_id, term, tf, df, tfidf) with tfidf = tf * ln(N / df).
+
+    Plan shape (the 100 TB shape): explode tokens once; ``tf`` is a
+    map-side-combinable count keyed by (doc, term); ``df`` re-aggregates
+    the (doc, term) table by term — strictly smaller input than the raw
+    postings; the corpus size N is a scalar crossJoin (broadcast). Two
+    shuffles total, both on natural keys, no row ever carries the full
+    token array through a shuffle.
+    """
+    toks = whitespace_tokens(F.col(text_col))
+    if lowercase:
+        toks = F.transform(toks, lambda t: F.lower(t))
+    post = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(toks).alias("term")
+    )
+    tf = post.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(
+        F.countDistinct(F.col(id_col)).alias("__n")
+    )
+    return (
+        tf.join(dfreq, on="term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (
+                F.col("tf").cast("double")
+                * F.log(F.col("__n").cast("double") / F.col("df"))
+            ).alias("tfidf"),
+        )
+    )
+
+
 def fingerprint(
     df: DataFrame, text_col: str = "text", out_col: str = "fingerprint"
 ) -> DataFrame:

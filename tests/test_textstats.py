@@ -94,3 +94,43 @@ def test_bpe_ish_token_count(spark):
     # hello(2: hell+o) world(2: worl+d) !(1) = 5 ; a(1) ,(1) b(1) = 3 ;
     # internationalization = 20 chars -> 5 pieces
     assert [r["n"] for r in res] == [5, 3, 5]
+
+
+def test_tf_idf(spark):
+    import math
+
+    import pandas as pd
+
+    from monotonic_optimal_binning_spark.operators.textstats import tf_idf
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "apple banana apple",
+                "banana cherry",
+                "cherry cherry Cherry",
+            ],
+        }
+    )
+    res = {
+        (r["doc_id"], r["term"]): r
+        for r in tf_idf(spark.createDataFrame(pdf)).collect()
+    }
+    # tf counts (lowercased)
+    assert res[(1, "apple")]["tf"] == 2
+    assert res[(3, "cherry")]["tf"] == 3
+    # document frequencies
+    assert res[(1, "apple")]["df"] == 1
+    assert res[(1, "banana")]["df"] == 2
+    assert res[(2, "cherry")]["df"] == 2
+    # tfidf = tf * ln(N/df), N=3
+    assert abs(res[(1, "apple")]["tfidf"] - 2 * math.log(3 / 1)) < 1e-12
+    assert abs(res[(3, "cherry")]["tfidf"] - 3 * math.log(3 / 2)) < 1e-12
+    # a term present in every doc scores 0
+    pdf2 = pd.DataFrame({"doc_id": [1, 2], "text": ["x y", "x z"]})
+    res2 = {
+        (r["doc_id"], r["term"]): r["tfidf"]
+        for r in tf_idf(spark.createDataFrame(pdf2)).collect()
+    }
+    assert res2[(1, "x")] == 0.0 and res2[(2, "x")] == 0.0

@@ -145,3 +145,17 @@ def test_rolling_stats_range_frame(spark):
         )
         assert row["v_roll_count"] == mask.sum()
         np.testing.assert_allclose(row["v_roll_sum"], pdf.loc[mask, "v"].sum(), rtol=1e-9)
+
+
+def test_time_bucket(spark):
+    import pandas as pd
+
+    from monotonic_optimal_binning_spark.operators.windows import time_bucket
+
+    pdf = pd.DataFrame({"id": [1, 2, 3, 4], "ts": [0.0, 3599.9, 3600.0, 7201.0]})
+    res = (
+        time_bucket(spark.createDataFrame(pdf), "ts", 3600.0)
+        .orderBy("id")
+        .collect()
+    )
+    assert [r["bucket"] for r in res] == [0, 0, 1, 2]
