@@ -364,6 +364,15 @@ def q_exact_dedup(spark, sf_dir):
     return exact_dedup(docs, ["text"], "doc_id").select("doc_id", "source")
 
 
+def q_exact_dedup_agg(spark, sf_dir):
+    """Skew-resistant dedup strategy (map-side-combinable winner aggregate +
+    id semi-join) — must equal the window strategy row-for-row."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, ["text"], "doc_id", strategy="agg").select(
+        "doc_id", "source"
+    )
+
+
 def q_token_count(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", token_count(F.col("text")).alias("n_tok"))
@@ -595,6 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_stats": q_rolling_stats,
         "tumbling_agg": q_tumbling_agg,
         "exact_dedup": q_exact_dedup,
+        "exact_dedup_agg": q_exact_dedup_agg,
         "token_count": q_token_count,
         "bpe_token_count": q_bpe_token_count,
         "quality": q_quality,
@@ -777,6 +787,10 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, source,
                      row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
               FROM documents) WHERE rn = 1
+        """,
+        "exact_dedup_agg": """
+            SELECT doc_id, source FROM documents
+            WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
         """,
         "token_count": """
             SELECT doc_id,

@@ -37,17 +37,39 @@ def exact_dedup(
     id_col: str,
     *,
     keep: str = "min",
+    strategy: str = "window",
 ) -> DataFrame:
     """Keep one row per distinct content; winner = min/max id (deterministic).
 
-    Plan: xxhash64 of the content columns is the shuffle key (tiny), a
-    window row_number picks the winner. Hash collisions are disambiguated by
-    also partitioning on the raw content columns (safe: same hash -> same
-    partition, comparison is local).
+    Two physical strategies (identical results):
+
+    ``"window"`` (default): xxhash64 of the content columns is the shuffle
+    key (tiny), a window row_number picks the winner — ONE shuffle of df.
+    Hash collisions are disambiguated by also partitioning on the raw
+    content columns (safe: same hash -> same partition, comparison local).
+    A pathologically hot content value serializes into one window task.
+
+    ``"agg"`` (skew/heavy-duplication path): winner ids via
+    ``groupBy(content).agg(min(id))`` — an ALGEBRAIC aggregate, so Spark's
+    map-side partial aggregation collapses each duplicate cluster to one
+    row per map task before the shuffle (a 10^8-duplicate page shuffles
+    ~n_tasks rows, not 10^8, and no single reducer sorts it) — then a
+    semi-join of df on the (unique, skew-free) id. Costs a second shuffle
+    of df by id; wins when duplication is heavy or skewed.
     """
     if keep not in ("min", "max"):
         raise ValueError("keep must be 'min' or 'max'")
+    if strategy not in ("window", "agg"):
+        raise ValueError("strategy must be 'window' or 'agg'")
     h = F.xxhash64(*[F.col(c) for c in content_cols])
+    if strategy == "agg":
+        pick = F.min(F.col(id_col)) if keep == "min" else F.max(F.col(id_col))
+        winners = (
+            df.groupBy(h.alias("__h"), *[F.col(c) for c in content_cols])
+            .agg(pick.alias(id_col))
+            .select(id_col)
+        )
+        return df.join(winners, on=id_col, how="leftsemi")
     order = F.col(id_col).asc() if keep == "min" else F.col(id_col).desc()
     w = Window.partitionBy(h, *[F.col(c) for c in content_cols]).orderBy(order)
     return (

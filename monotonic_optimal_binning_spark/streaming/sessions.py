@@ -61,6 +61,60 @@ def streaming_tumbling_stats(
     )
 
 
+def streaming_exact_dedup(
+    events: DataFrame,
+    content_cols: Sequence[str],
+    *,
+    shards: int = 256,
+    output_mode: str = "append",
+) -> DataFrame:
+    """Streaming exact dedup: drop rows whose content was already seen in
+    any earlier micro-batch (custom stateful operator via
+    ``applyInPandasWithState``).
+
+    The content fingerprint (JVM-side xxhash64) is sharded with
+    ``pmod(fp, shards)`` and each shard keeps its seen-set as group state —
+    state is partitioned across executors instead of one global set, which
+    is the shape that scales: shard count bounds per-task state and the
+    shuffle key is uniform by construction (a hash). Within a batch the
+    FIRST arrival of a fingerprint survives (streaming arrival order; batch
+    :func:`operators.dedup.exact_dedup` is the deterministic-winner analog).
+
+    State grows with the number of distinct fingerprints; at corpus scale
+    bound it by sharding more and/or a TTL policy upstream (state timeout
+    deliberately not enabled here — dedup state must not silently expire).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    fp = F.xxhash64(*[F.col(c) for c in content_cols])
+    ev = events.withColumn("__fp", fp).withColumn(
+        "__shard", F.pmod(F.col("__fp"), F.lit(shards)).cast("int")
+    )
+    out_schema = ev.schema
+
+    def _dedup(key, pdf_iter, state: GroupState):
+        seen = set(state.get[0]) if state.exists else set()
+        for pdf in pdf_iter:
+            keep = (~pdf["__fp"].isin(seen)) & (
+                ~pdf["__fp"].duplicated(keep="first")
+            )
+            new = pdf[keep]
+            seen.update(int(v) for v in new["__fp"])
+            if len(new):
+                yield new
+        state.update((sorted(seen),))
+
+    out = ev.groupBy("__shard").applyInPandasWithState(
+        _dedup,
+        outputStructType=out_schema,
+        stateStructType="seen array<bigint>",
+        outputMode=output_mode,
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return out.drop("__fp", "__shard")
+
+
 def streaming_woe_lookup(events: DataFrame, model, value_col: str) -> DataFrame:
     """Apply a fitted FittedBins model to a stream (stateless pandas UDF —
     identical code path as batch transform; works under writeStream)."""

@@ -149,3 +149,20 @@ def test_simhash_dedup(spark):
     for t, group in pdf.groupby("text"):
         survivors = res[res["text"] == t]
         assert len(survivors) <= 1
+
+
+def test_exact_dedup_agg_strategy_equals_window(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(100),
+            "text": [f"doc {i % 17}" for i in range(100)],  # heavy duplication
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    for keep in ("min", "max"):
+        a = exact_dedup(df, ["text"], "doc_id", keep=keep).toPandas()
+        b = exact_dedup(df, ["text"], "doc_id", keep=keep, strategy="agg").toPandas()
+        assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+        assert len(a) == 17

@@ -89,3 +89,34 @@ def test_streaming_woe_lookup(spark, stream_source, tmp_path):
     assert len(res) == 6
     expected = b.model_.assign_batch(res["value"], "woe")
     np.testing.assert_allclose(res["value_woe"].to_numpy(), expected.to_numpy())
+
+
+def test_streaming_exact_dedup_across_batches(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): duplicates must be
+    dropped WITHIN a micro-batch and ACROSS micro-batches (seen-set state)."""
+    from monotonic_optimal_binning_spark.streaming.sessions import (
+        streaming_exact_dedup,
+    )
+
+    src = str(tmp_path / "docs")
+    batch1 = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["alpha", "beta", "alpha"]}
+    )
+    batch2 = pd.DataFrame(
+        {"doc_id": [4, 5, 6], "text": ["beta", "gamma", "gamma"]}
+    )
+    spark.createDataFrame(batch1).coalesce(1).write.parquet(src + "/f1")
+    spark.createDataFrame(batch2).coalesce(1).write.parquet(src + "/f2")
+    schema = spark.read.parquet(src + "/f1").schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force multiple micro-batches
+        .parquet(src + "/*")
+    )
+    out = streaming_exact_dedup(stream, ["text"], shards=8)
+    _run_to_memory(out, "dedup_stream", "append")
+    res = spark.sql("select * from dedup_stream").toPandas()
+    # one survivor per distinct text, across all batches
+    assert sorted(res["text"].tolist()) == ["alpha", "beta", "gamma"]
+    assert res["text"].is_unique
