@@ -561,6 +561,37 @@ def q_rollup(spark, sf_dir):
     )
 
 
+def q_percentiles(spark, sf_dir):
+    """Exact percentiles per group (linear interpolation — matches DuckDB
+    quantile_cont). The reference's quantile surface is approxQuantile
+    pre-binning; this is the exact analog for small-group stats."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), _R).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), _R).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), _R).alias("p99"),
+    )
+
+
+def q_cube_agg(spark, sf_dir):
+    """CUBE grouping-sets aggregate over (event_type, value-band)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.col("value") < 5.0, "low").otherwise("high").alias("band"),
+        F.floor(F.col("value") * 1e6).cast("long").alias("vmicro"),
+    )
+    return (
+        ev.cube("event_type", "band")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("vmicro").alias("vmicro_sum"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("band", F.lit("ALL")).alias("band"),
+            "n",
+            "vmicro_sum",
+        )
+    )
+
+
 def q_per_source_fit(spark, sf_dir):
     """Per-source monotone binning of n_tok (iterative -> rows-only)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -622,6 +653,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "join_topk": q_join_topk,
         "rollup": q_rollup,
+        "cube_agg": q_cube_agg,
+        "percentiles": q_percentiles,
         "per_source_fit": q_per_source_fit,
     }
 
@@ -998,6 +1031,24 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n, round(sum(value), 6) AS total
             FROM events
             GROUP BY ROLLUP(event_type)
+        """,
+        "percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90,
+                   round(quantile_cont(value, 0.99), 6) AS p99
+            FROM events GROUP BY event_type
+        """,
+        "cube_agg": """
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(band, 'ALL') AS band,
+                   count(*) AS n,
+                   CAST(sum(vmicro) AS BIGINT) AS vmicro_sum
+            FROM (SELECT event_type,
+                         CASE WHEN value < 5.0 THEN 'low' ELSE 'high' END AS band,
+                         CAST(floor(value * 1e6) AS BIGINT) AS vmicro
+                  FROM events)
+            GROUP BY CUBE(event_type, band)
         """,
         # bin_fit_summary / woe_transform / per_source_fit: iterative
         # driver-side solve, not SQL-expressible -> rows-only check.

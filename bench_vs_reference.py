@@ -142,9 +142,12 @@ def main():
 
 
 def min_pair(spark, pdf):
-    f1, t1 = time_engine(spark, pdf)
-    f2, t2 = time_engine(spark, pdf)
-    return min(f1, f2), min(t1, t2)
+    # 3 reps at small sizes, 2 at large: the host throttles in episodes
+    # (BENCH.md CPU probe) and a 2-sample min at a 1-2 s workload can catch
+    # two bad draws; the min is the honest estimate of unthrottled cost
+    reps = 3 if len(pdf) <= 100_000 else 2
+    pairs = [time_engine(spark, pdf) for _ in range(reps)]
+    return min(p[0] for p in pairs), min(p[1] for p in pairs)
 
 
 if __name__ == "__main__":
