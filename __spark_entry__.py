@@ -151,6 +151,27 @@ def q_cumulative_stats(spark, sf_dir):
     return out
 
 
+def q_sign_correlation(spark, sf_dir):
+    """PAVA sign-resolution signal computed Spark-side: Pearson and
+    Spearman (average-tie ranks) of x vs per-group mean(y) over the groups
+    table. The groups table is k rows by construction, so the single-window
+    rank is driver-small; the engine's driver-side calculate_correlation
+    (core/stats.py) matches pandas and is parity-tested separately."""
+    df = _li_xy(spark, sf_dir)
+    g = df.groupBy("x").agg(F.avg("y").alias("gmean"))
+    rank_x = F.row_number().over(Window.orderBy("x")).cast("double")
+    rank_m = (
+        F.rank().over(Window.orderBy("gmean"))
+        + (F.count(F.lit(1)).over(Window.partitionBy("gmean")) - 1) / 2.0
+    ).cast("double")
+    r = g.select("x", "gmean", rank_x.alias("rx"), rank_m.alias("rm"))
+    return r.agg(
+        F.round(F.corr("x", "gmean"), _R).alias("pearson"),
+        F.round(F.corr("rx", "rm"), _R).alias("spearman"),
+        F.count(F.lit(1)).alias("n_groups"),
+    )
+
+
 def q_bin_fit_summary(spark, sf_dir):
     """Full MOB fit (iterative driver solve -> rows-only check)."""
     df = _li_xy(spark, sf_dir)
@@ -622,6 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "group_stats": q_group_stats,
         "cumulative_stats": q_cumulative_stats,
+        "sign_correlation": q_sign_correlation,
         "bin_fit_summary": q_bin_fit_summary,
         "woe_transform": q_woe_transform,
         "fixed_bucket_woe": q_fixed_bucket_woe,
@@ -690,6 +712,23 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(sum(n) OVER w AS DOUBLE), 6) AS cum_mean
             FROM g
             WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "sign_correlation": """
+            WITH g AS (
+              SELECT l_quantity AS x, avg(y) AS gmean
+              FROM (SELECT l_quantity, CAST(l_discount > 0.05 AS INT) AS y
+                    FROM lineitem)
+              GROUP BY l_quantity),
+            r AS (
+              SELECT x, gmean,
+                     CAST(row_number() OVER (ORDER BY x) AS DOUBLE) AS rx,
+                     rank() OVER (ORDER BY gmean)
+                       + (count(*) OVER (PARTITION BY gmean) - 1) / 2.0 AS rm
+              FROM g)
+            SELECT round(corr(x, gmean), 6) AS pearson,
+                   round(corr(rx, rm), 6) AS spearman,
+                   count(*) AS n_groups
+            FROM r
         """,
         "fixed_bucket_woe": """
             WITH d AS (
