@@ -126,12 +126,15 @@ def tf_idf(
     Output: (doc_id, term, tf, df, tfidf) with tfidf = tf * ln(N / df).
 
     Plan shape (the 100 TB shape): explode tokens once; ``tf`` is a
-    map-side-combinable count keyed by (doc, term); ``df`` re-aggregates
-    the (doc, term) table by term — strictly smaller input than the raw
-    postings; the corpus size N is a scalar crossJoin (broadcast). Two
-    shuffles total, both on natural keys, no row ever carries the full
-    token array through a shuffle.
+    map-side-combinable count keyed by (doc, term); ``df`` is a window
+    count over the term partition of the tf table — one exchange by term,
+    no second aggregate and no self-join (a groupBy(term)+join formulation
+    re-shuffles the same data twice); the corpus size N is a one-row
+    broadcast. Two shuffles total, both on natural keys; no row ever
+    carries the full token array through a shuffle.
     """
+    from pyspark.sql import Window
+
     toks = whitespace_tokens(F.col(text_col))
     if lowercase:
         toks = F.transform(toks, lambda t: F.lower(t))
@@ -139,12 +142,10 @@ def tf_idf(
         F.col(id_col).alias("doc_id"), F.explode(toks).alias("term")
     )
     tf = post.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = df.select(
-        F.countDistinct(F.col(id_col)).alias("__n")
-    )
+    dfreq = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    n_docs = df.select(F.countDistinct(F.col(id_col)).alias("__n"))
     return (
-        tf.join(dfreq, on="term")
+        tf.withColumn("df", dfreq)
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
