@@ -146,6 +146,50 @@ def fit_woe_job(args) -> None:
     print(run.save())
 
 
+def dedup_job(args) -> None:
+    """Corpus dedup pipeline: exact pass (byte-identical content) then
+    optional MinHash-LSH near-dup pass, each an idempotent checkpoint
+    stage with row-count lineage. The exact pass runs FIRST — it removes
+    precisely the degenerate duplicate clusters that would otherwise blow
+    up LSH buckets (operators/dedup.py bucket cap notes)."""
+    spark = _spark("mob-dedup")
+    run = PipelineRun(root=args.workdir)
+    df = (
+        spark.read.parquet(args.input)
+        if "/" in args.input
+        else spark.read.table(args.input)
+    )
+
+    from .operators.dedup import exact_dedup, minhash_dedup
+
+    exact_dir = os.path.join(args.workdir, "stage_exact")
+    deduped = run_stage(
+        spark, exact_dir, "exact_dedup",
+        lambda: exact_dedup(
+            df, [args.text_col], args.id_col, strategy=args.exact_strategy
+        ),
+        inputs=[args.input],
+        params={"strategy": args.exact_strategy},
+    )
+    run.record(exact_dir)
+
+    if args.near_threshold is not None:
+        near_dir = os.path.join(args.workdir, "stage_neardup")
+        run_stage(
+            spark, near_dir, "minhash_dedup",
+            lambda: minhash_dedup(
+                deduped, args.text_col, args.id_col,
+                threshold=args.near_threshold,
+                num_hashes=args.num_hashes, n_bands=args.n_bands,
+            ),
+            inputs=[exact_dir],
+            params={"threshold": args.near_threshold,
+                    "num_hashes": args.num_hashes, "n_bands": args.n_bands},
+        )
+        run.record(near_dir)
+    print(run.save())
+
+
 def main(argv: Optional[list] = None) -> None:
     p = argparse.ArgumentParser(prog="mob-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -168,6 +212,19 @@ def main(argv: Optional[list] = None) -> None:
     fw.add_argument("--entity-col", default="doc_id")
     fw.add_argument("--ts-col", default="ts")
     fw.set_defaults(func=fit_woe_job)
+
+    dd = sub.add_parser("dedup", help="exact + optional near-dup corpus dedup")
+    dd.add_argument("--input", required=True, help="parquet path or table id")
+    dd.add_argument("--workdir", required=True)
+    dd.add_argument("--text-col", default="text")
+    dd.add_argument("--id-col", default="doc_id")
+    dd.add_argument("--exact-strategy", choices=("window", "agg"),
+                    default="window")
+    dd.add_argument("--near-threshold", type=float, default=None,
+                    help="jaccard threshold; omit to skip the LSH pass")
+    dd.add_argument("--num-hashes", type=int, default=64)
+    dd.add_argument("--n-bands", type=int, default=16)
+    dd.set_defaults(func=dedup_job)
 
     args = p.parse_args(argv)
     args.func(args)

@@ -94,3 +94,33 @@ def test_partitioned_write_and_lineage(spark, tmp_path):
     assert report["total_rows"] == 100
     assert report["stages"][1]["extra_metrics"]["merge_iterations"] == 7
     assert report["stages"][1]["inputs"] == [s1]
+
+
+def test_dedup_job_end_to_end(spark, tmp_path):
+    """spark-submit dedup pipeline: exact stage + LSH near-dup stage, each
+    checkpointed with row-count lineage; re-run replays from checkpoints."""
+    import pandas as pd
+
+    from monotonic_optimal_binning_spark.jobs import main
+
+    src = str(tmp_path / "docs.parquet")
+    rows = [(i, f"unique document number {i} body {i % 7}") for i in range(40)]
+    rows += [(100 + i, "the very same duplicated text") for i in range(5)]
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    ).write.parquet(src)
+
+    wd = str(tmp_path / "run")
+    main(["dedup", "--input", src, "--workdir", wd,
+          "--near-threshold", "0.9", "--num-hashes", "16", "--n-bands", "4"])
+    with open(os.path.join(wd, "_LINEAGE.json")) as f:
+        report = json.load(f)
+    assert [s["stage"] for s in report["stages"]] == ["exact_dedup", "minhash_dedup"]
+    assert report["stages"][0]["rows_written"] == 41  # 40 unique + 1 survivor
+    assert report["stages"][1]["rows_written"] <= 41
+
+    # idempotent resume: re-running must replay (not recompute) both stages
+    main(["dedup", "--input", src, "--workdir", wd,
+          "--near-threshold", "0.9", "--num-hashes", "16", "--n-bands", "4"])
+    final = spark.read.parquet(os.path.join(wd, "stage_neardup", "data"))
+    assert final.count() == report["stages"][1]["rows_written"]
