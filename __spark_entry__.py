@@ -27,6 +27,7 @@ from monotonic_optimal_binning_spark import (
 from monotonic_optimal_binning_spark.operators.asof import (
     asof_join,
     asof_join_bucketed,
+    range_join,
 )
 from monotonic_optimal_binning_spark.operators.dedup import (
     embedding_neardup_pairs,
@@ -316,6 +317,19 @@ def q_asof_tolerance(spark, sf_dir):
         F.round("ts", _R).alias("ts"),
         F.round("purchase_value", _R).alias("purchase_value"),
     )
+
+
+def q_range_join(spark, sf_dir):
+    """Point-in-interval join via the bucketed equi-join plan (no
+    broadcast-nested-loop): docs matched to overlapping length bands."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    bands = spark.range(20).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 60).cast("double").alias("lo"),
+        (F.col("id") * 60 + 100).cast("double").alias("hi"),
+    )
+    out = range_join(docs, bands, "n_chars", "lo", "hi", bucket_width=100.0)
+    return out.select("doc_id", "band_id", F.col("n_chars").cast("long").alias("n_chars"))
 
 
 def q_lag_lead(spark, sf_dir):
@@ -651,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_bucketed": q_asof_bucketed,
         "asof_forward": q_asof_forward,
         "asof_tolerance": q_asof_tolerance,
+        "range_join": q_range_join,
         "lag_lead": q_lag_lead,
         "backfill": q_backfill,
         "sessionize": q_sessionize,
@@ -799,6 +814,12 @@ def oracle_sql() -> dict[str, str]:
                      AS purchase_value
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "range_join": """
+            SELECT d.doc_id, r.range AS band_id, CAST(d.n_chars AS BIGINT) AS n_chars
+            FROM documents d
+            JOIN range(20) r
+              ON d.n_chars >= r.range * 60 AND d.n_chars <= r.range * 60 + 100
         """,
         "tumbling_agg": """
             SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket,

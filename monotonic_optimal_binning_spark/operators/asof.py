@@ -170,6 +170,68 @@ def asof_join(
     return result.drop(*drop)
 
 
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    *,
+    keys: Sequence[str] = (),
+    bucket_width: float,
+    closed: str = "both",
+) -> DataFrame:
+    """Point-in-interval join as a BUCKETED EQUI-JOIN (inner).
+
+    Spark would otherwise plan ``p.v BETWEEN i.lo AND i.hi`` as a
+    broadcast-nested-loop (all-pairs per partition). Instead each interval
+    explodes into the fixed-width buckets it covers and each point maps to
+    exactly ONE bucket, so candidates meet through a hash-partitionable
+    equi-join on (keys..., bucket) and the exact BETWEEN filter runs only
+    on co-bucketed pairs. Because a point has a single bucket, no
+    deduplication is needed. Choose ``bucket_width`` near the typical
+    interval length: replication factor per interval is
+    ~(len/bucket_width)+1, while too-wide buckets make the post-filter do
+    the work.
+
+    ``closed``: 'both' (default), 'left', 'right', 'neither' — which
+    interval edges are inclusive.
+    """
+    bw = float(bucket_width)
+    if bw <= 0:
+        raise ValueError("bucket_width must be positive")
+    preds = {
+        "both": lambda p, lo, hi: (p >= lo) & (p <= hi),
+        "left": lambda p, lo, hi: (p >= lo) & (p < hi),
+        "right": lambda p, lo, hi: (p > lo) & (p <= hi),
+        "neither": lambda p, lo, hi: (p > lo) & (p < hi),
+    }
+    if closed not in preds:
+        raise ValueError(f"closed must be one of {sorted(preds)}")
+    overlap = set(points.columns) & set(intervals.columns) - set(keys)
+    if overlap:
+        raise ValueError(
+            f"points/intervals share non-key columns {sorted(overlap)}; "
+            f"rename before joining"
+        )
+    pts = points.withColumn(
+        "__rb", F.floor(F.col(point_col) / F.lit(bw)).cast("long")
+    )
+    ints = intervals.withColumn(
+        "__rb",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(bw)).cast("long"),
+                F.floor(F.col(hi_col) / F.lit(bw)).cast("long"),
+            )
+        ),
+    )
+    joined = pts.join(ints, on=["__rb", *keys]).filter(
+        preds[closed](F.col(point_col), F.col(lo_col), F.col(hi_col))
+    )
+    return joined.drop("__rb")
+
+
 def asof_join_bucketed(
     left: DataFrame,
     right: DataFrame,

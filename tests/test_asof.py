@@ -151,3 +151,65 @@ def test_column_collision_raises(spark):
             left_ts="ts",
             value_cols=["payload"],
         )
+
+
+def test_range_join_matches_naive(spark):
+    """Bucketed range join must equal the naive BETWEEN cross-join filter,
+    for every closed mode and regardless of bucket width."""
+    from monotonic_optimal_binning_spark.operators.asof import range_join
+
+    rng = np.random.default_rng(3)
+    pts = pd.DataFrame(
+        {"pid": range(200), "v": rng.uniform(0, 100, 200).round(2)}
+    )
+    lo = rng.uniform(0, 90, 30).round(2)
+    ivs = pd.DataFrame(
+        {"iid": range(30), "lo": lo, "hi": (lo + rng.uniform(0, 25, 30)).round(2)}
+    )
+    sp, si = spark.createDataFrame(pts), spark.createDataFrame(ivs)
+
+    ops = {
+        "both": lambda v, a, b: (v >= a) & (v <= b),
+        "left": lambda v, a, b: (v >= a) & (v < b),
+        "right": lambda v, a, b: (v > a) & (v <= b),
+        "neither": lambda v, a, b: (v > a) & (v < b),
+    }
+    cross = pts.merge(ivs, how="cross")
+    for closed, op in ops.items():
+        for bw in (5.0, 50.0):
+            got = (
+                range_join(sp, si, "v", "lo", "hi", bucket_width=bw, closed=closed)
+                .select("pid", "iid")
+                .toPandas()
+                .sort_values(["pid", "iid"])
+                .reset_index(drop=True)
+            )
+            exp = (
+                cross[op(cross["v"], cross["lo"], cross["hi"])][["pid", "iid"]]
+                .sort_values(["pid", "iid"])
+                .reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_range_join_keyed_and_guards(spark):
+    from monotonic_optimal_binning_spark.operators.asof import range_join
+
+    pts = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1, 2], "v": [5.0, 15.0, 5.0], "pid": [1, 2, 3]})
+    )
+    ivs = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2], "lo": [0.0, 10.0], "hi": [10.0, 20.0], "iid": [10, 20]})
+    )
+    got = (
+        range_join(pts, ivs, "v", "lo", "hi", keys=["k"], bucket_width=10.0)
+        .select("pid", "iid")
+        .toPandas()
+    )
+    # k=1: v=5 in [0,10] only; k=2: v=5 not in [10,20]
+    assert sorted(map(tuple, got.values.tolist())) == [(1, 10)]
+
+    with pytest.raises(ValueError, match="bucket_width"):
+        range_join(pts, ivs, "v", "lo", "hi", keys=["k"], bucket_width=0)
+    with pytest.raises(ValueError, match="closed"):
+        range_join(pts, ivs, "v", "lo", "hi", keys=["k"], bucket_width=1, closed="x")
