@@ -55,7 +55,9 @@ def exact_dedup(
     row per map task before the shuffle (a 10^8-duplicate page shuffles
     ~n_tasks rows, not 10^8, and no single reducer sorts it) — then a
     semi-join of df on the (unique, skew-free) id. Costs a second shuffle
-    of df by id; wins when duplication is heavy or skewed.
+    of df by id; wins when duplication is heavy or skewed. Assumes
+    ``id_col`` is unique per row (the semi-join would keep every row
+    carrying a winning id); the window strategy tolerates duplicate ids.
     """
     if keep not in ("min", "max"):
         raise ValueError("keep must be 'min' or 'max'")

@@ -147,3 +147,21 @@ def test_asof_join_string_payload(spark):
     assert got["v"].tolist() == [1, 2, 3]
     assert str(out.schema["tag"].dataType) == "StringType()"
     assert str(out.schema["v"].dataType) == "LongType()"
+
+
+def test_auto_fallback_equals_explicit_prebins(spark):
+    """The auto high-cardinality fallback (re-bucketing cached exact stats)
+    must produce the same bins as the direct explicit-prebins path (same
+    quantile splits, algebraic re-aggregation)."""
+    df = _highcard_df(spark, 200_000)
+    auto = SparkMonotonicBinner("x", "y").fit(df)
+    explicit = SparkMonotonicBinner(
+        "x", "y", prebins=auto.config.default_prebins
+    ).fit(df)
+    a, b = auto.bins_(), explicit.bins_()
+    assert len(a) == len(b)
+    np.testing.assert_allclose(
+        a[["left", "right", "n", "sum", "mean"]].to_numpy(float),
+        b[["left", "right", "n", "sum", "mean"]].to_numpy(float),
+        rtol=1e-9,
+    )
