@@ -490,6 +490,19 @@ def q_tfidf_topk(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive near-duplicate CLUSTERS: connected components
+    (large-star/small-star) of the exact n-gram-Jaccard pair graph. The
+    oracle recomputes components with a recursive CTE over the same pairs."""
+    from monotonic_optimal_binning_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
+    return connected_components(pairs).select("id", "component")
+
+
 def q_simhash_dedup(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return simhash_dedup(docs, "text", "doc_id").select("doc_id")
@@ -681,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_maxdf": q_ngram_jaccard_maxdf,
+        "dedup_clusters": q_dedup_clusters,
         "tfidf_topk": q_tfidf_topk,
         "simhash_dedup": q_simhash_dedup,
         "cosine_topk": q_cosine_topk,
@@ -991,6 +1005,37 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE common / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.4
+        """,
+        "dedup_clusters": r"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+                                         x -> x != '') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(0, greatest(len(t)-3, 0)+1),
+                       i -> array_to_string(list_slice(t, i+1, i+3), ' '))) AS sset
+              FROM toks),
+            post AS (SELECT doc_id, unnest(sset) AS s FROM sh),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM post GROUP BY doc_id),
+            common AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+              FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+            edges AS (
+              SELECT id_a, id_b FROM common
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE common / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.5),
+            bi AS (SELECT id_a AS u, id_b AS v FROM edges
+                   UNION SELECT id_b, id_a FROM edges),
+            walk(u, v) AS (
+              SELECT u, v FROM bi
+              UNION
+              SELECT w.u, b.v FROM walk w JOIN bi b ON w.v = b.u)
+            SELECT u AS id, least(u, min(v)) AS component
+            FROM walk GROUP BY u
         """,
         "tfidf_topk": r"""
             WITH docs30 AS (SELECT doc_id, text FROM documents WHERE doc_id < 30),

@@ -1,0 +1,84 @@
+"""Connected components (large-star/small-star) vs a Python union-find."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from monotonic_optimal_binning_spark.operators.graph import (
+    connected_components,
+    dedup_by_components,
+)
+
+
+def _union_find_labels(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min id per component
+    roots = {}
+    for x in range(n_nodes):
+        r = find(x)
+        roots.setdefault(r, []).append(x)
+    label = {}
+    for members in roots.values():
+        m = min(members)
+        for x in members:
+            label[x] = m
+    return label
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges", [(0, 60, 40), (1, 200, 150), (2, 50, 120)])
+def test_components_match_union_find(spark, seed, n_nodes, n_edges):
+    rng = np.random.default_rng(seed)
+    edges = [
+        (int(a), int(b))
+        for a, b in zip(
+            rng.integers(0, n_nodes, n_edges), rng.integers(0, n_nodes, n_edges)
+        )
+        if a != b
+    ]
+    pdf = pd.DataFrame(edges, columns=["id_a", "id_b"])
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(spark.createDataFrame(pdf)).collect()
+    }
+    exp = _union_find_labels(n_nodes, edges)
+    touched = {a for a, b in edges} | {b for a, b in edges}
+    assert set(got) == touched
+    for node in touched:
+        assert got[node] == exp[node], f"node {node}"
+
+
+def test_components_long_chain(spark):
+    """A chain is the worst case for plain label propagation (rounds =
+    diameter); star-algorithm must converge well inside max_iterations."""
+    n = 300
+    pdf = pd.DataFrame({"id_a": range(n - 1), "id_b": range(1, n)})
+    comp = connected_components(spark.createDataFrame(pdf), max_iterations=15)
+    res = comp.toPandas()
+    assert (res["component"] == 0).all()
+    assert len(res) == n
+
+
+def test_dedup_by_components_transitive(spark):
+    # A~B, B~C: transitive cluster {1,2,3} keeps only 1; {7,8} keeps 7
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 7, 8, 9], "text": list("abcdef")})
+    )
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [1, 2, 7], "id_b": [2, 3, 8]})
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_by_components(df, pairs, "doc_id").collect()
+    )
+    assert kept == [1, 7, 9]
