@@ -297,12 +297,16 @@ def minhash_dedup(
     shingle_size: int = 5,
     shingle_unit: str = "char",
     seed: int = 42,
+    transitive: bool = False,
 ) -> DataFrame:
     """Drop near-duplicates: a row is removed if it pairs (jaccard >=
-    threshold) with any surviving smaller id. Single-link transitive
-    clusters are approximated by one propagation round (min partner id),
-    which matches common corpus-dedup practice; exact connected components
-    would need an iterative join loop.
+    threshold) with any surviving smaller id.
+
+    ``transitive=False`` (default): one propagation round (min partner id)
+    — the cheap approximation common corpus-dedup pipelines use.
+    ``transitive=True``: exact single-link clusters via connected
+    components (operators/graph.py large-star/small-star) — keeps exactly
+    one row per transitive cluster (A~B, B~C drops C even when A!~C).
     """
     pairs = minhash_lsh_candidates(
         df,
@@ -314,6 +318,10 @@ def minhash_dedup(
         shingle_unit=shingle_unit,
         seed=seed,
     ).filter(F.col("jaccard") >= threshold)
+    if transitive:
+        from .graph import dedup_by_components
+
+        return dedup_by_components(df, pairs, id_col)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")
 

@@ -82,3 +82,28 @@ def test_dedup_by_components_transitive(spark):
         for r in dedup_by_components(df, pairs, "doc_id").collect()
     )
     assert kept == [1, 7, 9]
+
+
+def test_minhash_dedup_transitive(spark):
+    """transitive=True keeps one survivor per single-link cluster."""
+    import pandas as pd
+
+    from monotonic_optimal_binning_spark.operators.dedup import minhash_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    # 1~2 and 2~3 are near (one-word edits of each other); 9 is unrelated
+    rows = [
+        (1, base),
+        (2, base.replace("lazy", "sleepy")),
+        (3, base.replace("lazy", "sleepy").replace("quick", "rapid")),
+        (9, "completely different text with none of those words present"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    kept = sorted(
+        r["doc_id"]
+        for r in minhash_dedup(
+            df, "text", "doc_id", threshold=0.5, num_hashes=32, n_bands=16,
+            shingle_unit="word", shingle_size=2, transitive=True,
+        ).collect()
+    )
+    assert kept == [1, 9]
