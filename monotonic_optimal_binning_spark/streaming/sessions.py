@@ -115,6 +115,105 @@ def streaming_exact_dedup(
     return out.drop("__fp", "__shard")
 
 
+def streaming_asof_enrich(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str,
+    value_cols: Sequence[str],
+    *,
+    right_prefix: str = "",
+    output_mode: str = "append",
+) -> DataFrame:
+    """Streaming point-in-time enrichment: each left event gets the most
+    recent right-side values AT OR BEFORE its timestamp (backward as-of,
+    zero temporal leakage) — a custom stateful operator via
+    ``applyInPandasWithState``.
+
+    Plan: the two streams union with a side tag, group by the join key, and
+    each key's state carries (last right ts, last right values). Within a
+    micro-batch rows are sorted by (ts, side) with right-before-left at
+    equal ts (exact-match semantics of the batch :func:`operators.asof
+    .asof_join`); across micro-batches the state carries the newest right
+    row forward. Assumes per-key event-time order ACROSS batches (a
+    log-ordered source); a right row arriving late is applied from its
+    processing point onward, never retroactively — the streaming-world
+    trade-off, stated rather than hidden.
+
+    ``value_cols`` are carried as doubles in state (fixed state schema).
+    Output: left rows + prefixed value columns.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_names = [right_prefix + c for c in value_cols]
+    l_tagged = left.select(
+        F.col(on).alias("__k"),
+        F.col(ts).cast("double").alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__payload"),
+        *[F.lit(None).cast("double").alias(f"__v{i}") for i in range(len(value_cols))],
+    )
+    r_tagged = right.select(
+        F.col(on).alias("__k"),
+        F.col(ts).cast("double").alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(
+            l_tagged.schema["__payload"].dataType
+        ).alias("__payload"),
+        *[
+            F.col(c).cast("double").alias(f"__v{i}")
+            for i, c in enumerate(value_cols)
+        ],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+
+    out_schema = T.StructType(
+        list(left.schema.fields)
+        + [T.StructField(n, T.DoubleType()) for n in out_names]
+    )
+    state_schema = "ts double, " + ", ".join(
+        f"v{i} double" for i in range(len(value_cols))
+    )
+    n_vals = len(value_cols)
+    left_fields = [f.name for f in left.schema.fields]
+
+    def _enrich(key, pdf_iter, state: GroupState):
+        cur = list(state.get) if state.exists else [None] * (1 + n_vals)
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["__ts", "__side"], kind="mergesort")
+            sides = pdf["__side"].to_numpy()
+            tss = pdf["__ts"].to_numpy()
+            payloads = pdf["__payload"].to_numpy()
+            vals = [pdf[f"__v{i}"].to_numpy() for i in range(n_vals)]
+            out_rows = []
+            for j in range(len(pdf)):
+                if sides[j] == 0:  # right: advance state
+                    cur[0] = float(tss[j])
+                    for i in range(n_vals):
+                        v = vals[i][j]
+                        cur[1 + i] = None if pd.isna(v) else float(v)
+                else:  # left: emit enriched
+                    payload = payloads[j]  # struct -> dict/Row
+                    rec = {f: payload[f] for f in left_fields}
+                    for i, name in enumerate(out_names):
+                        rec[name] = cur[1 + i]
+                    out_rows.append(rec)
+            if out_rows:
+                yield pd.DataFrame(out_rows, columns=left_fields + out_names)
+        state.update(tuple(cur))
+
+    out = unioned.groupBy("__k").applyInPandasWithState(
+        _enrich,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode=output_mode,
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return out
+
+
 def streaming_woe_lookup(events: DataFrame, model, value_col: str) -> DataFrame:
     """Apply a fitted FittedBins model to a stream (stateless pandas UDF —
     identical code path as batch transform; works under writeStream)."""

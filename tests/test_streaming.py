@@ -120,3 +120,79 @@ def test_streaming_exact_dedup_across_batches(spark, tmp_path):
     # one survivor per distinct text, across all batches
     assert sorted(res["text"].tolist()) == ["alpha", "beta", "gamma"]
     assert res["text"].is_unique
+
+
+def test_streaming_asof_enrich_matches_batch(spark, tmp_path):
+    """Streaming point-in-time enrichment must equal the batch asof_join
+    when the per-key event-time-order assumption holds across batches."""
+    from monotonic_optimal_binning_spark.operators.asof import asof_join
+    from monotonic_optimal_binning_spark.streaming.sessions import (
+        streaming_asof_enrich,
+    )
+
+    rng = np.random.default_rng(7)
+    # two time-ordered chunks per side (log-ordered source)
+    def chunk(lo, hi, n, is_left):
+        ts = np.sort(rng.uniform(lo, hi, n)).round(3)
+        if is_left:
+            return pd.DataFrame(
+                {"k": rng.integers(0, 4, n), "ts": ts,
+                 "eid": np.arange(n) + int(lo * 1000)}
+            )
+        return pd.DataFrame(
+            {"k": rng.integers(0, 4, n), "ts": ts,
+             "val": rng.uniform(0, 100, n).round(2)}
+        )
+
+    l1, l2 = chunk(0, 50, 30, True), chunk(50, 100, 30, True)
+    r1, r2 = chunk(0, 50, 20, False), chunk(50, 100, 20, False)
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    spark.createDataFrame(l1).coalesce(1).write.parquet(lsrc + "/b1")
+    spark.createDataFrame(l2).coalesce(1).write.parquet(lsrc + "/b2")
+    spark.createDataFrame(r1).coalesce(1).write.parquet(rsrc + "/b1")
+    spark.createDataFrame(r2).coalesce(1).write.parquet(rsrc + "/b2")
+
+    lschema = spark.read.parquet(lsrc + "/b1").schema
+    rschema = spark.read.parquet(rsrc + "/b1").schema
+    # one file per trigger -> the [0,50) and [50,100) chunks arrive in
+    # separate micro-batches, exercising the cross-batch state carry
+    lstream = (
+        spark.readStream.schema(lschema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(lsrc + "/*")
+    )
+    rstream = (
+        spark.readStream.schema(rschema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(rsrc + "/*")
+    )
+
+    out = streaming_asof_enrich(
+        lstream, rstream, on="k", ts="ts", value_cols=["val"],
+        right_prefix="last_",
+    )
+    _run_to_memory(out, "asof_stream", "append")
+    got = (
+        spark.sql("select * from asof_stream")
+        .toPandas()
+        .sort_values(["k", "ts", "eid"])
+        .reset_index(drop=True)
+    )
+
+    lall = pd.concat([l1, l2], ignore_index=True)
+    rall = pd.concat([r1, r2], ignore_index=True)
+    expected = (
+        asof_join(
+            spark.createDataFrame(lall), spark.createDataFrame(rall),
+            on="k", left_ts="ts", value_cols=["val"], right_prefix="last_",
+        )
+        .toPandas()
+        .sort_values(["k", "ts", "eid"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(lall)
+    np.testing.assert_allclose(
+        got["last_val"].to_numpy(float),
+        expected["last_val"].to_numpy(float),
+        equal_nan=True,
+    )
