@@ -538,30 +538,32 @@ class SparkMonotonicBinner:
             )
 
         if self.prebins == "auto":
-            # Common case is ONE job: collect the exact aggregate behind a
-            # LIMIT guard — if it returns <= MAX rows the result is complete
-            # and exact (reference-identical); if the guard trips, the
-            # high-cardinality fallback re-runs the aggregate cached
-            # executor-side and folds it into quantile buckets without
-            # re-collecting per-x state (driver never sees > MAX+1 rows).
+            # ONE upstream scan in every case: the exact aggregate is
+            # persisted and collected behind a LIMIT guard. If it returns
+            # <= MAX rows the result is complete and exact
+            # (reference-identical). If the guard trips, the fallback folds
+            # the SAME cached aggregate into quantile buckets (the limit
+            # job already ran the aggregate's shuffle map stage, so the
+            # re-aggregation reads shuffle/cache, never the input again) —
+            # only the approxQuantile split probe re-touches df, and only
+            # on this rare high-cardinality path.
             guard = self.AUTO_EXACT_MAX_GROUPS
-            stats = _exact_agg().limit(guard + 1).collect()
+            stats_df = _exact_agg().persist()
+            stats = stats_df.limit(guard + 1).collect()
             prebinned = False
             if len(stats) > guard:
                 splits = self._prebin_splits(
                     df, x_clean, k=self.config.default_prebins
                 )
                 if splits is not None:
-                    stats_df = _exact_agg().persist()
                     stats = _rebucket_stats(stats_df, splits).collect()
                     stats += stats_df.filter(F.col("tag") != "C").collect()
-                    stats_df.unpersist()
                     prebinned = True
                 # else: degenerate x (no finite interior quantiles) — the
-                # guard overflow can then only come from M/E tag rows; keep
-                # the exact rows already collected
+                # guard overflow can then only come from M/E tag rows
                 else:
-                    stats = _exact_agg().collect()
+                    stats = stats_df.collect()
+            stats_df.unpersist()
         else:
             splits = self._prebin_splits(df, x_clean)
             if splits is not None:
@@ -1081,24 +1083,25 @@ def fit_binners_per_group(
         )
 
     if prebins == "auto":
-        # same ONE-job guarded-collect policy as the single fit, bounding
-        # the TOTAL (all-groups) collect size; the fallback's prebinned
-        # collect is bounded by n_groups * default_prebins rows
+        # same single-upstream-scan guarded-collect policy as the single
+        # fit (persisted exact aggregate + LIMIT guard), bounding the TOTAL
+        # (all-groups) collect size; the fallback's prebinned collect is
+        # bounded by n_groups * default_prebins rows
         guard = tmpl.AUTO_EXACT_MAX_GROUPS
-        stats = _exact_agg().limit(guard + 1).collect()
+        stats_df = _exact_agg().persist()
+        stats = stats_df.limit(guard + 1).collect()
         prebinned = False
         if len(stats) > guard:
             splits = tmpl._prebin_splits(df, x_clean, k=config.default_prebins)
             if splits is not None:
-                stats_df = _exact_agg().persist()
                 stats = _rebucket_stats(
                     stats_df, splits, extra_keys=("_g",)
                 ).collect()
                 stats += stats_df.filter(F.col("tag") != "C").collect()
-                stats_df.unpersist()
                 prebinned = True
             else:
-                stats = _exact_agg().collect()
+                stats = stats_df.collect()
+        stats_df.unpersist()
     else:
         splits = tmpl._prebin_splits(df, x_clean)
         if splits is not None:
