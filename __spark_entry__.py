@@ -35,6 +35,7 @@ from monotonic_optimal_binning_spark.operators.dedup import (
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
     simhash_dedup,
+    simhash_neardup_pairs,
 )
 from monotonic_optimal_binning_spark.operators.similarity import (
     brute_force_topk,
@@ -508,6 +509,16 @@ def q_simhash_dedup(spark, sf_dir):
     return simhash_dedup(docs, "text", "doc_id").select("doc_id")
 
 
+def q_simhash_neardup(spark, sf_dir):
+    """Pairs within 8 SimHash bits via the banded Hamming equi-join —
+    exact given the fingerprint function (pigeonhole), but the xxhash64
+    fingerprints aren't reproducible in ANSI SQL -> rows-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(docs, "text", "doc_id", max_hamming=8).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
 def q_cosine_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
@@ -697,6 +708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "tfidf_topk": q_tfidf_topk,
         "simhash_dedup": q_simhash_dedup,
+        "simhash_neardup": q_simhash_neardup,
         "cosine_topk": q_cosine_topk,
         "lsh_topk": q_lsh_topk,
         "embedding_neardup": q_embedding_neardup,

@@ -466,6 +466,86 @@ def simhash_dedup(
     return exact_dedup(out, ["__simhash"], id_col, keep=keep).drop("__simhash")
 
 
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    max_hamming: int = 3,
+    n_blocks: Optional[int] = None,
+    max_bucket_size: Optional[int] = 5000,
+) -> DataFrame:
+    """All pairs whose 64-bit SimHash fingerprints differ by at most
+    ``max_hamming`` bits — EXACT by pigeonhole, not probabilistic.
+
+    The fingerprint splits into ``n_blocks`` (default max_hamming+1)
+    contiguous bit blocks; two fingerprints within ``max_hamming`` bits
+    MUST agree on at least one block, so candidates meet through an
+    equi-join on (block index, block value) and the exact popcount(xor)
+    verify runs only on co-bucketed pairs. Null fingerprints (null text)
+    never pair. ``max_bucket_size`` drops degenerate blocks (run
+    :func:`exact_dedup` first — identical fingerprints are cheaper exact).
+
+    Output: (id_a, id_b, hamming) with id_a < id_b.
+    """
+    n_blocks = n_blocks if n_blocks is not None else max_hamming + 1
+    if n_blocks < max_hamming + 1:
+        raise ValueError(
+            f"n_blocks={n_blocks} < max_hamming+1={max_hamming + 1}: the "
+            f"pigeonhole guarantee needs at least max_hamming+1 blocks"
+        )
+    if n_blocks > 64:
+        raise ValueError("n_blocks must be <= 64")
+
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+    base = df.select(
+        F.col(id_col).alias("id"), simhash(toks).alias("__fp")
+    ).filter(F.col("__fp").isNotNull()).persist()
+
+    width = 64 // n_blocks
+    blocks = []
+    for i in range(n_blocks):
+        w = width if i < n_blocks - 1 else 64 - width * (n_blocks - 1)
+        shifted = F.shiftrightunsigned(F.col("__fp"), i * width)
+        mask = (1 << w) - 1
+        blocks.append(shifted.bitwiseAND(F.lit(mask)))
+
+    banded = base.select(
+        "id",
+        F.posexplode(F.array(*blocks)).alias("band", "bucket"),
+    )
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("__bsz", F.count(F.lit(1)).over(wb))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
+    a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
+    pairs = (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    scored = (
+        pairs.join(base.select(F.col("id").alias("id_a"), F.col("__fp").alias("__fa")),
+                   on="id_a")
+        .join(base.select(F.col("id").alias("id_b"), F.col("__fp").alias("__fb")),
+              on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            hamming_distance(F.col("__fa"), F.col("__fb")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    out = scored.localCheckpoint(eager=True)
+    base.unpersist()
+    return out
+
+
 def embedding_neardup_pairs(
     df: "DataFrame",
     vec_col: str,

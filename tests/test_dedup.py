@@ -166,3 +166,58 @@ def test_exact_dedup_agg_strategy_equals_window(spark):
         b = exact_dedup(df, ["text"], "doc_id", keep=keep, strategy="agg").toPandas()
         assert sorted(a["doc_id"]) == sorted(b["doc_id"])
         assert len(a) == 17
+
+
+def test_simhash_neardup_pairs_exact_by_pigeonhole(spark):
+    """Banded Hamming join must return EXACTLY the brute-force set of pairs
+    within max_hamming bits (pigeonhole guarantee with n_blocks = k+1)."""
+    from monotonic_optimal_binning_spark.operators.dedup import (
+        simhash,
+        simhash_neardup_pairs,
+    )
+
+    base_words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    rows = []
+    rng = np.random.default_rng(4)
+    for i in range(40):
+        words = list(base_words)
+        # perturb a few docs lightly (near-dups), others heavily
+        n_swap = int(rng.integers(0, 6))
+        for j in rng.integers(0, len(words), n_swap):
+            words[j] = f"tok{rng.integers(0, 50)}"
+        rows.append((i, " ".join(words)))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
+    fps = {
+        r["doc_id"]: r["fp"]
+        for r in df.select("doc_id", simhash(toks).alias("fp")).collect()
+    }
+    for k in (2, 4):
+        expected = sorted(
+            (a, b)
+            for a in fps
+            for b in fps
+            if a < b and bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1") <= k
+        )
+        got = sorted(
+            (r["id_a"], r["id_b"])
+            for r in simhash_neardup_pairs(
+                df, "text", "doc_id", max_hamming=k
+            ).collect()
+        )
+        assert got == expected, f"max_hamming={k}"
+
+
+def test_simhash_neardup_guards(spark):
+    from monotonic_optimal_binning_spark.operators.dedup import (
+        simhash_neardup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a b c", None]})
+    )
+    # null text never pairs; invalid block counts raise
+    assert simhash_neardup_pairs(df, "text", "doc_id").count() == 0
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_neardup_pairs(df, "text", "doc_id", max_hamming=3, n_blocks=2)
