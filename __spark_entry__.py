@@ -43,7 +43,6 @@ from monotonic_optimal_binning_spark.operators.similarity import (
 )
 from monotonic_optimal_binning_spark.operators.textstats import (
     bpe_ish_token_count,
-    fingerprint,
     language_id,
     quality_features,
     tf_idf,

@@ -24,7 +24,6 @@ import os
 from typing import Optional
 
 from pyspark.sql import SparkSession
-from pyspark.sql import functions as F
 
 from .core.constraints import BinningConstraints
 from .functions.timeutil import pin_utc
@@ -35,7 +34,6 @@ from .operators.binning import (
     fit_binners_per_group,
 )
 from .plans.checkpoint import PipelineRun, run_stage
-from .sources.tables import load_table
 
 
 def _spark(app: str) -> SparkSession:

@@ -18,8 +18,6 @@ unboundedly and overwhelm the optimizer).
 
 from __future__ import annotations
 
-from typing import Optional
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
