@@ -52,6 +52,7 @@ from monotonic_optimal_binning_spark.operators.windows import (
     backfill,
     rolling_stats,
     sessionize,
+    sliding_window_agg,
     time_bucket,
     with_lag_lead,
 )
@@ -394,6 +395,17 @@ def q_tumbling_agg(spark, sf_dir):
     )
 
 
+def q_sliding_window(spark, sf_dir):
+    """1-hour windows sliding every 15 minutes (native window generator)."""
+    pin_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    micro = F.floor(F.col("value") * 1e6).cast("long")
+    return sliding_window_agg(
+        ev, "ts", 3600, 900, keys=("event_type",),
+        aggs={"n": F.count(F.lit(1)), "value_micro": F.sum(micro)},
+    )
+
+
 def q_exact_dedup(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return exact_dedup(docs, ["text"], "doc_id").select("doc_id", "source")
@@ -694,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "rolling_stats": q_rolling_stats,
         "tumbling_agg": q_tumbling_agg,
+        "sliding_window": q_sliding_window,
         "exact_dedup": q_exact_dedup,
         "exact_dedup_agg": q_exact_dedup_agg,
         "token_count": q_token_count,
@@ -899,6 +912,23 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        """,
+        "sliding_window": """
+            -- each row belongs to windows starting at k*900 for
+            -- k in [floor((t-3600)/900)+1, floor(t/900)] (epoch-aligned,
+            -- [start, start+3600) — same alignment as Spark's F.window)
+            WITH e AS (SELECT epoch(ts) AS t, event_type, value FROM events),
+            expanded AS (
+              SELECT event_type, value,
+                     unnest(generate_series(
+                       CAST(floor((t - 3600) / 900) AS BIGINT) + 1,
+                       CAST(floor(t / 900) AS BIGINT))) * 900 AS window_start
+              FROM e)
+            SELECT event_type, CAST(window_start AS BIGINT) AS window_start,
+                   count(*) AS n,
+                   CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT)
+                     AS value_micro
+            FROM expanded GROUP BY event_type, window_start
         """,
         "exact_dedup": """
             SELECT doc_id, source FROM (

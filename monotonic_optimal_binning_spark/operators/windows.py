@@ -179,3 +179,40 @@ def time_bucket(df: DataFrame, ts: str, seconds: float, out_col: str = "bucket")
     return df.withColumn(
         out_col, F.floor(epoch_seconds(df, ts) / F.lit(float(seconds)))
     )
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    ts: str,
+    width_seconds: int,
+    slide_seconds: int,
+    *,
+    keys: Sequence[str] = (),
+    aggs: Optional[dict] = None,
+) -> DataFrame:
+    """Sliding-window aggregation via the native ``F.window`` generator
+    (each row replicates into width/slide overlapping epoch-aligned
+    windows — Catalyst's Expand, no join). Output: keys...,
+    window_start (epoch seconds, long), one column per agg.
+
+    ``aggs``: {out_name: Column-aggregate}; defaults to a row count.
+    """
+    if aggs is None:
+        aggs = {"n": F.count(F.lit(1))}
+    w = F.window(
+        F.col(ts), f"{int(width_seconds)} seconds", f"{int(slide_seconds)} seconds"
+    )
+    # window start is TIMESTAMP(_NTZ); ANSI refuses a direct long cast —
+    # route via timestamp_ltz (engine entry points pin session tz = UTC)
+    start_epoch = (
+        F.col("__w.start").cast("timestamp_ltz").cast("double").cast("long")
+    )
+    return (
+        df.groupBy(*[F.col(k) for k in keys], w.alias("__w"))
+        .agg(*[expr.alias(name) for name, expr in aggs.items()])
+        .select(
+            *keys,
+            start_epoch.alias("window_start"),
+            *aggs.keys(),
+        )
+    )
