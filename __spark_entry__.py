@@ -39,6 +39,7 @@ from monotonic_optimal_binning_spark.operators.dedup import (
 )
 from monotonic_optimal_binning_spark.operators.similarity import (
     brute_force_topk,
+    ivf_topk,
     lsh_topk,
 )
 from monotonic_optimal_binning_spark.operators.textstats import (
@@ -556,6 +557,20 @@ def q_lsh_topk(spark, sf_dir):
     )
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN tier: k-means coarse cells + n_probe nearest-cell candidate
+    join + exact re-score (training is data-dependent -> rows-only)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", _R).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs via hyperplane-LSH candidates +
     exact re-score (candidate set is probabilistic -> rows-only)."""
@@ -723,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "cosine_topk": q_cosine_topk,
         "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         "media_features": q_media_features,
         "tpch_q1": q_tpch_q1,

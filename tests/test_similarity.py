@@ -1,6 +1,7 @@
 """Similarity search vs numpy brute-force oracle on real embeddings."""
 
 import numpy as np
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -74,3 +75,61 @@ def test_lsh_topk_reasonable_recall(emb, spark):
         b = np.array(pdf.loc[pdf["vec_id"] == row["neighbor_id"], "embedding"].iloc[0])
         expected = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
         assert row["cosine"] == pytest.approx(expected, rel=1e-5)
+
+
+def test_ivf_topk_full_probe_equals_brute_force(spark):
+    """Probing every cell degenerates IVF to an exact scan — results must
+    equal brute_force_topk exactly."""
+    from monotonic_optimal_binning_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((80, 12))
+    pdf = pd.DataFrame(
+        {"vec_id": range(80), "embedding": [v.tolist() for v in vecs]}
+    )
+    corpus = spark.createDataFrame(pdf)
+    queries = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(corpus, queries, k=4).select(
+        "query_id", "neighbor_id", "rank"
+    ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    ivf = ivf_topk(
+        corpus, queries, k=4, n_cells=6, n_probe=6, seed=1
+    ).select("query_id", "neighbor_id", "rank").toPandas().sort_values(
+        ["query_id", "rank"]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(ivf, exact, check_dtype=False)
+
+
+def test_ivf_topk_recall_on_clustered_data(spark):
+    """On well-separated clusters, probing 1 cell already finds the true
+    neighbors (they share the query's cluster)."""
+    from monotonic_optimal_binning_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((4, 10)) * 20
+    rows = []
+    for i in range(120):
+        c = i % 4
+        rows.append((i, (centers[c] + rng.normal(0, 0.2, 10)).tolist()))
+    corpus = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+    queries = corpus.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(corpus, queries, k=5).toPandas()
+    approx = ivf_topk(corpus, queries, k=5, n_cells=4, n_probe=1, seed=3).toPandas()
+    hits = 0
+    for qid in range(4):
+        e = set(exact[exact["query_id"] == qid]["neighbor_id"])
+        a = set(approx[approx["query_id"] == qid]["neighbor_id"])
+        hits += len(e & a)
+    assert hits >= 0.9 * 4 * 5  # >=90% recall with 1-cell probes
