@@ -213,3 +213,20 @@ def test_range_join_keyed_and_guards(spark):
         range_join(pts, ivs, "v", "lo", "hi", keys=["k"], bucket_width=0)
     with pytest.raises(ValueError, match="closed"):
         range_join(pts, ivs, "v", "lo", "hi", keys=["k"], bucket_width=1, closed="x")
+
+
+def test_range_join_negative_values(spark):
+    from monotonic_optimal_binning_spark.operators.asof import range_join
+
+    pts = spark.createDataFrame(
+        pd.DataFrame({"pid": [1, 2, 3], "v": [-15.0, -5.0, 5.0]})
+    )
+    ivs = spark.createDataFrame(
+        pd.DataFrame({"iid": [1, 2], "lo": [-20.0, -10.0], "hi": [-10.0, 10.0]})
+    )
+    got = sorted(
+        map(tuple, range_join(pts, ivs, "v", "lo", "hi", bucket_width=7.0)
+            .select("pid", "iid").toPandas().values.tolist())
+    )
+    # -15 in [-20,-10]; -5 in [-10,10]; 5 in [-10,10]; -10 boundary not hit
+    assert got == [(1, 1), (2, 2), (3, 2)]

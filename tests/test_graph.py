@@ -107,3 +107,18 @@ def test_minhash_dedup_transitive(spark):
         ).collect()
     )
     assert kept == [1, 9]
+
+
+def test_components_string_ids(spark):
+    """Ids only need a total order — string doc ids work."""
+    pdf = pd.DataFrame(
+        {"id_a": ["doc-b", "doc-c", "doc-x"], "id_b": ["doc-a", "doc-b", "doc-y"]}
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(spark.createDataFrame(pdf)).collect()
+    }
+    assert got == {
+        "doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a",
+        "doc-x": "doc-x", "doc-y": "doc-x",
+    }
