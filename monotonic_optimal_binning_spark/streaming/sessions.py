@@ -180,28 +180,42 @@ def streaming_asof_enrich(
     left_fields = [f.name for f in left.schema.fields]
 
     def _enrich(key, pdf_iter, state: GroupState):
+        # fully vectorized batch body (no per-row Python): the (ts, side)
+        # sort puts each left row after every eligible right row, so the
+        # matching right row index is prefix_count_of_rights - 1; index -1
+        # falls back to the carried state value
+        import numpy as np
+
         cur = list(state.get) if state.exists else [None] * (1 + n_vals)
         for pdf in pdf_iter:
             pdf = pdf.sort_values(["__ts", "__side"], kind="mergesort")
-            sides = pdf["__side"].to_numpy()
-            tss = pdf["__ts"].to_numpy()
-            payloads = pdf["__payload"].to_numpy()
-            vals = [pdf[f"__v{i}"].to_numpy() for i in range(n_vals)]
-            out_rows = []
-            for j in range(len(pdf)):
-                if sides[j] == 0:  # right: advance state
-                    cur[0] = float(tss[j])
-                    for i in range(n_vals):
-                        v = vals[i][j]
-                        cur[1 + i] = None if pd.isna(v) else float(v)
-                else:  # left: emit enriched
-                    payload = payloads[j]  # struct -> dict/Row
-                    rec = {f: payload[f] for f in left_fields}
-                    for i, name in enumerate(out_names):
-                        rec[name] = cur[1 + i]
-                    out_rows.append(rec)
-            if out_rows:
-                yield pd.DataFrame(out_rows, columns=left_fields + out_names)
+            is_right = (pdf["__side"].to_numpy() == 0)
+            is_left = ~is_right
+            if is_left.any():
+                prefix_rights = np.cumsum(is_right)[is_left]  # per left row
+                match_idx = prefix_rights - 1
+                out = pd.DataFrame(
+                    list(pdf["__payload"].to_numpy()[is_left]),
+                    columns=left_fields,
+                )
+                for i, name in enumerate(out_names):
+                    rv = pdf[f"__v{i}"].to_numpy(dtype=float)[is_right]
+                    state_v = np.nan if cur[1 + i] is None else cur[1 + i]
+                    col = np.where(
+                        match_idx >= 0,
+                        rv[np.clip(match_idx, 0, None)] if len(rv) else np.nan,
+                        state_v,
+                    )
+                    # nullable Float64 so no-match NaN arrives as SQL NULL
+                    # (matching the batch as-of), not as a NaN double
+                    out[name] = pd.array(col, dtype="Float64")
+                yield out
+            if is_right.any():
+                last = int(np.nonzero(is_right)[0][-1])
+                cur[0] = float(pdf["__ts"].iloc[last])
+                for i in range(n_vals):
+                    v = pdf[f"__v{i}"].iloc[last]
+                    cur[1 + i] = None if pd.isna(v) else float(v)
         state.update(tuple(cur))
 
     out = unioned.groupBy("__k").applyInPandasWithState(
