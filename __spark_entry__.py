@@ -184,6 +184,38 @@ def q_bin_fit_summary(spark, sf_dir):
     return b.summary_spark(spark)
 
 
+def q_bin_fit_monotone(spark, sf_dir):
+    """The FULL MOB fit made value-checkable: on a construction whose group
+    means are strictly monotone (verified 15pp gaps on this data) with
+    max_bins >= n_groups, PAVA pools nothing and the merge loop runs zero
+    iterations, so the fitted summary (labels, counts, WoE/IV with 0.5
+    smoothing) is exactly the per-group SQL aggregate — the one
+    deterministic slice of the iterative solver an ANSI oracle can check."""
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.select(
+        F.pmod(F.col("user_id"), F.lit(5)).cast("double").alias("x"),
+        (
+            F.pmod(F.col("event_id"), F.lit(100))
+            < (F.pmod(F.col("user_id"), F.lit(5)) + 1) * 15
+        ).cast("int").alias("y"),
+    )
+    b = SparkMonotonicBinner(
+        "x", "y", prebins="exact",
+        constraints=BinningConstraints(max_bins=10, min_bins=2),
+    ).fit(df)
+    s = b.summary_spark(spark)
+    return s.select(
+        "bucket",
+        F.col("count").cast("long").alias("count"),
+        F.round("count_pct", _R).alias("count_pct"),
+        F.round("sum", _R).alias("sum"),
+        F.round("mean", _R).alias("mean"),
+        F.round("std", _R).alias("std"),
+        F.round("woe", _R).alias("woe"),
+        F.round("iv", _R).alias("iv"),
+    )
+
+
 def q_woe_transform(spark, sf_dir):
     """Broadcast WoE lookup on raw values (rows-only: depends on fit)."""
     df = _li_xy(spark, sf_dir)
@@ -709,6 +741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulative_stats": q_cumulative_stats,
         "sign_correlation": q_sign_correlation,
         "bin_fit_summary": q_bin_fit_summary,
+        "bin_fit_monotone": q_bin_fit_monotone,
         "woe_transform": q_woe_transform,
         "fixed_bucket_woe": q_fixed_bucket_woe,
         "asof_join": q_asof_join,
@@ -819,6 +852,34 @@ def oracle_sql() -> dict[str, str]:
                          ln(((count - bads + 0.5) / (tc - tb + 0.5*k)) /
                             ((bads + 0.5) / (tb + 0.5*k))), 6) AS iv
             FROM agg CROSS JOIN tot
+        """,
+        "bin_fit_monotone": """
+            WITH d AS (
+              SELECT CAST(user_id % 5 AS DOUBLE) AS x,
+                     CAST((event_id % 100) < (user_id % 5 + 1) * 15 AS INT) AS y
+              FROM events),
+            g AS (
+              SELECT x, count(*) AS count, CAST(sum(y) AS DOUBLE) AS bads,
+                     avg(y) AS mean, stddev_samp(CAST(y AS DOUBLE)) AS std
+              FROM d GROUP BY x),
+            tot AS (SELECT sum(count) AS tc, sum(bads) AS tb,
+                           count(*) AS k FROM g)
+            SELECT CASE CAST(x AS INT)
+                     WHEN 0 THEN '(-inf, 1)' WHEN 1 THEN '[1, 2)'
+                     WHEN 2 THEN '[2, 3)' WHEN 3 THEN '[3, 4)'
+                     ELSE '[4, +inf)' END AS bucket,
+                   CAST(count AS BIGINT) AS count,
+                   round(count / tc * 100, 6) AS count_pct,
+                   round(bads, 6) AS sum,
+                   round(mean, 6) AS mean,
+                   round(std, 6) AS std,
+                   round(ln(((count - bads + 0.5) / (tc - tb + 0.5*k)) /
+                            ((bads + 0.5) / (tb + 0.5*k))), 6) AS woe,
+                   round((((count - bads + 0.5) / (tc - tb + 0.5*k)) -
+                          ((bads + 0.5) / (tb + 0.5*k))) *
+                         ln(((count - bads + 0.5) / (tc - tb + 0.5*k)) /
+                            ((bads + 0.5) / (tb + 0.5*k))), 6) AS iv
+            FROM g CROSS JOIN tot
         """,
         "asof_join": """
             WITH l AS (
