@@ -216,6 +216,29 @@ def q_bin_fit_monotone(spark, sf_dir):
     )
 
 
+def q_woe_transform_monotone(spark, sf_dir):
+    """The broadcast searchsorted WoE-lookup UDF value-checked: on the
+    no-merge monotone construction every x maps to its own bin, so the
+    transformed column must equal the per-group WoE formula exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.select(
+        F.pmod(F.col("user_id"), F.lit(5)).cast("double").alias("x"),
+        (
+            F.pmod(F.col("event_id"), F.lit(100))
+            < (F.pmod(F.col("user_id"), F.lit(5)) + 1) * 15
+        ).cast("int").alias("y"),
+    )
+    b = SparkMonotonicBinner(
+        "x", "y", prebins="exact",
+        constraints=BinningConstraints(max_bins=10, min_bins=2),
+    ).fit(df)
+    out = b.transform(df, assign="woe", output_col="x_woe")
+    return out.groupBy(F.col("x").cast("long").alias("x")).agg(
+        F.round(F.avg("x_woe"), _R).alias("woe"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def q_woe_transform(spark, sf_dir):
     """Broadcast WoE lookup on raw values (rows-only: depends on fit)."""
     df = _li_xy(spark, sf_dir)
@@ -743,6 +766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bin_fit_summary": q_bin_fit_summary,
         "bin_fit_monotone": q_bin_fit_monotone,
         "woe_transform": q_woe_transform,
+        "woe_transform_monotone": q_woe_transform_monotone,
         "fixed_bucket_woe": q_fixed_bucket_woe,
         "asof_join": q_asof_join,
         "asof_join_bucketed": q_asof_bucketed,
@@ -879,6 +903,22 @@ def oracle_sql() -> dict[str, str]:
                           ((bads + 0.5) / (tb + 0.5*k))) *
                          ln(((count - bads + 0.5) / (tc - tb + 0.5*k)) /
                             ((bads + 0.5) / (tb + 0.5*k))), 6) AS iv
+            FROM g CROSS JOIN tot
+        """,
+        "woe_transform_monotone": """
+            WITH d AS (
+              SELECT CAST(user_id % 5 AS DOUBLE) AS x,
+                     CAST((event_id % 100) < (user_id % 5 + 1) * 15 AS INT) AS y
+              FROM events),
+            g AS (
+              SELECT x, count(*) AS count, CAST(sum(y) AS DOUBLE) AS bads
+              FROM d GROUP BY x),
+            tot AS (SELECT sum(count) AS tc, sum(bads) AS tb,
+                           count(*) AS k FROM g)
+            SELECT CAST(x AS BIGINT) AS x,
+                   round(ln(((count - bads + 0.5) / (tc - tb + 0.5*k)) /
+                            ((bads + 0.5) / (tb + 0.5*k))), 6) AS woe,
+                   CAST(count AS BIGINT) AS n
             FROM g CROSS JOIN tot
         """,
         "asof_join": """
