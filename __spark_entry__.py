@@ -439,6 +439,20 @@ def q_rolling_stats(spark, sf_dir):
     )
 
 
+def q_json_extract(spark, sf_dir):
+    """JSON property extraction (get_json_object, JVM-side) + typed agg —
+    the JSON scalar-function family the reference lacks entirely."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.select("event_type", k.alias("k")).groupBy(
+        "event_type", F.pmod(F.col("k"), F.lit(10)).alias("k_mod")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("k_sum"),
+        F.max("k").alias("k_max"),
+    )
+
+
 def q_tumbling_agg(spark, sf_dir):
     """Tumbling 1-hour window aggregate (time_bucket operator)."""
     pin_utc(spark)
@@ -773,6 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_forward": q_asof_forward,
         "asof_tolerance": q_asof_tolerance,
         "range_join": q_range_join,
+        "json_extract": q_json_extract,
         "lag_lead": q_lag_lead,
         "backfill": q_backfill,
         "sessionize": q_sessionize,
@@ -975,6 +990,17 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             JOIN range(20) r
               ON d.n_chars >= r.range * 60 AND d.n_chars <= r.range * 60 + 100
+        """,
+        "json_extract": """
+            SELECT event_type,
+                   CAST(k % 10 AS BIGINT) AS k_mod,
+                   count(*) AS n,
+                   CAST(sum(k) AS BIGINT) AS k_sum,
+                   CAST(max(k) AS BIGINT) AS k_max
+            FROM (SELECT event_type,
+                         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                  FROM events)
+            GROUP BY event_type, k % 10
         """,
         "tumbling_agg": """
             SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket,
