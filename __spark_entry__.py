@@ -67,6 +67,12 @@ _EMBED_DIM = 64  # embeddings.parquet vector length at every sf (fixed by the
 _MEDIA_ROWS = 2000  # synthetic media table size for the media_features query
 _MEDIA_SEED = 42
 
+from monotonic_optimal_binning_spark.operators.sampling import split_thresholds
+
+# hex thresholds for the deterministic_split query + its oracle (single
+# source of truth so the two sides can never drift)
+_SPLIT_THRESH = split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
+
 
 def _round(df: DataFrame, cols) -> DataFrame:
     for c in cols:
@@ -476,6 +482,24 @@ def q_sliding_window(spark, sf_dir):
     )
 
 
+def q_deterministic_split(spark, sf_dir):
+    """Reproducible train/val/test assignment as a pure function of
+    (id, salt) — stable across partitioning/cluster size, unlike
+    randomSplit; the oracle re-derives every row's split from md5."""
+    from monotonic_optimal_binning_spark.operators.sampling import (
+        deterministic_split,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = deterministic_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("n_chars").cast("long")).alias("chars"),
+    )
+
+
 def q_exact_dedup(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return exact_dedup(docs, ["text"], "doc_id").select("doc_id", "source")
@@ -794,6 +818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_stats": q_rolling_stats,
         "tumbling_agg": q_tumbling_agg,
         "sliding_window": q_sliding_window,
+        "deterministic_split": q_deterministic_split,
         "exact_dedup": q_exact_dedup,
         "exact_dedup_agg": q_exact_dedup_agg,
         "token_count": q_token_count,
@@ -1072,6 +1097,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT)
                      AS value_micro
             FROM expanded GROUP BY event_type, window_start
+        """,
+        "deterministic_split": f"""
+            -- re-derives the engine's md5-hex-prefix split assignment
+            WITH s AS (
+              SELECT n_chars,
+                     substring(md5(concat('split', CAST(doc_id AS VARCHAR))), 1, 8)
+                       AS h
+              FROM documents)
+            SELECT CASE WHEN h < '{_SPLIT_THRESH["train"]}' THEN 'train'
+                        WHEN h < '{_SPLIT_THRESH["val"]}' THEN 'val'
+                        ELSE 'test' END AS split,
+                   count(*) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS chars
+            FROM s GROUP BY 1
         """,
         "exact_dedup": """
             SELECT doc_id, source FROM (

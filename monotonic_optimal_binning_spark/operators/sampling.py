@@ -1,0 +1,87 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+``randomSplit``/``sample`` are seed-dependent on PARTITIONING: the same
+seed yields different rows after a repartition or a cluster resize, which
+silently leaks held-out data across reruns. These operators derive the
+assignment from a hash of a stable row id instead — the split is a pure
+function of (id, salt), reproducible across runs, cluster sizes, row
+order, and engines (md5 is everywhere, so an ANSI-SQL oracle can verify
+the exact assignment).
+
+Mechanism: the first 8 hex chars of md5(salt || id) are uniform over
+16^8 buckets; cumulative-weight thresholds are compared as HEX STRINGS
+(lowercase hex compares lexicographically == numerically), so no
+bigint-from-hex conversion is needed on either side.
+
+The reference has no sampling surface; engine-new for the training-data
+pipeline (reproducible train/val/test splits, fractional corpus samples).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX_SPACE = 16**8
+
+
+def _bucket_hex(df_id: Column, salt: str) -> Column:
+    return F.substring(F.md5(F.concat(F.lit(salt), df_id.cast("string"))), 1, 8)
+
+
+def split_thresholds(weights: Mapping[str, float]) -> Dict[str, str]:
+    """Cumulative upper thresholds as zero-padded 8-char lowercase hex."""
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    out: Dict[str, str] = {}
+    acc = 0.0
+    for name, w in weights.items():
+        if w < 0:
+            raise ValueError(f"negative weight for {name!r}")
+        acc += w / total
+        if acc >= 1.0:
+            out[name] = "g" * 8  # lexicographically > any hex: catches all
+        else:
+            out[name] = format(int(acc * _HEX_SPACE), "08x")
+    return out
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str,
+    weights: Mapping[str, float],
+    *,
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split with the given weight proportions,
+    as a pure function of (id, salt). Weights are normalized; the same id
+    always lands in the same split, so reruns never leak held-out rows.
+    """
+    thresholds = split_thresholds(weights)
+    h = _bucket_hex(F.col(id_col), salt)
+    expr = None
+    for name, upper in thresholds.items():
+        cond = h < F.lit(upper)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn(out_col, expr)
+
+
+def hash_sample(
+    df: DataFrame,
+    id_col: str,
+    fraction: float,
+    *,
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep a deterministic ~``fraction`` of rows keyed by id hash —
+    reproducible regardless of partitioning (unlike ``DataFrame.sample``)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    if fraction >= 1.0:
+        return df
+    upper = format(int(fraction * _HEX_SPACE), "08x")
+    return df.filter(_bucket_hex(F.col(id_col), salt) < F.lit(upper))

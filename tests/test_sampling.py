@@ -1,0 +1,61 @@
+"""Deterministic split/sample: partition-invariance, disjoint-complete
+coverage, ratio accuracy, salt independence."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from monotonic_optimal_binning_spark.operators.sampling import (
+    deterministic_split,
+    hash_sample,
+    split_thresholds,
+)
+
+
+def _ids(spark, n=20_000):
+    return spark.range(n).select(F.col("id").alias("doc_id"))
+
+
+def test_split_disjoint_complete_and_ratio(spark):
+    df = _ids(spark)
+    out = deterministic_split(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 20_000  # complete, no null split
+    assert abs(counts["train"] / 20_000 - 0.8) < 0.02
+    assert abs(counts["val"] / 20_000 - 0.1) < 0.01
+
+
+def test_split_partition_invariant(spark):
+    df = _ids(spark, 5000)
+    w = {"a": 0.5, "b": 0.5}
+    s1 = deterministic_split(df.repartition(2), "doc_id", w).toPandas()
+    s2 = deterministic_split(df.repartition(17), "doc_id", w).toPandas()
+    m1 = dict(zip(s1["doc_id"], s1["split"]))
+    m2 = dict(zip(s2["doc_id"], s2["split"]))
+    assert m1 == m2  # identical assignment regardless of partitioning
+
+
+def test_split_salt_changes_assignment_weights_validate(spark):
+    df = _ids(spark, 5000)
+    a = deterministic_split(df, "doc_id", {"x": 0.5, "y": 0.5}, salt="s1").toPandas()
+    b = deterministic_split(df, "doc_id", {"x": 0.5, "y": 0.5}, salt="s2").toPandas()
+    assert (a["split"] != b["split"]).any()
+    with pytest.raises(ValueError):
+        split_thresholds({"a": -1.0})
+    with pytest.raises(ValueError):
+        split_thresholds({})
+
+
+def test_hash_sample_fraction_and_determinism(spark):
+    df = _ids(spark)
+    s = hash_sample(df, "doc_id", 0.25)
+    n = s.count()
+    assert abs(n / 20_000 - 0.25) < 0.02
+    # subset property: a smaller fraction with same salt is a subset
+    small = set(r["doc_id"] for r in hash_sample(df, "doc_id", 0.1).collect())
+    big = set(r["doc_id"] for r in s.collect())
+    assert small <= big
+    with pytest.raises(ValueError):
+        hash_sample(df, "doc_id", 1.5)
