@@ -27,6 +27,7 @@ from monotonic_optimal_binning_spark import (
 from monotonic_optimal_binning_spark.operators.asof import (
     asof_join,
     asof_join_bucketed,
+    leakage_audit,
     range_join,
 )
 from monotonic_optimal_binning_spark.operators.dedup import (
@@ -379,6 +380,30 @@ def q_asof_tolerance(spark, sf_dir):
         "event_id",
         F.round("ts", _R).alias("ts"),
         F.round("purchase_value", _R).alias("purchase_value"),
+    )
+
+
+def q_leakage_audit(spark, sf_dir):
+    """Zero-temporal-leakage audit of the backward as-of join: n_leaks
+    MUST be 0 (north rule); the oracle recomputes all four stats from
+    DuckDB's native ASOF join."""
+    pin_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", epoch_seconds(ev, "ts").alias("ts")
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", epoch_seconds(ev, "ts").alias("ts"), "value"
+    )
+    joined = asof_join(
+        left, right, on="user_id", left_ts="ts", value_cols=["value"],
+        right_prefix="purchase_", include_matched_ts="m_ts",
+    )
+    out = leakage_audit(joined, "ts", "m_ts")
+    return out.select(
+        "n_rows", "n_matched",
+        F.col("n_leaks").cast("long").alias("n_leaks"),
+        F.round("max_staleness", _R).alias("max_staleness"),
     )
 
 
@@ -810,6 +835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_bucketed": q_asof_bucketed,
         "asof_forward": q_asof_forward,
         "asof_tolerance": q_asof_tolerance,
+        "leakage_audit": q_leakage_audit,
         "range_join": q_range_join,
         "json_extract": q_json_extract,
         "lag_lead": q_lag_lead,
@@ -1009,6 +1035,25 @@ def oracle_sql() -> dict[str, str]:
                      AS purchase_value
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "leakage_audit": """
+            WITH l AS (
+              SELECT event_id, user_id, epoch(ts) AS ts FROM events
+              WHERE event_type = 'click'),
+            r AS (
+              SELECT user_id, epoch(ts) AS ts, value FROM events
+              WHERE event_type = 'purchase'),
+            j AS (
+              SELECT l.ts, r.ts AS m_ts
+              FROM l ASOF LEFT JOIN r
+                ON l.user_id = r.user_id AND l.ts >= r.ts)
+            SELECT count(*) AS n_rows,
+                   count(m_ts) AS n_matched,
+                   CAST(sum(CASE WHEN m_ts > ts THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_leaks,
+                   round(max(CASE WHEN m_ts IS NOT NULL THEN ts - m_ts END), 6)
+                     AS max_staleness
+            FROM j
         """,
         "range_join": """
             SELECT d.doc_id, r.range AS band_id, CAST(d.n_chars AS BIGINT) AS n_chars

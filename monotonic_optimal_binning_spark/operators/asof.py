@@ -170,6 +170,27 @@ def asof_join(
     return result.drop(*drop)
 
 
+def leakage_audit(
+    df: DataFrame,
+    ts_col: str,
+    matched_ts_col: str,
+) -> DataFrame:
+    """Zero-temporal-leakage audit over an as-of output produced with
+    ``include_matched_ts``: one aggregate reporting row/match counts, the
+    count of VIOLATIONS (a matched event-time after the observation time —
+    must be 0 for a backward as-of), and the worst staleness. This is the
+    check a feature platform runs after every point-in-time join; it is
+    one scan, no shuffle beyond the final reduce."""
+    ts = F.col(ts_col)
+    m = F.col(matched_ts_col)
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(m).alias("n_matched"),
+        F.sum(F.when(m > ts, 1).otherwise(0)).alias("n_leaks"),
+        F.max(F.when(m.isNotNull(), ts - m)).alias("max_staleness"),
+    )
+
+
 def range_join(
     points: DataFrame,
     intervals: DataFrame,
