@@ -578,10 +578,37 @@ def q_lang_id(spark, sf_dir):
 
 
 def q_minhash_pairs(spark, sf_dir):
-    """Near-dup candidate pairs (LSH is engine-specific -> rows-only)."""
+    """Near-dup candidate pairs (LSH is engine-specific -> rows-only).
+    The jaccard >= 0.5 filter is pushed INSIDE the operator so
+    below-threshold pairs are never materialized."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_candidates(docs, "text", "doc_id", num_hashes=32, n_bands=8)
-    return pairs.filter(F.col("jaccard") >= 0.5).select(
+    pairs = minhash_lsh_candidates(
+        docs, "text", "doc_id", num_hashes=32, n_bands=8, threshold=0.5
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", _R).alias("jaccard")
+    )
+
+
+def q_minhash_planted(spark, sf_dir):
+    """MinHash LSH made value-checkable: planted byte-identical duplicates
+    (doc_id + 100000) have identical shingle sets, hence identical MinHash
+    signatures, hence co-bucket in EVERY band — so the jaccard == 1 slice
+    of the candidate set is exactly the set of equal-shingle-set pairs,
+    which DuckDB reproduces by grouping on the sorted word-3-gram set."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 50
+    ).select("doc_id", "text")
+    planted = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    uni = docs.unionByName(planted)
+    pairs = minhash_lsh_candidates(
+        uni, "text", "doc_id",
+        num_hashes=32, n_bands=8, shingle_size=3, shingle_unit="word",
+        threshold=1.0,
+    )
+    return pairs.select(
         "id_a", "id_b", F.round("jaccard", _R).alias("jaccard")
     )
 
@@ -697,6 +724,26 @@ def q_embedding_neardup(spark, sf_dir):
     # sf0.01), so 0.4 exercises the candidate->verify path with real output
     out = embedding_neardup_pairs(
         emb, "embedding", "vec_id", _EMBED_DIM, threshold=0.4, n_planes=16, n_bands=8
+    )
+    return out.select("id_a", "id_b", F.round("cosine", _R).alias("cosine"))
+
+
+def q_embedding_neardup_planted(spark, sf_dir):
+    """Hyperplane-LSH near-dup made value-checkable: planted bit-identical
+    vectors (vec_id + 100000) share every LSH band by construction, so at
+    threshold 0.999999 (synthetic embeddings max non-identical cosine
+    ~0.51) the pair set is exactly the identical-vector pairs — a plain
+    DuckDB cross-pair cosine query."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 100
+    ).select("vec_id", "embedding")
+    planted = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    uni = emb.unionByName(planted)
+    out = embedding_neardup_pairs(
+        uni, "embedding", "vec_id", _EMBED_DIM,
+        threshold=0.999999, n_planes=16, n_bands=8,
     )
     return out.select("id_a", "id_b", F.round("cosine", _R).alias("cosine"))
 
@@ -821,6 +868,42 @@ def q_per_source_fit(spark, sf_dir):
     )
 
 
+def q_per_source_fit_monotone(spark, sf_dir):
+    """The per-source fused fit made value-checkable: per-source strictly
+    monotone group means (15pp gaps per x step, independent of source) with
+    max_bins >= n_groups, so PAVA pools nothing in ANY source and every
+    source's fitted bins are exactly the per-(source, x) SQL aggregates —
+    the grouped twin of bin_fit_monotone."""
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.select(
+        F.pmod(F.col("user_id"), F.lit(3)).alias("source"),
+        F.pmod(F.col("user_id"), F.lit(5)).cast("double").alias("x"),
+        (
+            F.pmod(F.col("event_id"), F.lit(100))
+            < (F.pmod(F.col("user_id"), F.lit(5)) + 1) * 15
+        ).cast("int").alias("y"),
+    )
+    binners = fit_binners_per_group(
+        df, "source", "x", "y", prebins="exact",
+        constraints=BinningConstraints(max_bins=10, min_bins=2),
+    )
+    rows = []
+    for src, b in sorted(binners.items()):
+        for _, r in b.bins_df.iterrows():
+            rows.append(
+                (
+                    int(src),
+                    float(r["left"]),
+                    float(r["right"]),
+                    int(r["n"]),
+                    round(float(r["mean"]), _R),
+                )
+            )
+    return spark.createDataFrame(
+        rows, "source long, left double, right double, n long, mean double"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "group_stats": q_group_stats,
@@ -853,6 +936,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_dedup": q_fingerprint_dedup,
         "lang_id": q_lang_id,
         "minhash_pairs": q_minhash_pairs,
+        "minhash_pairs_planted": q_minhash_planted,
+        "embedding_neardup_planted": q_embedding_neardup_planted,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_maxdf": q_ngram_jaccard_maxdf,
         "dedup_clusters": q_dedup_clusters,
@@ -870,6 +955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_agg": q_cube_agg,
         "percentiles": q_percentiles,
         "per_source_fit": q_per_source_fit,
+        "per_source_fit_monotone": q_per_source_fit_monotone,
     }
 
 
@@ -1062,15 +1148,18 @@ def oracle_sql() -> dict[str, str]:
               ON d.n_chars >= r.range * 60 AND d.n_chars <= r.range * 60 + 100
         """,
         "json_extract": """
+            -- ((k % 10) + 10) % 10 matches Spark's pmod (always
+            -- non-negative); DuckDB's % keeps the dividend's sign, which
+            -- would silently split groups differently for negative k
             SELECT event_type,
-                   CAST(k % 10 AS BIGINT) AS k_mod,
+                   CAST(((k % 10) + 10) % 10 AS BIGINT) AS k_mod,
                    count(*) AS n,
                    CAST(sum(k) AS BIGINT) AS k_sum,
                    CAST(max(k) AS BIGINT) AS k_max
             FROM (SELECT event_type,
                          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
                   FROM events)
-            GROUP BY event_type, k % 10
+            GROUP BY event_type, ((k % 10) + 10) % 10
         """,
         "tumbling_agg": """
             SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket,
@@ -1423,9 +1512,77 @@ def oracle_sql() -> dict[str, str]:
                   FROM events)
             GROUP BY CUBE(event_type, band)
         """,
+        "minhash_pairs_planted": r"""
+            -- planted byte-identical duplicates => identical MinHash
+            -- signatures => guaranteed co-bucketing, so the jaccard == 1
+            -- slice of the LSH candidate set is exactly the pairs with
+            -- EQUAL word-3-gram sets (recall 1 by construction)
+            WITH u AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 50
+              UNION ALL
+              SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50),
+            toks AS (
+              SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+                                         x -> x != '') AS t
+              FROM u),
+            keyed AS (
+              SELECT doc_id,
+                     array_to_string(list_sort(list_distinct(list_transform(
+                       range(0, greatest(len(t)-3, 0)+1),
+                       i -> array_to_string(list_slice(t, i+1, i+3), ' ')))),
+                       chr(30)) AS k
+              FROM toks)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(1.0 AS DOUBLE) AS jaccard
+            FROM keyed a JOIN keyed b
+              ON a.k = b.k AND a.doc_id < b.doc_id
+        """,
+        "embedding_neardup_planted": """
+            -- identical planted vectors share every hyperplane-LSH band =>
+            -- recall 1 at cosine >= 0.999999 (max non-identical cosine in
+            -- the synthetic embeddings is ~0.51), so the exact cross-pair
+            -- cosine query reproduces the engine's LSH+rescore output
+            WITH u AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id < 100
+              UNION ALL
+              SELECT vec_id + 100000, CAST(embedding AS DOUBLE[])
+              FROM embeddings WHERE vec_id < 100)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+            FROM u a JOIN u b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.999999
+        """,
+        "per_source_fit_monotone": """
+            -- per-source no-merge construction: strictly monotone group
+            -- means per source + max_bins >= n_groups => the grouped fit's
+            -- bins are plain per-(source, x) aggregates; edges are the
+            -- group values with full-line widening (first left -> -inf,
+            -- last right -> +inf)
+            WITH d AS (
+              SELECT CAST(((user_id % 3) + 3) % 3 AS BIGINT) AS source,
+                     CAST(((user_id % 5) + 5) % 5 AS DOUBLE) AS x,
+                     CAST((((event_id % 100) + 100) % 100)
+                          < (((user_id % 5) + 5) % 5 + 1) * 15 AS INT) AS y
+              FROM events),
+            g AS (
+              SELECT source, x, count(*) AS n, avg(y) AS mean
+              FROM d GROUP BY source, x)
+            SELECT source,
+                   CASE WHEN x = 0 THEN CAST('-infinity' AS DOUBLE)
+                        ELSE x END AS "left",
+                   CASE WHEN x = 4 THEN CAST('infinity' AS DOUBLE)
+                        ELSE x + 1 END AS "right",
+                   CAST(n AS BIGINT) AS n,
+                   round(mean, 6) AS mean
+            FROM g
+        """,
         # bin_fit_summary / woe_transform / per_source_fit: iterative
-        # driver-side solve, not SQL-expressible -> rows-only check.
+        # driver-side solve, not SQL-expressible -> rows-only check (their
+        # *_monotone twins value-check the same code paths).
         # minhash_pairs / lsh_topk: probabilistic LSH candidate sets (the
-        # exact counterparts ngram_jaccard / cosine_topk ARE value-checked);
+        # exact counterparts ngram_jaccard / cosine_topk ARE value-checked,
+        # and minhash_pairs_planted / embedding_neardup_planted value-check
+        # the LSH machinery on deterministic-recall slices);
         # simhash_dedup: xxhash64-specific fingerprints -> rows-only.
     }

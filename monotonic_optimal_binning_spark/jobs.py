@@ -89,7 +89,12 @@ def fit_woe_job(args) -> None:
         cut_points = {
             str(g): {
                 "lefts": [_json_float(v) for v in m.lefts],
-                "woes": None if m.woes is None else m.woes.tolist(),
+                # _json_float on woes too: json.dump(allow_nan=False) would
+                # otherwise crash on a non-finite WoE instead of encoding it
+                # (FittedBins.to_dict treatment)
+                "woes": None
+                if m.woes is None
+                else [_json_float(v) for v in m.woes.tolist()],
                 "labels": m.labels,
                 "merge_iterations": m.diagnostics["merge_phase1_iterations"]
                 + m.diagnostics["merge_phase2_iterations"],
@@ -109,7 +114,9 @@ def fit_woe_job(args) -> None:
         m = binner.model_
         cut_points = {
             "lefts": [_json_float(v) for v in m.lefts],
-            "woes": None if m.woes is None else m.woes.tolist(),
+            "woes": None
+            if m.woes is None
+            else [_json_float(v) for v in m.woes.tolist()],
             "labels": m.labels,
             "merge_iterations": m.diagnostics["merge_phase1_iterations"]
             + m.diagnostics["merge_phase2_iterations"],

@@ -538,20 +538,22 @@ class SparkMonotonicBinner:
             )
 
         if self.prebins == "auto":
-            # ONE upstream scan in every case: the exact aggregate is
-            # persisted and collected behind a LIMIT guard. If it returns
-            # <= MAX rows the result is complete and exact
-            # (reference-identical). If the guard trips, the fallback folds
-            # the SAME cached aggregate into quantile buckets (the limit
-            # job already ran the aggregate's shuffle map stage, so the
-            # re-aggregation reads shuffle/cache, never the input again) —
-            # only the approxQuantile split probe re-touches df, and only
-            # on this rare high-cardinality path.
+            # ONE upstream scan on the common path: the exact aggregate is
+            # collected behind a LIMIT guard, unpersisted — when it returns
+            # <= MAX rows (the overwhelmingly common case) the result is
+            # complete and exact (reference-identical) and no cache was
+            # written for nothing. Only when the guard trips does the
+            # fallback persist the aggregate (so the rebucket + M/E
+            # collects fill and reuse one cache) and fold it into quantile
+            # buckets; that rare high-cardinality path pays the aggregate
+            # twice (probe + cache fill) plus the approxQuantile probe of
+            # df — the trade that keeps the fast path persist-free.
             guard = self.AUTO_EXACT_MAX_GROUPS
-            stats_df = _exact_agg().persist()
+            stats_df = _exact_agg()
             stats = stats_df.limit(guard + 1).collect()
             prebinned = False
             if len(stats) > guard:
+                stats_df = stats_df.persist()
                 splits = self._prebin_splits(
                     df, x_clean, k=self.config.default_prebins
                 )
@@ -563,7 +565,7 @@ class SparkMonotonicBinner:
                 # guard overflow can then only come from M/E tag rows
                 else:
                     stats = stats_df.collect()
-            stats_df.unpersist()
+                stats_df.unpersist()
         else:
             splits = self._prebin_splits(df, x_clean)
             if splits is not None:
@@ -1083,15 +1085,17 @@ def fit_binners_per_group(
         )
 
     if prebins == "auto":
-        # same single-upstream-scan guarded-collect policy as the single
-        # fit (persisted exact aggregate + LIMIT guard), bounding the TOTAL
-        # (all-groups) collect size; the fallback's prebinned collect is
-        # bounded by n_groups * default_prebins rows
+        # same persist-free guarded-collect policy as the single fit: the
+        # LIMIT probe alone serves the (common) low-cardinality case,
+        # bounding the TOTAL (all-groups) collect size; only a tripped
+        # guard persists for the fallback's rebucket + M/E collects (which
+        # are bounded by n_groups * default_prebins rows)
         guard = tmpl.AUTO_EXACT_MAX_GROUPS
-        stats_df = _exact_agg().persist()
+        stats_df = _exact_agg()
         stats = stats_df.limit(guard + 1).collect()
         prebinned = False
         if len(stats) > guard:
+            stats_df = stats_df.persist()
             splits = tmpl._prebin_splits(df, x_clean, k=config.default_prebins)
             if splits is not None:
                 stats = _rebucket_stats(
@@ -1101,7 +1105,7 @@ def fit_binners_per_group(
                 prebinned = True
             else:
                 stats = stats_df.collect()
-        stats_df.unpersist()
+            stats_df.unpersist()
     else:
         splits = tmpl._prebin_splits(df, x_clean)
         if splits is not None:

@@ -18,7 +18,6 @@ array_*) — zero Python UDFs; the whole family stays in codegen.
 
 from __future__ import annotations
 
-import warnings
 from typing import List, Optional, Sequence, Tuple
 
 import pandas as pd
@@ -43,14 +42,19 @@ def exact_dedup(
 
     Two physical strategies (identical results):
 
-    ``"window"`` (default): xxhash64 of the content columns is the shuffle
-    key (tiny), a window row_number picks the winner — ONE shuffle of df.
-    Hash collisions are disambiguated by also partitioning on the raw
-    content columns (safe: same hash -> same partition, comparison local).
-    A pathologically hot content value serializes into one window task.
+    ``"window"`` (default): a 192-bit content digest (xxhash64 + md5 of the
+    JSON-encoded column struct) is the shuffle/grouping key — the raw
+    content columns are NOT part of the key, so long text contributes its
+    bytes to the shuffled row payload exactly once instead of twice
+    (key + payload), roughly halving shuffle bytes for text-dominated rows.
+    Same-content rows always collide (the digest is a pure function of
+    content); distinct-content rows merging requires a SIMULTANEOUS
+    xxhash64 AND md5 collision (~2^-192 per pair — birthday-safe at any
+    corpus size). A window row_number picks the winner in ONE shuffle of
+    df. A pathologically hot content value serializes into one window task.
 
     ``"agg"`` (skew/heavy-duplication path): winner ids via
-    ``groupBy(content).agg(min(id))`` — an ALGEBRAIC aggregate, so Spark's
+    ``groupBy(digest).agg(min(id))`` — an ALGEBRAIC aggregate, so Spark's
     map-side partial aggregation collapses each duplicate cluster to one
     row per map task before the shuffle (a 10^8-duplicate page shuffles
     ~n_tasks rows, not 10^8, and no single reducer sorts it) — then a
@@ -64,16 +68,25 @@ def exact_dedup(
     if strategy not in ("window", "agg"):
         raise ValueError("strategy must be 'window' or 'agg'")
     h = F.xxhash64(*[F.col(c) for c in content_cols])
+    # md5 over to_json(struct) is an unambiguous multi-column encoding
+    # (ignoreNullFields=false keeps null vs absent distinct); concat_ws
+    # would alias ("a\x00b") with ("a","b")
+    h2 = F.md5(
+        F.to_json(
+            F.struct(*[F.col(c) for c in content_cols]),
+            {"ignoreNullFields": "false"},
+        )
+    )
     if strategy == "agg":
         pick = F.min(F.col(id_col)) if keep == "min" else F.max(F.col(id_col))
         winners = (
-            df.groupBy(h.alias("__h"), *[F.col(c) for c in content_cols])
+            df.groupBy(h.alias("__h"), h2.alias("__h2"))
             .agg(pick.alias(id_col))
             .select(id_col)
         )
         return df.join(winners, on=id_col, how="leftsemi")
     order = F.col(id_col).asc() if keep == "min" else F.col(id_col).desc()
-    w = Window.partitionBy(h, *[F.col(c) for c in content_cols]).orderBy(order)
+    w = Window.partitionBy(h, h2).orderBy(order)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -170,6 +183,9 @@ def minhash_lsh_candidates(
     shingle_unit: str = "char",
     seed: int = 42,
     max_bucket_size: Optional[int] = 5000,
+    threshold: Optional[float] = None,
+    materialize: bool = False,
+    checkpoint_dir: Optional[str] = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash LSH,
     with the exact shingle-Jaccard attached for thresholding.
@@ -182,14 +198,29 @@ def minhash_lsh_candidates(
 
     ``max_bucket_size`` guards the self-join against degenerate buckets
     (m near-identical docs → m²/2 candidate pairs): buckets holding more ids
-    are DROPPED from candidate generation and a ``UserWarning`` reports how
-    many were dropped (run :func:`exact_dedup` first — byte-identical docs
-    are exactly the degenerate case and are cheaper as an exact pass).
-    ``None`` disables the cap.
+    are DROPPED from candidate generation (run :func:`exact_dedup` first —
+    byte-identical docs are exactly the degenerate case and are cheaper as
+    an exact pass). The cap is a window count over the (band, bucket)
+    partitioning the self-join needs anyway — no extra shuffle, no extra
+    job (the round-2 eager ``count()`` + broadcast-anti-join formulation
+    measured 3x slower end-to-end). ``None`` disables; audit what a cap
+    would drop with :func:`lsh_bucket_sizes`.
 
-    The result is materialized EAGERLY (``localCheckpoint``) so the two
-    intermediate caches this plan needs are released before returning — the
-    returned DataFrame is the only storage handle the caller holds.
+    ``threshold`` pushes the ``jaccard >= threshold`` filter INSIDE the
+    operator, before any materialization — at corpus scale the
+    below-threshold majority of candidate pairs is then never stored.
+
+    Cache ownership: the returned plan pins two small persisted tables
+    (the (id, band, bucket) index and the raw pair set — the self-join and
+    the three pair-set consumers would otherwise recompute the signature
+    pipeline per reference; no ReusedExchange fires for the aliased
+    self-join). By default (``materialize=False``) they stay pinned for
+    the session; call :func:`release_lsh_caches` on the result when done.
+    ``materialize=True`` computes the result EAGERLY (``localCheckpoint``,
+    or a reliable ``checkpoint()`` when ``checkpoint_dir`` is given — the
+    fault-tolerant choice for real clusters) and releases both caches
+    before returning; use it when the result feeds an iterative consumer
+    (connected components) or outlives this SparkSession's caches.
     """
     rows_per_band = num_hashes // n_bands
     base = df.select(
@@ -225,23 +256,15 @@ def minhash_lsh_candidates(
 
     banded_use = banded
     if max_bucket_size is not None:
-        big = (
-            banded.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") > max_bucket_size)
-            .select("band", "bucket")
+        # window count over the join's own (band, bucket) partitioning:
+        # zero extra shuffle, zero extra job, and the dropped rows never
+        # enter the self-join
+        wb = Window.partitionBy("band", "bucket")
+        banded_use = (
+            banded.withColumn("__bsz", F.count(F.lit(1)).over(wb))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
         )
-        n_big = big.count()  # cheap: aggregates the persisted tiny table
-        if n_big:
-            warnings.warn(
-                f"minhash_lsh_candidates: dropped {n_big} LSH buckets larger "
-                f"than max_bucket_size={max_bucket_size}; near-duplicates "
-                f"only reachable through those buckets are missed",
-                UserWarning,
-            )
-            banded_use = banded.join(
-                F.broadcast(big), on=["band", "bucket"], how="left_anti"
-            )
 
     a = banded_use.select(F.col("id").alias("id_a"), "band", "bucket")
     b = banded_use.select(F.col("id").alias("id_b"), "band", "bucket")
@@ -280,10 +303,63 @@ def minhash_lsh_candidates(
         "id_a",
         "id_b",
         (inter.cast("double") / F.when(union > 0, union)).alias("jaccard"),
-    ).localCheckpoint(eager=True)
-    banded.unpersist()
-    pairs.unpersist()
+    )
+    if threshold is not None:
+        out = out.filter(F.col("jaccard") >= threshold)
+    if materialize:
+        from ..plans.checkpoint import truncate_lineage
+
+        out = truncate_lineage(out, checkpoint_dir, eager=True)
+        banded.unpersist()
+        pairs.unpersist()
+    else:
+        out._mob_pinned_caches = [banded, pairs]  # released by release_lsh_caches
     return out
+
+
+def release_lsh_caches(result: DataFrame) -> None:
+    """Unpersist the intermediate caches a lazy (``materialize=False``)
+    :func:`minhash_lsh_candidates` / :func:`embedding_neardup_pairs` result
+    pinned. Call AFTER the last action on ``result`` — the plan references
+    the caches, so releasing early just recomputes them."""
+    for cached in getattr(result, "_mob_pinned_caches", []):
+        cached.unpersist()
+
+
+def lsh_bucket_sizes(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 64,
+    n_bands: int = 16,
+    shingle_size: int = 5,
+    shingle_unit: str = "char",
+    seed: int = 42,
+) -> DataFrame:
+    """Diagnostic: (band, bucket, n_ids) histogram for the LSH index the
+    candidate generator would build — run it to audit how many buckets a
+    given ``max_bucket_size`` cap would drop before committing to one."""
+    rows_per_band = num_hashes // n_bands
+    base = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(
+            _shingles(F.col(text_col), shingle_size, shingle_unit), num_hashes, seed
+        ).alias("__sig"),
+    )
+    banded = base.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+        "__sig",
+    ).select(
+        "id",
+        "band",
+        F.xxhash64(
+            "band",
+            F.slice(F.col("__sig"), F.col("band") * rows_per_band + 1, rows_per_band),
+        ).alias("bucket"),
+    )
+    return banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n_ids"))
 
 
 def minhash_dedup(
@@ -298,6 +374,8 @@ def minhash_dedup(
     shingle_unit: str = "char",
     seed: int = 42,
     transitive: bool = False,
+    max_bucket_size: Optional[int] = 5000,
+    checkpoint_dir: Optional[str] = None,
 ) -> DataFrame:
     """Drop near-duplicates: a row is removed if it pairs (jaccard >=
     threshold) with any surviving smaller id.
@@ -307,6 +385,9 @@ def minhash_dedup(
     ``transitive=True``: exact single-link clusters via connected
     components (operators/graph.py large-star/small-star) — keeps exactly
     one row per transitive cluster (A~B, B~C drops C even when A!~C).
+    The threshold filter is pushed inside the candidate generator and the
+    pair set is materialized (releasing the LSH caches; reliable when
+    ``checkpoint_dir`` is set) because both consumers re-read it.
     """
     pairs = minhash_lsh_candidates(
         df,
@@ -317,11 +398,17 @@ def minhash_dedup(
         shingle_size=shingle_size,
         shingle_unit=shingle_unit,
         seed=seed,
-    ).filter(F.col("jaccard") >= threshold)
+        max_bucket_size=max_bucket_size,
+        threshold=threshold,
+        materialize=True,
+        checkpoint_dir=checkpoint_dir,
+    )
     if transitive:
         from .graph import dedup_by_components
 
-        return dedup_by_components(df, pairs, id_col)
+        return dedup_by_components(
+            df, pairs, id_col, checkpoint_dir=checkpoint_dir
+        )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")
 
@@ -474,6 +561,7 @@ def simhash_neardup_pairs(
     max_hamming: int = 3,
     n_blocks: Optional[int] = None,
     max_bucket_size: Optional[int] = 5000,
+    checkpoint_dir: Optional[str] = None,
 ) -> DataFrame:
     """All pairs whose 64-bit SimHash fingerprints differ by at most
     ``max_hamming`` bits — EXACT by pigeonhole, not probabilistic.
@@ -507,8 +595,12 @@ def simhash_neardup_pairs(
     for i in range(n_blocks):
         w = width if i < n_blocks - 1 else 64 - width * (n_blocks - 1)
         shifted = F.shiftrightunsigned(F.col("__fp"), i * width)
-        mask = (1 << w) - 1
-        blocks.append(shifted.bitwiseAND(F.lit(mask)))
+        if w >= 64:
+            # n_blocks=1 (max_hamming=0): the block IS the fingerprint;
+            # (1<<64)-1 would overflow LongType and fail at plan time
+            blocks.append(shifted)
+        else:
+            blocks.append(shifted.bitwiseAND(F.lit((1 << w) - 1)))
 
     banded = base.select(
         "id",
@@ -541,7 +633,9 @@ def simhash_neardup_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
-    out = scored.localCheckpoint(eager=True)
+    from ..plans.checkpoint import truncate_lineage
+
+    out = truncate_lineage(scored, checkpoint_dir, eager=True)
     base.unpersist()
     return out
 
@@ -557,6 +651,7 @@ def embedding_neardup_pairs(
     n_bands: int = 4,
     seed: int = 42,
     max_bucket_size: Optional[int] = 5000,
+    checkpoint_dir: Optional[str] = None,
 ) -> "DataFrame":
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= threshold).
 
@@ -566,10 +661,12 @@ def embedding_neardup_pairs(
     (>= 0.9) pair naturally with LSH because near-identical vectors almost
     always share at least one band.
 
-    ``max_bucket_size`` drops degenerate buckets (with a UserWarning count)
-    before the m²/2 self-join blowup; the result is eagerly materialized so
-    the intermediate cache is released before returning (see
-    :func:`minhash_lsh_candidates`).
+    ``max_bucket_size`` drops degenerate buckets before the m²/2 self-join
+    blowup — a window count over the join's own (band, bucket)
+    partitioning (no extra job; see :func:`minhash_lsh_candidates`). The
+    thresholded result is eagerly materialized (``localCheckpoint``, or a
+    reliable ``checkpoint()`` when ``checkpoint_dir`` is set) so the
+    intermediate cache is released before returning.
     """
     from ..functions.vector import dot, l2_norm
     from .similarity import add_lsh_buckets
@@ -587,22 +684,12 @@ def embedding_neardup_pairs(
 
     banded_use = banded
     if max_bucket_size is not None:
-        big = (
-            banded.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") > max_bucket_size)
-            .select("band", "bucket")
+        wb = Window.partitionBy("band", "bucket")
+        banded_use = (
+            banded.withColumn("__bsz", F.count(F.lit(1)).over(wb))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
         )
-        n_big = big.count()
-        if n_big:
-            warnings.warn(
-                f"embedding_neardup_pairs: dropped {n_big} LSH buckets larger "
-                f"than max_bucket_size={max_bucket_size}",
-                UserWarning,
-            )
-            banded_use = banded.join(
-                F.broadcast(big), on=["band", "bucket"], how="left_anti"
-            )
 
     a = banded_use.select(F.col("id").alias("id_a"), "band", "bucket")
     b = banded_use.select(F.col("id").alias("id_b"), "band", "bucket")
@@ -638,7 +725,11 @@ def embedding_neardup_pairs(
             ),
         )
     )
-    out = scored.filter(F.col("cosine") >= threshold).localCheckpoint(eager=True)
+    from ..plans.checkpoint import truncate_lineage
+
+    out = truncate_lineage(
+        scored.filter(F.col("cosine") >= threshold), checkpoint_dir, eager=True
+    )
     banded.unpersist()
     return out
 

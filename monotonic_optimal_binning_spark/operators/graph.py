@@ -72,6 +72,7 @@ def connected_components(
     max_iterations: int = 25,
     out_id: str = "id",
     out_label: str = "component",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Component label (= the component's minimum id) for every node that
     appears in ``pairs``. Output: (out_id, out_label), one row per node.
@@ -81,20 +82,27 @@ def connected_components(
     bounds the loop (large/small-star needs O(log^2 n) rounds; 25 covers
     any realistic corpus); a non-converged exit still returns the current
     (correct-but-possibly-unmerged) labels and warns.
+
+    Per-round lineage truncation defaults to ``localCheckpoint`` (fast,
+    executor-local, NOT fault-tolerant); set ``checkpoint_dir`` to a
+    reliable path (HDFS/S3) on a real cluster so an executor loss mid-run
+    cannot kill the truncated lineage (plans/checkpoint.py).
     """
     import warnings
 
-    edges = (
+    from ..plans.checkpoint import truncate_lineage
+
+    edges = truncate_lineage(
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        checkpoint_dir,
     )
-    nodes = (
+    nodes = truncate_lineage(
         edges.select(F.col("u").alias(out_id))
         .unionByName(edges.select(F.col("v").alias(out_id)))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        checkpoint_dir,
     )
 
     def _signature(e: DataFrame):
@@ -108,8 +116,8 @@ def connected_components(
     sig = _signature(edges)
     converged = False
     for _ in range(max_iterations):
-        e2 = _small_star(_large_star(_bidirect(edges))).localCheckpoint(
-            eager=True
+        e2 = truncate_lineage(
+            _small_star(_large_star(_bidirect(edges))), checkpoint_dir
         )
         new_sig = _signature(e2)
         edges = e2
@@ -146,6 +154,7 @@ def dedup_by_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Keep one row (the minimum id) per TRANSITIVE near-duplicate cluster.
 
@@ -154,7 +163,8 @@ def dedup_by_components(
     component of the pair graph (A~B, B~C also drops C even if A!~C).
     """
     comp = connected_components(
-        pairs, id_a, id_b, max_iterations=max_iterations
+        pairs, id_a, id_b, max_iterations=max_iterations,
+        checkpoint_dir=checkpoint_dir,
     )
     losers = comp.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)

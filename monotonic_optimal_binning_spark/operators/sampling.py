@@ -38,12 +38,20 @@ def split_thresholds(weights: Mapping[str, float]) -> Dict[str, str]:
         raise ValueError("weights must sum to a positive value")
     out: Dict[str, str] = {}
     acc = 0.0
-    for name, w in weights.items():
+    names = list(weights)
+    for i, name in enumerate(names):
+        w = weights[name]
         if w < 0:
             raise ValueError(f"negative weight for {name!r}")
         acc += w / total
-        if acc >= 1.0:
-            out[name] = "g" * 8  # lexicographically > any hex: catches all
+        # The LAST split is unconditionally the catch-all sentinel
+        # (lexicographically > any hex): float accumulation of w/total can
+        # end at 0.999...9, which would make the last threshold 'ffffffff'
+        # and silently drop rows whose md5 prefix is exactly 'ffffffff'
+        # (~25 rows per 10^11 at corpus scale). Interior thresholds that
+        # reach >= 1.0 (trailing zero weights) clamp to the sentinel too.
+        if i == len(names) - 1 or acc >= 1.0:
+            out[name] = "g" * 8
         else:
             out[name] = format(int(acc * _HEX_SPACE), "08x")
     return out

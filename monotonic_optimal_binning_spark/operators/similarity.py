@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Optional
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -122,6 +123,39 @@ def add_lsh_buckets(
     return out
 
 
+def nearest_cells_udf(spark, centroids: np.ndarray, n_probe: int):
+    """Vectorized query-router for IVF: returns a pandas-UDF column mapping
+    a vector column to its ``n_probe`` nearest centroid indices
+    (``array<int>``, ascending distance, ties broken by cell index).
+
+    The centroid matrix is a DRIVER-side numpy array shipped via a Spark
+    broadcast and the per-batch work is ONE matmul — O(batch × n_cells ×
+    dim) in BLAS. The previous formulation inlined n_cells × dim literal
+    doubles as Catalyst struct expressions, which plans fine at n_cells=64
+    but collapses at the n_cells a 100 TB corpus wants (4k–65k cells make a
+    ~million-node expression tree); the broadcast+matmul path is flat in
+    plan size and scales in n_cells.
+    """
+    cmat = np.ascontiguousarray(centroids, dtype=np.float64)
+    c_sq = (cmat * cmat).sum(axis=1)
+    bc = spark.sparkContext.broadcast((cmat, c_sq))
+    k = int(min(n_probe, cmat.shape[0]))
+
+    @F.pandas_udf("array<int>")
+    def _route(vecs: pd.Series) -> pd.Series:
+        mat, sq = bc.value
+        q = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        # squared L2: ||q||^2 - 2 q.C^T + ||c||^2; the q^2 term is constant
+        # per row and irrelevant to the argsort — skip it
+        d = sq[None, :] - 2.0 * (q @ mat.T)
+        # stable sort on distance ties -> lower cell index first (matches
+        # the array_sort(struct(d, cell)) semantics this replaced)
+        idx = np.argsort(d, axis=1, kind="stable")[:, :k].astype(np.int32)
+        return pd.Series(list(idx))
+
+    return _route
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -168,39 +202,19 @@ def ivf_topk(
         c.withColumn("features", array_to_vector(F.col("__cv")))
     ).select("neighbor_id", "__cv", "__cn", F.col(model.getPredictionCol()).alias("cell"))
 
-    centroids = [np.asarray(ct, dtype=float).tolist() for ct in model.clusterCenters()]
+    centroids = np.asarray(
+        [np.asarray(ct, dtype=float) for ct in model.clusterCenters()]
+    )
 
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(query_vec).cast("array<double>").alias("__qv"),
     ).withColumn("__qn", l2_norm(F.col("__qv")))
-    # squared L2 distance to every centroid (literal arrays, driver-tiny),
-    # keep the n_probe nearest cells and explode
-    dists = F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("__qv"),
-                        F.array(*[F.lit(float(x)) for x in ct]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("d"),
-                F.lit(i).alias("cell"),
-            )
-            for i, ct in enumerate(centroids)
-        ]
-    )
-    q = q.withColumn(
-        "cell",
-        F.explode(
-            F.transform(
-                F.slice(F.array_sort(dists), 1, n_probe), lambda s: s["cell"]
-            )
-        ),
-    )
+    # probe-cell routing: broadcast centroid matrix + one matmul per Arrow
+    # batch (nearest_cells_udf) — flat plan size in n_cells, unlike the
+    # literal-expression formulation this replaced
+    route = nearest_cells_udf(corpus.sparkSession, centroids, n_probe)
+    q = q.withColumn("cell", F.explode(route(F.col("__qv"))))
 
     cand = (
         c.join(q, on="cell")

@@ -104,6 +104,26 @@ def run_stage(
     return out
 
 
+def truncate_lineage(
+    df: DataFrame, checkpoint_dir: Optional[str] = None, *, eager: bool = True
+) -> DataFrame:
+    """Cut a DataFrame's lineage for iterative / fan-in plans.
+
+    ``checkpoint_dir=None`` (default) uses ``localCheckpoint`` — fast
+    (executor-local block storage) but NOT fault-tolerant: on a real
+    cluster a lost executor permanently kills the truncated lineage
+    mid-job. Pass a reliable path (HDFS/S3/shared FS) to fall back to
+    ``checkpoint()``, which survives executor loss at the cost of a
+    distributed write. Iterative callers (connected components, the LSH
+    candidate generators) expose this as a ``checkpoint_dir`` knob.
+    """
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=eager)
+    sc = df.sparkSession.sparkContext
+    sc.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint(eager=eager)
+
+
 @dataclass
 class PipelineRun:
     """Collects per-stage manifests into one lineage report."""

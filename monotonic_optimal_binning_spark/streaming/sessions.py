@@ -135,10 +135,14 @@ def streaming_asof_enrich(
     micro-batch rows are sorted by (ts, side) with right-before-left at
     equal ts (exact-match semantics of the batch :func:`operators.asof
     .asof_join`); across micro-batches the state carries the newest right
-    row forward. Assumes per-key event-time order ACROSS batches (a
-    log-ordered source); a right row arriving late is applied from its
-    processing point onward, never retroactively — the streaming-world
-    trade-off, stated rather than hidden.
+    row forward, and the carried value is applied ONLY to left rows whose
+    event time is at or after the state's right-side ts — a left row
+    arriving late (older event time than the carried right row) gets null
+    rather than a value from its temporal future, enforcing the
+    zero-leakage contract instead of merely documenting it. A right row
+    arriving late is still applied from its processing point onward, never
+    retroactively — the streaming-world trade-off, stated rather than
+    hidden.
 
     ``value_cols`` are carried as doubles in state (fixed state schema).
     Output: left rows + prefixed value columns.
@@ -194,6 +198,16 @@ def streaming_asof_enrich(
             if is_left.any():
                 prefix_rights = np.cumsum(is_right)[is_left]  # per left row
                 match_idx = prefix_rights - 1
+                left_ts = pdf["__ts"].to_numpy(dtype=float)[is_left]
+                # the carried state value is only eligible when the state's
+                # right-side ts is AT OR BEFORE the left row's event time —
+                # a left row arriving in a later micro-batch with an OLDER
+                # event time must NOT see a right value from its temporal
+                # future (the zero-leakage contract); it gets null instead
+                if cur[0] is None:
+                    state_ok = np.zeros(left_ts.shape, dtype=bool)
+                else:
+                    state_ok = cur[0] <= left_ts
                 out = pd.DataFrame(
                     list(pdf["__payload"].to_numpy()[is_left]),
                     columns=left_fields,
@@ -204,7 +218,7 @@ def streaming_asof_enrich(
                     col = np.where(
                         match_idx >= 0,
                         rv[np.clip(match_idx, 0, None)] if len(rv) else np.nan,
-                        state_v,
+                        np.where(state_ok, state_v, np.nan),
                     )
                     # nullable Float64 so no-match NaN arrives as SQL NULL
                     # (matching the batch as-of), not as a NaN double

@@ -14,6 +14,7 @@ from monotonic_optimal_binning_spark.operators.dedup import (
     minhash_signature,
     simhash,
     simhash_dedup,
+    simhash_neardup_pairs,
 )
 
 
@@ -221,3 +222,56 @@ def test_simhash_neardup_guards(spark):
     assert simhash_neardup_pairs(df, "text", "doc_id").count() == 0
     with pytest.raises(ValueError, match="pigeonhole"):
         simhash_neardup_pairs(df, "text", "doc_id", max_hamming=3, n_blocks=2)
+
+
+def test_simhash_neardup_max_hamming_zero(spark):
+    """max_hamming=0 (n_blocks=1, 64-bit block) must plan and return exactly
+    the identical-fingerprint pairs — (1<<64)-1 used to overflow LongType."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["alpha beta gamma", "alpha beta gamma",
+                     "totally different words here", "alpha beta gamma"],
+        }
+    )
+    out = simhash_neardup_pairs(
+        spark.createDataFrame(pdf), "text", "doc_id", max_hamming=0
+    ).toPandas()
+    got = sorted(map(tuple, out[["id_a", "id_b"]].to_numpy()))
+    assert got == [(1, 2), (1, 4), (2, 4)]
+    assert (out["hamming"] == 0).all()
+
+
+def test_minhash_dedup_forwards_max_bucket_size(spark):
+    """The cap kwarg must reach the candidate generator: with a tiny cap a
+    large identical-text block stays un-deduped (its buckets are dropped),
+    with the cap disabled it collapses to one survivor."""
+    rows = [(i, "same text repeated for everyone in this block") for i in range(40)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    capped = minhash_dedup(
+        df, "text", "doc_id", threshold=0.5, num_hashes=16, n_bands=4,
+        max_bucket_size=5,
+    )
+    assert capped.count() == 40  # all buckets dropped -> no pairs -> no losers
+    uncapped = minhash_dedup(
+        df, "text", "doc_id", threshold=0.5, num_hashes=16, n_bands=4,
+        max_bucket_size=None,
+    )
+    assert uncapped.count() == 1
+
+
+def test_exact_dedup_distinguishes_null_from_empty(spark):
+    """The 192-bit digest key must not alias null with empty or across
+    column boundaries (to_json struct encoding, ignoreNullFields=false)."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "a": [None, "", "x", "x"],
+            "b": ["y", "y", None, None],
+        }
+    )
+    kept = exact_dedup(
+        spark.createDataFrame(pdf), ["a", "b"], "doc_id"
+    ).toPandas()
+    # (null,y) != ("",y); (x,null) duplicated -> keep min id 3
+    assert sorted(kept["doc_id"].tolist()) == [1, 2, 3]

@@ -122,3 +122,21 @@ def test_components_string_ids(spark):
         "doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a",
         "doc-x": "doc-x", "doc-y": "doc-x",
     }
+
+
+def test_components_reliable_checkpoint_mode(spark, tmp_path):
+    """checkpoint_dir switches lineage truncation to reliable checkpoint()
+    (fault-tolerant on a real cluster); labels must be identical."""
+    pdf = pd.DataFrame({"id_a": [1, 2, 10, 11], "id_b": [2, 3, 11, 12]})
+    edges = spark.createDataFrame(pdf)
+    local = connected_components(edges).toPandas()
+    reliable = connected_components(
+        edges, checkpoint_dir=str(tmp_path / "ckpt")
+    ).toPandas()
+    m_local = dict(zip(local["id"], local["component"]))
+    m_rel = dict(zip(reliable["id"], reliable["component"]))
+    assert m_local == m_rel == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+    # the reliable run actually wrote checkpoint data
+    import os
+
+    assert any(os.scandir(str(tmp_path / "ckpt")))

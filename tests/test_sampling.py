@@ -59,3 +59,20 @@ def test_hash_sample_fraction_and_determinism(spark):
     assert small <= big
     with pytest.raises(ValueError):
         hash_sample(df, "doc_id", 1.5)
+
+
+def test_split_last_threshold_is_always_catchall():
+    """Float accumulation of w/total can end at 0.999...9; the last split's
+    threshold must still be the catch-all sentinel, or rows hashing to
+    'ffffffff' would silently get a NULL split (~25 per 10^11 at corpus
+    scale)."""
+    import random
+
+    rng = random.Random(0)
+    for _ in range(200):
+        k = rng.randint(2, 6)
+        weights = {f"s{i}": rng.uniform(0.01, 5.0) for i in range(k)}
+        th = split_thresholds(weights)
+        assert list(th.values())[-1] == "g" * 8, weights
+    # exact decimal weights too
+    assert list(split_thresholds({"a": 0.8, "b": 0.2}).values())[-1] == "g" * 8

@@ -71,11 +71,10 @@ def test_minhash_bucket_cap_bounds_degenerate_corpus(spark):
     rows += [(1000 + i, f"unique document number {i} with its own words") for i in range(5)]
     df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
 
-    with pytest.warns(UserWarning, match="dropped"):
-        pairs = minhash_lsh_candidates(
-            df, "text", "doc_id", num_hashes=16, n_bands=4, max_bucket_size=50
-        )
-        n = pairs.count()
+    pairs = minhash_lsh_candidates(
+        df, "text", "doc_id", num_hashes=16, n_bands=4, max_bucket_size=50
+    )
+    n = pairs.count()
     assert n <= 50 * 49 // 2 * 4  # bounded by cap, not by the 500-block
 
     # cap disabled -> the degenerate block's pairs all appear
@@ -94,12 +93,56 @@ def test_minhash_releases_intermediate_caches(spark):
             columns=["doc_id", "text"],
         )
     )
-    out = minhash_lsh_candidates(df, "text", "doc_id", num_hashes=16, n_bands=4)
+    out = minhash_lsh_candidates(
+        df, "text", "doc_id", num_hashes=16, n_bands=4, materialize=True
+    )
     out.count()
     after = jsc.getPersistentRDDs().size()
     # the eager localCheckpoint behind the returned handle is the ONLY
     # storage left; the banded + pairs persists must be gone
     assert after - before <= 1
+
+
+def test_minhash_lazy_mode_releases_via_helper(spark):
+    from monotonic_optimal_binning_spark.operators.dedup import (
+        release_lsh_caches,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, f"document {i} text body with words {i % 7}") for i in range(60)],
+            columns=["doc_id", "text"],
+        )
+    )
+    out = minhash_lsh_candidates(df, "text", "doc_id", num_hashes=16, n_bands=4)
+    out.count()
+    pinned = out._mob_pinned_caches
+    assert len(pinned) == 2
+    assert all(c.storageLevel.useMemory or c.storageLevel.useDisk for c in pinned)
+    release_lsh_caches(out)
+    # both intermediate caches dropped to StorageLevel.NONE
+    assert all(
+        not (c.storageLevel.useMemory or c.storageLevel.useDisk) for c in pinned
+    )
+
+
+def test_minhash_threshold_pushdown_equals_outer_filter(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, f"shared words everywhere plus token {i % 3}") for i in range(30)],
+            columns=["doc_id", "text"],
+        )
+    )
+    inner = minhash_lsh_candidates(
+        df, "text", "doc_id", num_hashes=16, n_bands=4, threshold=0.5
+    ).toPandas()
+    outer = (
+        minhash_lsh_candidates(df, "text", "doc_id", num_hashes=16, n_bands=4)
+        .filter(F.col("jaccard") >= 0.5)
+        .toPandas()
+    )
+    key = lambda p: sorted(map(tuple, p[["id_a", "id_b"]].to_numpy()))  # noqa: E731
+    assert key(inner) == key(outer)
 
 
 # ------------------------------------------------------------ null inputs --

@@ -133,3 +133,48 @@ def test_ivf_topk_recall_on_clustered_data(spark):
         a = set(approx[approx["query_id"] == qid]["neighbor_id"])
         hits += len(e & a)
     assert hits >= 0.9 * 4 * 5  # >=90% recall with 1-cell probes
+
+
+def test_nearest_cells_udf_matches_numpy_at_1024_cells(spark):
+    """Query routing must scale in n_cells: the broadcast-matmul UDF plans
+    flat (no n_cells x dim literal expression tree) and must reproduce the
+    brute-force nearest-centroid ordering, ties to the lower cell index."""
+    from monotonic_optimal_binning_spark.operators.similarity import (
+        nearest_cells_udf,
+    )
+
+    rng = np.random.default_rng(3)
+    n_cells, dim, n_probe, n_q = 1024, 32, 4, 64
+    cents = rng.standard_normal((n_cells, dim))
+    qs = rng.standard_normal((n_q, dim))
+    pdf = pd.DataFrame({"qid": range(n_q), "v": list(map(list, qs))})
+    df = spark.createDataFrame(pdf).select(
+        "qid", F.col("v").cast("array<double>").alias("v")
+    )
+    route = nearest_cells_udf(spark, cents, n_probe)
+    got = {
+        r["qid"]: list(r["cells"])
+        for r in df.select("qid", route(F.col("v")).alias("cells")).collect()
+    }
+    d = ((qs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    exp = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+    for i in range(n_q):
+        assert got[i] == exp[i].tolist(), i
+
+
+def test_ivf_topk_large_cell_count_smoke(spark):
+    """ivf_topk must plan and run at a cell count that would have broken
+    the literal-expression router (smoke: n_cells=64 on 600 vectors)."""
+    from monotonic_optimal_binning_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((600, 16)).round(3)
+    pdf = pd.DataFrame({"vec_id": range(600), "embedding": list(map(list, vecs))})
+    df = spark.createDataFrame(pdf)
+    q = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(df, q, k=3, n_cells=64, n_probe=64)
+    res = out.toPandas()
+    assert len(res) == 15
+    assert res.groupby("query_id")["rank"].max().eq(3).all()

@@ -196,3 +196,54 @@ def test_streaming_asof_enrich_matches_batch(spark, tmp_path):
         expected["last_val"].to_numpy(float),
         equal_nan=True,
     )
+
+
+def test_streaming_asof_late_left_never_sees_future_state(spark, tmp_path):
+    """A left row arriving in a LATER micro-batch with an OLDER event time
+    than the carried right-side state must be enriched with null, not a
+    value from its temporal future (zero-leakage guard)."""
+    from monotonic_optimal_binning_spark.streaming.sessions import (
+        streaming_asof_enrich,
+    )
+
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    # batch 1: one right row at ts=100
+    r1 = pd.DataFrame({"k": [1], "ts": [100.0], "val": [5.0]})
+    # right stream needs a second file so the left batch-2 rows are
+    # processed after state carries ts=100; give it a far-future row
+    r2 = pd.DataFrame({"k": [1], "ts": [900.0], "val": [9.0]})
+    l1 = pd.DataFrame({"k": [1], "ts": [110.0], "eid": [0]})
+    # batch 2: one late left (ts=50 < state ts=100) and one on-time (150)
+    l2 = pd.DataFrame({"k": [1, 1], "ts": [50.0, 150.0], "eid": [1, 2]})
+    spark.createDataFrame(r1).coalesce(1).write.parquet(rsrc + "/b1")
+    spark.createDataFrame(r2).coalesce(1).write.parquet(rsrc + "/b2")
+    spark.createDataFrame(l1).coalesce(1).write.parquet(lsrc + "/b1")
+    spark.createDataFrame(l2).coalesce(1).write.parquet(lsrc + "/b2")
+
+    lschema = spark.read.parquet(lsrc + "/b1").schema
+    rschema = spark.read.parquet(rsrc + "/b1").schema
+    lstream = (
+        spark.readStream.schema(lschema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(lsrc + "/*")
+    )
+    rstream = (
+        spark.readStream.schema(rschema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(rsrc + "/*")
+    )
+    out = streaming_asof_enrich(
+        lstream, rstream, on="k", ts="ts", value_cols=["val"],
+        right_prefix="last_",
+    )
+    _run_to_memory(out, "asof_late_left", "append")
+    got = (
+        spark.sql("select * from asof_late_left")
+        .toPandas()
+        .sort_values("eid")
+        .reset_index(drop=True)
+    )
+    by_eid = dict(zip(got["eid"], got["last_val"]))
+    assert by_eid[0] == 5.0            # on-time left sees the ts=100 right
+    assert pd.isna(by_eid[1])          # late left (ts=50) must NOT see it
+    assert by_eid[2] in (5.0, 9.0)     # ts=150: batch or carried state
