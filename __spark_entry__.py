@@ -716,6 +716,53 @@ def q_ivf_topk(spark, sf_dir):
     )
 
 
+def q_lsh_topk_planted(spark, sf_dir):
+    """LSH top-k made value-checkable: the corpus carries a planted
+    bit-identical twin (vec_id + 100000) of every query vector; the twin
+    shares every LSH band with its query (identical hyperplane signs), so
+    at k=1 the result is deterministically (query, twin, cosine 1, rank 1)
+    — the whole bucketing/re-scoring/ranking path value-checked."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 200
+    ).select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    planted = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted)
+    out = lsh_topk(
+        corpus, queries, k=1, dim=_EMBED_DIM, n_planes=16, n_bands=8
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", _R).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_ivf_topk_planted(spark, sf_dir):
+    """IVF top-k made value-checkable: a planted identical twin lands in
+    the same k-means cell as its query's nearest cell (same centroid
+    distances), so with n_probe=2 covering assignment ties the k=1 result
+    is deterministically (query, twin, cosine 1, rank 1)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 200
+    ).select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    planted = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted)
+    out = ivf_topk(corpus, queries, k=1, n_cells=8, n_probe=2)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", _R).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs via hyperplane-LSH candidates +
     exact re-score (candidate set is probabilistic -> rows-only)."""
@@ -767,6 +814,87 @@ def q_media_features(spark, sf_dir):
         F.min(F.col("n_bytes").cast("long")).alias("min_bytes"),
         F.max(F.col("n_bytes").cast("long")).alias("max_bytes"),
     )
+
+
+def q_pack_chunks(spark, sf_dir):
+    """Concat-then-chunk sequence packing (GPT-style pretraining packing):
+    documents laid end-to-end by doc_id and cut into 512-token chunks via
+    the distributed two-level prefix sum (no single-task global window)."""
+    from monotonic_optimal_binning_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", token_count(F.col("text")).alias("n_tok"))
+    out = pack_sequences(d, "n_tok", "doc_id", 512)
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("doc_offset").cast("long").alias("doc_offset"),
+        F.col("chunk_offset").cast("long").alias("chunk_offset"),
+        F.col("n_tok_slice").cast("long").alias("n_tok_slice"),
+    )
+
+
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition/quality signals (dup-line fractions, top
+    token frequency) — computed shuffle-free with sorted-array folds; the
+    oracle recomputes the same semantics with explode + group-by."""
+    from monotonic_optimal_binning_spark.operators.textstats import (
+        repetition_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = repetition_features(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.round("dup_line_frac", _R).alias("dup_line_frac"),
+        F.round("dup_line_char_frac", _R).alias("dup_line_char_frac"),
+        F.round("top_token_frac", _R).alias("top_token_frac"),
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII scrubbing pipeline: counts + typed-placeholder redaction, all
+    JVM-side regex. The input is augmented with one synthetic email and
+    IPv4 per row (the testdata has none) so the check exercises real
+    replacements; md5 of the scrubbed text pins byte-exact output."""
+    from monotonic_optimal_binning_spark.operators.textstats import pii_scrub
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com via 10.2."),
+            F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+            F.lit(".7 now"),
+        ).alias("text"),
+    )
+    out = pii_scrub(aug)
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.col("n_digit_run").cast("long").alias("n_digit_run"),
+        F.md5(F.col("text_scrubbed")).alias("scrub_md5"),
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-source cap (training-mix balancing): keep the 10
+    rows with the smallest md5(salt||id) per source — reproducible across
+    partitioning/cluster size; the oracle re-derives the exact pick."""
+    from monotonic_optimal_binning_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_sample(docs, "source", "doc_id", 10)
+    return out.select("doc_id", "source")
 
 
 def q_tpch_q1(spark, sf_dir):
@@ -946,9 +1074,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "cosine_topk": q_cosine_topk,
         "lsh_topk": q_lsh_topk,
+        "lsh_topk_planted": q_lsh_topk_planted,
         "ivf_topk": q_ivf_topk,
+        "ivf_topk_planted": q_ivf_topk_planted,
         "embedding_neardup": q_embedding_neardup,
         "media_features": q_media_features,
+        "pack_chunks": q_pack_chunks,
+        "repetition": q_repetition,
+        "pii_scrub": q_pii_scrub,
+        "stratified_sample": q_stratified_sample,
         "tpch_q1": q_tpch_q1,
         "join_topk": q_join_topk,
         "rollup": q_rollup,
@@ -1468,6 +1602,121 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(n_bytes) AS BIGINT) AS max_bytes
             FROM media GROUP BY media_type
         """,
+        "pack_chunks": r"""
+            -- single-node reference of the distributed two-level prefix
+            -- sum: plain window cumsum over doc_id order, then each doc
+            -- explodes into the chunks its [start, end) token span touches
+            WITH d AS (
+              SELECT doc_id,
+                     len(list_filter(string_split_regex(trim(text), '\s+'),
+                                     x -> x != '')) AS n_tok
+              FROM documents),
+            p AS (
+              SELECT doc_id, n_tok,
+                     CAST(sum(n_tok) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS e
+              FROM d),
+            s AS (
+              SELECT doc_id, e, e - n_tok AS st FROM p WHERE n_tok > 0),
+            x AS (
+              SELECT doc_id, st, e,
+                     unnest(generate_series(st // 512, (e - 1) // 512))
+                       AS chunk_id
+              FROM s)
+            SELECT doc_id,
+                   CAST(chunk_id AS BIGINT) AS chunk_id,
+                   CAST(greatest(st, chunk_id * 512) - st AS BIGINT)
+                     AS doc_offset,
+                   CAST(greatest(st, chunk_id * 512) - chunk_id * 512
+                     AS BIGINT) AS chunk_offset,
+                   CAST(least(e, chunk_id * 512 + 512)
+                        - greatest(st, chunk_id * 512) AS BIGINT)
+                     AS n_tok_slice
+            FROM x
+        """,
+        "repetition": r"""
+            -- same semantics as the engine's shuffle-free sorted-run folds,
+            -- recomputed the explode+group-by way
+            WITH lines AS (
+              SELECT doc_id, trim(l) AS line
+              FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+                    FROM documents)
+              WHERE trim(l) != ''),
+            cnt AS (
+              SELECT doc_id, line, count(*) AS c, length(line) AS ln
+              FROM lines GROUP BY doc_id, line),
+            lagg AS (
+              SELECT doc_id,
+                     sum(c) AS n_lines,
+                     sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS ndup,
+                     sum(c * ln) AS totchars,
+                     sum(CASE WHEN c > 1 THEN c * ln ELSE 0 END) AS dupchars
+              FROM cnt GROUP BY doc_id),
+            toks AS (
+              SELECT doc_id, lower(t) AS tok
+              FROM (SELECT doc_id,
+                           unnest(list_filter(
+                             string_split_regex(trim(text), '\s+'),
+                             x -> x != '')) AS t
+                    FROM documents)),
+            tagg AS (
+              SELECT doc_id, max(c) AS best, sum(c) AS n_tok
+              FROM (SELECT doc_id, tok, count(*) AS c
+                    FROM toks GROUP BY doc_id, tok)
+              GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(l.n_lines, 0) AS BIGINT) AS n_lines,
+                   round(coalesce(CAST(l.ndup AS DOUBLE) / l.n_lines, 0.0), 6)
+                     AS dup_line_frac,
+                   round(CASE WHEN coalesce(l.totchars, 0) > 0
+                         THEN CAST(l.dupchars AS DOUBLE) / l.totchars
+                         ELSE 0.0 END, 6) AS dup_line_char_frac,
+                   round(coalesce(CAST(t.best AS DOUBLE) / t.n_tok, 0.0), 6)
+                     AS top_token_frac
+            FROM documents d
+            LEFT JOIN lagg l ON l.doc_id = d.doc_id
+            LEFT JOIN tagg t ON t.doc_id = d.doc_id
+        """,
+        "pii_scrub": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                     concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                            '@example.com via 10.2.',
+                            CAST(((doc_id % 256) + 256) % 256 AS VARCHAR),
+                            '.7 now') AS text
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                     AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(text,
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                     AS BIGINT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(text,
+                     '\b\d[\d\- ]{7,}\d\b')) AS BIGINT) AS n_digit_run,
+                   md5(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                         '<IP>', 'g'),
+                       '\b\d[\d\- ]{7,}\d\b', '<NUM>', 'g')
+                   ) AS scrub_md5
+            FROM aug
+        """,
+        "stratified_sample": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY substring(md5(concat('strat',
+                                 CAST(doc_id AS VARCHAR))), 1, 8),
+                                doc_id) AS rn
+              FROM documents) WHERE rn <= 10
+        """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 6) AS sum_qty,
@@ -1552,6 +1801,23 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(a.v, b.v), 6) AS cosine
             FROM u a JOIN u b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= 0.999999
+        """,
+        "lsh_topk_planted": """
+            -- planted identical twin => guaranteed candidate in every band
+            -- and cosine 1 beats every other corpus vector (max ~0.51):
+            -- rank-1 neighbor is the twin, deterministically
+            SELECT vec_id AS query_id,
+                   vec_id + 100000 AS neighbor_id,
+                   CAST(1.0 AS DOUBLE) AS cosine,
+                   CAST(1 AS BIGINT) AS rank
+            FROM embeddings WHERE vec_id < 10
+        """,
+        "ivf_topk_planted": """
+            SELECT vec_id AS query_id,
+                   vec_id + 100000 AS neighbor_id,
+                   CAST(1.0 AS DOUBLE) AS cosine,
+                   CAST(1 AS BIGINT) AS rank
+            FROM embeddings WHERE vec_id < 10
         """,
         "per_source_fit_monotone": """
             -- per-source no-merge construction: strictly monotone group

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from typing import Dict, Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _HEX_SPACE = 16**8
@@ -76,6 +76,36 @@ def deterministic_split(
         cond = h < F.lit(upper)
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return df.withColumn(out_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    n_per_group: int,
+    *,
+    salt: str = "strat",
+) -> DataFrame:
+    """Keep at most ``n_per_group`` rows per group, chosen as the rows with
+    the smallest md5(salt || id) — a deterministic uniform-without-
+    replacement sample per stratum (source balancing for training mixes).
+
+    Same reproducibility contract as :func:`deterministic_split`: the kept
+    set is a pure function of (group, id, salt), invariant to partitioning
+    and cluster size. One shuffle (window by group); a pathologically hot
+    group serializes its rank into one task — for those, pre-filter with
+    :func:`hash_sample` at a fraction that bounds the group size first.
+    """
+    if n_per_group <= 0:
+        raise ValueError("n_per_group must be positive")
+    w = Window.partitionBy(group_col).orderBy(
+        _bucket_hex(F.col(id_col), salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_group)
+        .drop("__rn")
+    )
 
 
 def hash_sample(

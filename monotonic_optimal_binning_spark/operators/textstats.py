@@ -160,6 +160,164 @@ def tf_idf(
     )
 
 
+def repetition_features(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Repetition-based quality signals per document (the Gopher-rule
+    family used to filter low-quality/boilerplate training text):
+
+      n_lines              non-empty trimmed lines
+      dup_line_frac        fraction of lines that are repeats of another
+      dup_line_char_frac   fraction of line characters inside repeated lines
+      top_token_frac       most-frequent-token count / total tokens
+
+    Zero shuffles: everything is computed per row with sorted-array
+    adjacency (a line/token is part of a repeat group iff it equals a
+    neighbor after sorting; the top-token count is the longest equal run in
+    the sorted token array, folded in ONE ``aggregate`` pass). An
+    explode+groupBy formulation would shuffle the whole corpus token-wise
+    to compute per-doc scalars.
+    """
+    text = F.col(text_col)
+    empty = F.array().cast("array<string>")
+    lines = F.coalesce(
+        F.filter(
+            F.transform(F.split(text, r"\n"), lambda l: F.trim(l)),
+            lambda l: l != "",
+        ),
+        empty,
+    )
+    s = F.array_sort(lines)
+    n = F.size(s)
+
+    # ONE forward fold over the sorted lines — the lambda touches ONLY the
+    # accumulator and the element (a captured outer array expression would
+    # be RE-EVALUATED per element by the interpreted HOF: the sort would go
+    # O(n^2 log n) per row). Equal lines are adjacent after sorting, so a
+    # run-length pass yields duplicate count and duplicated characters;
+    # when a run reaches length 2 its first member is counted retroactively
+    # (same string -> same length).
+    def _line_step(acc, x):
+        eq = acc["prev"].isNotNull() & (x == acc["prev"])
+        runlen = F.when(eq, acc["runlen"] + 1).otherwise(F.lit(1))
+        extra_dup = F.when(
+            eq & (acc["runlen"] == 1), F.length(x) * 2
+        ).when(eq, F.length(x)).otherwise(F.lit(0))
+        extra_n = F.when(
+            eq & (acc["runlen"] == 1), F.lit(2)
+        ).when(eq, F.lit(1)).otherwise(F.lit(0))
+        return F.struct(
+            x.alias("prev"),
+            runlen.alias("runlen"),
+            (acc["dupchars"] + extra_dup).alias("dupchars"),
+            (acc["totchars"] + F.length(x)).alias("totchars"),
+            (acc["ndup"] + extra_n).alias("ndup"),
+        )
+
+    line_stats = F.aggregate(
+        s,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("runlen"),
+            F.lit(0).alias("dupchars"),
+            F.lit(0).alias("totchars"),
+            F.lit(0).alias("ndup"),
+        ),
+        _line_step,
+        lambda acc: F.struct(
+            acc["dupchars"].alias("dupchars"),
+            acc["totchars"].alias("totchars"),
+            acc["ndup"].alias("ndup"),
+        ),
+    )
+
+    toks = F.array_sort(
+        F.coalesce(
+            F.transform(whitespace_tokens(text), lambda t: F.lower(t)), empty
+        )
+    )
+    n_tok = F.size(toks)
+    # longest equal run in the sorted token array == max token frequency
+    top_run = F.aggregate(
+        toks,
+        F.struct(
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+            F.lit(None).cast("string").alias("prev"),
+        ),
+        lambda acc, x: F.struct(
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+            x.alias("prev"),
+        ),
+        lambda acc: acc["best"],
+    )
+
+    # Generate (explode of a 1-element array) is a project-collapse
+    # barrier: the folds evaluate ONCE per row and downstream columns read
+    # real attributes of the generated struct instead of inlined copies
+    rep = F.struct(
+        n.alias("n_lines"),
+        line_stats.alias("ls"),
+        top_run.alias("top_run"),
+        n_tok.alias("n_tok"),
+    )
+    out = df.select("*", F.explode(F.array(rep)).alias("__rep"))
+    r = F.col("__rep")
+    return out.select(
+        *df.columns,
+        r["n_lines"].alias("n_lines"),
+        F.when(
+            r["n_lines"] > 0, r["ls"]["ndup"] / r["n_lines"]
+        ).otherwise(0.0).alias("dup_line_frac"),
+        F.when(
+            r["ls"]["totchars"] > 0, r["ls"]["dupchars"] / r["ls"]["totchars"]
+        ).otherwise(0.0).alias("dup_line_char_frac"),
+        F.when(
+            r["n_tok"] > 0, r["top_run"] / r["n_tok"]
+        ).otherwise(0.0).alias("top_token_frac"),
+    )
+
+
+# Deliberately simple, RE2-and-Java-compatible patterns (no lookarounds):
+# the point is the scrubbing *pipeline shape* (counts + sequential
+# replacement, one codegen stage), not NER-grade PII detection.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("digit_run", r"\b\d[\d\- ]{7,}\d\b", "<NUM>"),
+)
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    out_col: str = "text_scrubbed",
+    patterns=PII_PATTERNS,
+) -> DataFrame:
+    """Redact PII-shaped spans (emails, IPv4s, long digit runs) with typed
+    placeholder tokens and count each kind per document.
+
+    Adds ``n_<kind>`` counts (from the ORIGINAL text) and ``out_col`` with
+    replacements applied sequentially in pattern order (emails first so an
+    address's digits can't be half-eaten by the digit-run rule). All
+    JVM-side regex — one codegen stage, no shuffle, no Python.
+    """
+    out = df
+    for kind, pat, _ in patterns:
+        out = out.withColumn(
+            f"n_{kind}", F.regexp_count(F.col(text_col), F.lit(pat))
+        )
+    scrubbed = F.col(text_col)
+    for _, pat, token in patterns:
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return out.withColumn(out_col, scrubbed)
+
+
 def fingerprint(
     df: DataFrame, text_col: str = "text", out_col: str = "fingerprint"
 ) -> DataFrame:

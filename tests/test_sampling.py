@@ -76,3 +76,33 @@ def test_split_last_threshold_is_always_catchall():
         assert list(th.values())[-1] == "g" * 8, weights
     # exact decimal weights too
     assert list(split_thresholds({"a": 0.8, "b": 0.2}).values())[-1] == "g" * 8
+
+
+def test_stratified_sample_caps_per_group_deterministically(spark):
+    from monotonic_optimal_binning_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(1000),
+            "source": ["web"] * 700 + ["books"] * 280 + ["code"] * 20,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = stratified_sample(df, "source", "doc_id", 50)
+    counts = dict(
+        (r["source"], r["n"])
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    assert counts == {"web": 50, "books": 50, "code": 20}
+    # pure function of (group, id, salt): identical across partitionings
+    a = sorted(r["doc_id"] for r in stratified_sample(
+        df.repartition(3), "source", "doc_id", 50).collect())
+    b = sorted(r["doc_id"] for r in stratified_sample(
+        df.repartition(13), "source", "doc_id", 50).collect())
+    assert a == b
+    # different salt -> different (but same-sized) pick
+    c = sorted(r["doc_id"] for r in stratified_sample(
+        df, "source", "doc_id", 50, salt="other").collect())
+    assert len(c) == len(a) and c != a

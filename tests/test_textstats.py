@@ -1,5 +1,6 @@
 """Text-analysis operators on the real documents table."""
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -134,3 +135,56 @@ def test_tf_idf(spark):
         for r in tf_idf(spark.createDataFrame(pdf2)).collect()
     }
     assert res2[(1, "x")] == 0.0 and res2[(2, "x")] == 0.0
+
+
+def test_repetition_features_reference(spark):
+    from monotonic_optimal_binning_spark.operators.textstats import (
+        repetition_features,
+    )
+
+    docs = [
+        (1, "a line\nanother\na line\nunique one\na line"),   # 'a line' x3
+        (2, "x\ny\nz"),                                       # no repeats
+        (3, "only the the the words the"),                     # top token 'the' x4
+        (4, ""),                                              # empty
+        (5, None),                                            # null text
+        (6, "dup\ndup\nother\nother\nsingle"),                # two pairs
+    ]
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in repetition_features(df).collect()
+    }
+    # doc 1: 5 lines, 3 dups ('a line'), dup chars = 3*6 of total 6+7+6+10+6
+    assert got[1]["n_lines"] == 5
+    assert got[1]["dup_line_frac"] == pytest.approx(3 / 5)
+    assert got[1]["dup_line_char_frac"] == pytest.approx(18 / 35)
+    assert got[2]["dup_line_frac"] == 0.0
+    assert got[2]["dup_line_char_frac"] == 0.0
+    # doc 3: 6 tokens, 'the' x4 (lowercased)
+    assert got[3]["top_token_frac"] == pytest.approx(4 / 6)
+    for d in (4, 5):
+        assert got[d]["n_lines"] == 0
+        assert got[d]["dup_line_frac"] == 0.0
+        assert got[d]["top_token_frac"] == 0.0
+    assert got[6]["dup_line_frac"] == pytest.approx(4 / 5)
+
+
+def test_pii_scrub_counts_and_replacement(spark):
+    from monotonic_optimal_binning_spark.operators.textstats import pii_scrub
+
+    docs = [
+        (1, "mail me at john.doe+x@exa-mple.org or jane@sub.example.co today"),
+        (2, "server at 10.0.255.3 and card 4111 1111 1111 1111 expired"),
+        (3, "clean text with no identifiers at all"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    got = {r["doc_id"]: r.asDict() for r in pii_scrub(df).collect()}
+    assert got[1]["n_email"] == 2 and got[1]["n_ipv4"] == 0
+    assert "<EMAIL>" in got[1]["text_scrubbed"]
+    assert "@" not in got[1]["text_scrubbed"]
+    assert got[2]["n_ipv4"] == 1 and got[2]["n_digit_run"] == 1
+    assert "<IP>" in got[2]["text_scrubbed"]
+    assert "<NUM>" in got[2]["text_scrubbed"]
+    assert got[3]["n_email"] == got[3]["n_ipv4"] == got[3]["n_digit_run"] == 0
+    assert got[3]["text_scrubbed"] == docs[2][1]
