@@ -124,6 +124,7 @@ def streaming_asof_enrich(
     *,
     right_prefix: str = "",
     output_mode: str = "append",
+    reorder_within: float | None = None,
 ) -> DataFrame:
     """Streaming point-in-time enrichment: each left event gets the most
     recent right-side values AT OR BEFORE its timestamp (backward as-of,
@@ -143,6 +144,16 @@ def streaming_asof_enrich(
     arriving late is still applied from its processing point onward, never
     retroactively — the streaming-world trade-off, stated rather than
     hidden.
+
+    ``reorder_within`` (seconds, optional) upgrades the documented
+    order assumption to an ENFORCED bounded-disorder guarantee: rows are
+    held in per-key state and only processed once the key's event-time
+    frontier (max ts seen) passes ``row_ts + reorder_within``, so any
+    disorder within the bound is sorted out before matching — a late right
+    row IS applied retroactively to lefts still inside the buffer. The
+    cost is the streaming-standard one: output is delayed by the bound,
+    and rows within ``reorder_within`` of the frontier stay buffered until
+    later data (or stream end processing) advances it.
 
     ``value_cols`` are carried as doubles in state (fixed state schema).
     Output: left rows + prefixed value columns.
@@ -183,59 +194,199 @@ def streaming_asof_enrich(
     n_vals = len(value_cols)
     left_fields = [f.name for f in left.schema.fields]
 
-    def _enrich(key, pdf_iter, state: GroupState):
-        # fully vectorized batch body (no per-row Python): the (ts, side)
+    def _process_block(pdf, cur):
+        # fully vectorized block body (no per-row Python): the (ts, side)
         # sort puts each left row after every eligible right row, so the
         # matching right row index is prefix_count_of_rights - 1; index -1
-        # falls back to the carried state value
+        # falls back to the carried state value. Mutates ``cur`` with the
+        # block's newest right row (monotone) and returns the enriched
+        # left-row frame (or None).
         import numpy as np
 
-        cur = list(state.get) if state.exists else [None] * (1 + n_vals)
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(["__ts", "__side"], kind="mergesort")
-            is_right = (pdf["__side"].to_numpy() == 0)
-            is_left = ~is_right
-            if is_left.any():
-                prefix_rights = np.cumsum(is_right)[is_left]  # per left row
-                match_idx = prefix_rights - 1
-                left_ts = pdf["__ts"].to_numpy(dtype=float)[is_left]
-                # the carried state value is only eligible when the state's
-                # right-side ts is AT OR BEFORE the left row's event time —
-                # a left row arriving in a later micro-batch with an OLDER
-                # event time must NOT see a right value from its temporal
-                # future (the zero-leakage contract); it gets null instead
-                if cur[0] is None:
-                    state_ok = np.zeros(left_ts.shape, dtype=bool)
-                else:
-                    state_ok = cur[0] <= left_ts
-                out = pd.DataFrame(
-                    list(pdf["__payload"].to_numpy()[is_left]),
-                    columns=left_fields,
+        out = None
+        pdf = pdf.sort_values(["__ts", "__side"], kind="mergesort")
+        is_right = (pdf["__side"].to_numpy() == 0)
+        is_left = ~is_right
+        if is_left.any():
+            prefix_rights = np.cumsum(is_right)[is_left]  # per left row
+            match_idx = prefix_rights - 1
+            left_ts = pdf["__ts"].to_numpy(dtype=float)[is_left]
+            # the carried state value is only eligible when the state's
+            # right-side ts is AT OR BEFORE the left row's event time —
+            # a left row arriving in a later micro-batch with an OLDER
+            # event time must NOT see a right value from its temporal
+            # future (the zero-leakage contract); it gets null instead
+            if cur[0] is None:
+                state_ok = np.zeros(left_ts.shape, dtype=bool)
+            else:
+                state_ok = cur[0] <= left_ts
+            out = pd.DataFrame(
+                [_payload_tuple(p) for p in pdf["__payload"].to_numpy()[is_left]],
+                columns=left_fields,
+            )
+            for i, name in enumerate(out_names):
+                rv = pdf[f"__v{i}"].to_numpy(dtype=float)[is_right]
+                state_v = np.nan if cur[1 + i] is None else cur[1 + i]
+                col = np.where(
+                    match_idx >= 0,
+                    rv[np.clip(match_idx, 0, None)] if len(rv) else np.nan,
+                    np.where(state_ok, state_v, np.nan),
                 )
-                for i, name in enumerate(out_names):
-                    rv = pdf[f"__v{i}"].to_numpy(dtype=float)[is_right]
-                    state_v = np.nan if cur[1 + i] is None else cur[1 + i]
-                    col = np.where(
-                        match_idx >= 0,
-                        rv[np.clip(match_idx, 0, None)] if len(rv) else np.nan,
-                        np.where(state_ok, state_v, np.nan),
-                    )
-                    # nullable Float64 so no-match NaN arrives as SQL NULL
-                    # (matching the batch as-of), not as a NaN double
-                    out[name] = pd.array(col, dtype="Float64")
-                yield out
-            if is_right.any():
-                last = int(np.nonzero(is_right)[0][-1])
-                cur[0] = float(pdf["__ts"].iloc[last])
+                # nullable Float64 so no-match NaN arrives as SQL NULL
+                # (matching the batch as-of), not as a NaN double
+                out[name] = pd.array(col, dtype="Float64")
+        if is_right.any():
+            last = int(np.nonzero(is_right)[0][-1])
+            new_ts = float(pdf["__ts"].iloc[last])
+            # monotone state: a right row arriving LATE (older than the
+            # carried state) must not regress the as-of frontier
+            if cur[0] is None or new_ts >= cur[0]:
+                cur[0] = new_ts
                 for i in range(n_vals):
                     v = pdf[f"__v{i}"].iloc[last]
                     cur[1 + i] = None if pd.isna(v) else float(v)
+        return out
+
+    def _payload_tuple(p):
+        # payload structs arrive as dicts from Arrow batches but as Rows
+        # when round-tripped through buffered state — normalize positionally
+        if p is None:
+            return tuple([None] * len(left_fields))
+        if isinstance(p, dict):
+            return tuple(p.get(f) for f in left_fields)
+        if hasattr(p, "asDict"):
+            return tuple(p.asDict().get(f) for f in left_fields)
+        return tuple(p)
+
+    def _enrich(key, pdf_iter, state: GroupState):
+        cur = list(state.get) if state.exists else [None] * (1 + n_vals)
+        for pdf in pdf_iter:
+            out = _process_block(pdf, cur)
+            if out is not None and len(out):
+                yield out
         state.update(tuple(cur))
 
+    buf_cols = ["__ts", "__side", "__payload"] + [
+        f"__v{i}" for i in range(n_vals)
+    ]
+
+    # Arrow->pandas widens a struct's integer children to float64 when the
+    # column carries nulls (right rows have a null payload), and the JVM
+    # state converter silently NULLS a float written into a Long/Int state
+    # field — so payload values must be coerced back to their declared
+    # types before entering state
+    def _field_coercer(dt):
+        if isinstance(
+            dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+        ):
+            return lambda v: (
+                None if v is None or (isinstance(v, float) and pd.isna(v))
+                else int(v)
+            )
+        if isinstance(dt, (T.DoubleType, T.FloatType)):
+            return lambda v: (
+                None if v is None or (isinstance(v, float) and pd.isna(v))
+                else float(v)
+            )
+        return lambda v: v
+
+    payload_coercers = [
+        _field_coercer(f.dataType) for f in left.schema.fields
+    ]
+
+    def _coerce_payload(values):
+        return {
+            name: fn(v)
+            for name, fn, v in zip(left_fields, payload_coercers, values)
+        }
+
+    def _enrich_reorder(key, pdf_iter, state: GroupState):
+        cur = [None] * (1 + n_vals)
+        buf_rows = []
+        if state.exists:
+            vals = list(state.get)
+            cur = list(vals[: 1 + n_vals])
+            for e in vals[1 + n_vals] or []:
+                if hasattr(e, "asDict"):
+                    e = e.asDict(recursive=False)
+                elif not isinstance(e, dict):
+                    e = dict(zip(["ts", "side", "payload"]
+                                 + [f"v{i}" for i in range(n_vals)], e))
+                buf_rows.append(
+                    [e["ts"], e["side"], e["payload"]]
+                    + [e[f"v{i}"] for i in range(n_vals)]
+                )
+        frames = [pd.DataFrame(buf_rows, columns=buf_cols)] if buf_rows else []
+        frames += [pdf[buf_cols] for pdf in pdf_iter]
+        if not frames:
+            state.update(tuple(cur) + ([],))
+            return
+        allrows = pd.concat(frames, ignore_index=True)
+        if not len(allrows):
+            state.update(tuple(cur) + ([],))
+            return
+        # frontier watermark: only rows more than reorder_within behind the
+        # newest event are processed — disorder inside the bound is fully
+        # sorted out (a late right row reaches lefts still in the buffer)
+        frontier = float(allrows["__ts"].max())
+        ready_mask = allrows["__ts"].to_numpy(dtype=float) <= (
+            frontier - reorder_within
+        )
+        ready = allrows[ready_mask]
+        pending = allrows[~ready_mask]
+        if len(ready):
+            out = _process_block(ready, cur)
+            if out is not None and len(out):
+                yield out
+        new_buf = [
+            {
+                "ts": float(r[0]),
+                "side": int(r[1]),
+                "payload": None
+                if r[2] is None
+                or (isinstance(r[2], float) and pd.isna(r[2]))
+                else _coerce_payload(_payload_tuple(r[2])),
+            }
+            | {f"v{i}": (None if pd.isna(v) else float(v))
+               for i, v in enumerate(r[3:])}
+            # name=None -> plain tuples (itertuples mangles the __-prefixed
+            # column names otherwise)
+            for r in pending.itertuples(index=False, name=None)
+        ]
+        state.update(tuple(cur) + (new_buf,))
+
+    if reorder_within is None:
+        fn, st_schema = _enrich, state_schema
+    else:
+        payload_t = l_tagged.schema["__payload"].dataType
+        st_schema = T.StructType(
+            [T.StructField("ts", T.DoubleType())]
+            + [T.StructField(f"v{i}", T.DoubleType()) for i in range(n_vals)]
+            + [
+                T.StructField(
+                    "buf",
+                    T.ArrayType(
+                        T.StructType(
+                            [
+                                T.StructField("ts", T.DoubleType()),
+                                T.StructField("side", T.IntegerType()),
+                                T.StructField("payload", payload_t),
+                            ]
+                            + [
+                                T.StructField(f"v{i}", T.DoubleType())
+                                for i in range(n_vals)
+                            ]
+                        )
+                    ),
+                )
+            ]
+        )
+        fn = _enrich_reorder
+
     out = unioned.groupBy("__k").applyInPandasWithState(
-        _enrich,
+        fn,
         outputStructType=out_schema,
-        stateStructType=state_schema,
+        stateStructType=st_schema,
         outputMode=output_mode,
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

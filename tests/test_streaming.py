@@ -247,3 +247,56 @@ def test_streaming_asof_late_left_never_sees_future_state(spark, tmp_path):
     assert by_eid[0] == 5.0            # on-time left sees the ts=100 right
     assert pd.isna(by_eid[1])          # late left (ts=50) must NOT see it
     assert by_eid[2] in (5.0, 9.0)     # ts=150: batch or carried state
+
+
+def test_streaming_asof_reorder_buffer_applies_late_right(spark, tmp_path):
+    """With reorder_within, a right row arriving one micro-batch LATE (but
+    within the bound) must still enrich an earlier-buffered left row —
+    bounded disorder is sorted out inside the buffer, not dropped."""
+    from monotonic_optimal_binning_spark.streaming.sessions import (
+        streaming_asof_enrich,
+    )
+
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    # batch 1: left at ts=100 (no right yet) + an early right at ts=10
+    l1 = pd.DataFrame({"k": [1], "ts": [100.0], "eid": [0]})
+    r1 = pd.DataFrame({"k": [1], "ts": [10.0], "val": [1.0]})
+    # batch 2: the LATE right at ts=90 (before the buffered left!) plus
+    # frontier-advancing rows at ts=300 so the buffer flushes
+    l2 = pd.DataFrame({"k": [1], "ts": [300.0], "eid": [9]})
+    r2 = pd.DataFrame({"k": [1, 1], "ts": [90.0, 300.0], "val": [5.0, 9.0]})
+    spark.createDataFrame(l1).coalesce(1).write.parquet(lsrc + "/b1")
+    spark.createDataFrame(l2).coalesce(1).write.parquet(lsrc + "/b2")
+    spark.createDataFrame(r1).coalesce(1).write.parquet(rsrc + "/b1")
+    spark.createDataFrame(r2).coalesce(1).write.parquet(rsrc + "/b2")
+
+    lstream = (
+        spark.readStream.schema(spark.read.parquet(lsrc + "/b1").schema)
+        .option("maxFilesPerTrigger", 1).parquet(lsrc + "/*")
+    )
+    rstream = (
+        spark.readStream.schema(spark.read.parquet(rsrc + "/b1").schema)
+        .option("maxFilesPerTrigger", 1).parquet(rsrc + "/*")
+    )
+    out = streaming_asof_enrich(
+        lstream, rstream, on="k", ts="ts", value_cols=["val"],
+        right_prefix="last_", reorder_within=50.0,
+    )
+    _run_to_memory(out, "asof_reorder", "append")
+    got = spark.sql("select * from asof_reorder").toPandas()
+    by_eid = dict(zip(got["eid"], got["last_val"]))
+    # left@100 was held in batch 1 (frontier 100, cutoff 50); in batch 2
+    # the frontier jumps to 300, the buffer flushes, and the late right@90
+    # (which arrived AFTER the left) is correctly matched to it
+    assert by_eid[0] == 5.0
+    # left@300 stays inside the reorder window (frontier 300) -> unemitted
+    assert 9 not in by_eid
+    # WITHOUT the buffer the late right would have been invisible to eid 0
+    out2 = streaming_asof_enrich(
+        lstream, rstream, on="k", ts="ts", value_cols=["val"],
+        right_prefix="last_",
+    )
+    _run_to_memory(out2, "asof_noreorder", "append")
+    got2 = spark.sql("select * from asof_noreorder").toPandas()
+    by2 = dict(zip(got2["eid"], got2["last_val"]))
+    assert by2[0] == 1.0  # only the in-order right@10 was visible in time
