@@ -186,12 +186,44 @@ def dedup_job(args) -> None:
                 deduped, args.text_col, args.id_col,
                 threshold=args.near_threshold,
                 num_hashes=args.num_hashes, n_bands=args.n_bands,
+                transitive=args.transitive,
+                checkpoint_dir=args.checkpoint_dir,
             ),
             inputs=[exact_dir],
             params={"threshold": args.near_threshold,
-                    "num_hashes": args.num_hashes, "n_bands": args.n_bands},
+                    "num_hashes": args.num_hashes, "n_bands": args.n_bands,
+                    "transitive": args.transitive},
         )
         run.record(near_dir)
+    print(run.save())
+
+
+def pack_job(args) -> None:
+    """Sequence-packing pipeline stage: token counts -> distributed global
+    prefix sum -> concat-then-chunk slices, written as an idempotent
+    checkpoint stage (resume skips completed stages)."""
+    spark = _spark("mob-pack")
+    run = PipelineRun(root=args.workdir)
+    df = (
+        spark.read.parquet(args.input)
+        if "/" in args.input
+        else spark.read.table(args.input)
+    )
+
+    from .operators.packing import pack_sequences
+
+    out_dir = os.path.join(args.workdir, "stage_pack")
+    run_stage(
+        spark, out_dir, "pack_sequences",
+        lambda: pack_sequences(
+            df, args.n_tok_col, args.id_col, args.budget,
+            order_col=args.order_col,
+            tokens_col=args.tokens_col,
+        ),
+        inputs=[args.input],
+        params={"budget": args.budget, "order_col": args.order_col},
+    )
+    run.record(out_dir)
     print(run.save())
 
 
@@ -229,7 +261,25 @@ def main(argv: Optional[list] = None) -> None:
                     help="jaccard threshold; omit to skip the LSH pass")
     dd.add_argument("--num-hashes", type=int, default=64)
     dd.add_argument("--n-bands", type=int, default=16)
+    dd.add_argument("--transitive", action="store_true",
+                    help="exact single-link clusters (connected components)")
+    dd.add_argument("--checkpoint-dir", default=None,
+                    help="reliable checkpoint path (HDFS/S3) for iterative "
+                         "stages; default localCheckpoint")
     dd.set_defaults(func=dedup_job)
+
+    pk = sub.add_parser("pack", help="concat-then-chunk sequence packing")
+    pk.add_argument("--input", required=True, help="parquet path or table id")
+    pk.add_argument("--workdir", required=True)
+    pk.add_argument("--n-tok-col", default="n_tok")
+    pk.add_argument("--id-col", default="doc_id")
+    pk.add_argument("--budget", type=int, required=True,
+                    help="tokens per packed chunk (context length)")
+    pk.add_argument("--order-col", default=None,
+                    help="unique numeric layout order (default: id col)")
+    pk.add_argument("--tokens-col", default=None,
+                    help="token-array column to slice into chunks")
+    pk.set_defaults(func=pack_job)
 
     args = p.parse_args(argv)
     args.func(args)

@@ -124,3 +124,28 @@ def test_dedup_job_end_to_end(spark, tmp_path):
           "--near-threshold", "0.9", "--num-hashes", "16", "--n-bands", "4"])
     final = spark.read.parquet(os.path.join(wd, "stage_neardup", "data"))
     assert final.count() == report["stages"][1]["rows_written"]
+
+
+def test_pack_job_end_to_end(spark, tmp_path):
+    """spark-submit packing stage: token-budget chunks written as an
+    idempotent checkpoint with row-count lineage."""
+    import pandas as pd
+
+    from monotonic_optimal_binning_spark.jobs import main
+
+    src = str(tmp_path / "toks.parquet")
+    pdf = pd.DataFrame({"doc_id": range(50), "n_tok": [13] * 50})
+    spark.createDataFrame(pdf).write.parquet(src)
+
+    wd = str(tmp_path / "packrun")
+    main(["pack", "--input", src, "--workdir", wd, "--budget", "100"])
+    with open(os.path.join(wd, "_LINEAGE.json")) as f:
+        report = json.load(f)
+    assert report["stages"][0]["stage"] == "pack_sequences"
+    out = spark.read.parquet(os.path.join(wd, "stage_pack", "data"))
+    import pyspark.sql.functions as F
+
+    per_chunk = out.groupBy("chunk_id").agg(
+        F.sum("n_tok_slice").alias("s")).orderBy("chunk_id").collect()
+    # 650 tokens -> 6 full chunks of 100 + one 50-token tail
+    assert [r["s"] for r in per_chunk] == [100] * 6 + [50]
