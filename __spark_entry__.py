@@ -897,6 +897,24 @@ def q_stratified_sample(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+def q_token_budget_mix(spark, sf_dir):
+    """Training-mixture sampling: keep rows per source in deterministic
+    hash order until each source's TOKEN budget is hit (overshoot < 1 doc);
+    the oracle re-derives the exact kept set from the same window cumsum."""
+    from monotonic_optimal_binning_spark.operators.sampling import (
+        sample_to_token_budget,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tok")
+    )
+    out = sample_to_token_budget(
+        d, "source", "doc_id", "n_tok", {"src0": 900, "src1": 400}
+    )
+    return out.select("doc_id", "source", F.col("n_tok").cast("long").alias("n_tok"))
+
+
 def q_tpch_q1(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     return (
@@ -1083,6 +1101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "pii_scrub": q_pii_scrub,
         "stratified_sample": q_stratified_sample,
+        "token_budget_mix": q_token_budget_mix,
         "tpch_q1": q_tpch_q1,
         "join_topk": q_join_topk,
         "rollup": q_rollup,
@@ -1716,6 +1735,27 @@ def oracle_sql() -> dict[str, str]:
                                  CAST(doc_id AS VARCHAR))), 1, 8),
                                 doc_id) AS rn
               FROM documents) WHERE rn <= 10
+        """,
+        "token_budget_mix": r"""
+            WITH d AS (
+              SELECT doc_id, source,
+                     len(list_filter(string_split_regex(trim(text), '\s+'),
+                                     x -> x != '')) AS n_tok
+              FROM documents),
+            ranked AS (
+              SELECT doc_id, source, n_tok,
+                     sum(n_tok) OVER (
+                       PARTITION BY source
+                       ORDER BY substring(md5(concat('mix',
+                                 CAST(doc_id AS VARCHAR))), 1, 8), doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tok AS cum_before
+              FROM d)
+            SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok
+            FROM ranked
+            WHERE cum_before < CASE source WHEN 'src0' THEN 900
+                                           WHEN 'src1' THEN 400
+                                           ELSE 0 END
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,

@@ -68,15 +68,24 @@ def exact_dedup(
     if strategy not in ("window", "agg"):
         raise ValueError("strategy must be 'window' or 'agg'")
     h = F.xxhash64(*[F.col(c) for c in content_cols])
-    # md5 over to_json(struct) is an unambiguous multi-column encoding
-    # (ignoreNullFields=false keeps null vs absent distinct); concat_ws
-    # would alias ("a\x00b") with ("a","b")
-    h2 = F.md5(
-        F.to_json(
-            F.struct(*[F.col(c) for c in content_cols]),
-            {"ignoreNullFields": "false"},
+    if len(content_cols) == 1:
+        # single column: hash it directly — no JSON encoding cost (null ->
+        # md5(null) = null, which still groups nulls together); string and
+        # binary feed md5 as-is (a binary->string cast would be lossy)
+        c0 = content_cols[0]
+        dt = dict(df.dtypes).get(c0, "")
+        base = F.col(c0) if dt in ("string", "binary") else F.col(c0).cast("string")
+        h2 = F.md5(base)
+    else:
+        # md5 over to_json(struct) is an unambiguous multi-column encoding
+        # (ignoreNullFields=false keeps null vs absent distinct); concat_ws
+        # would alias ("a\x00b") with ("a","b")
+        h2 = F.md5(
+            F.to_json(
+                F.struct(*[F.col(c) for c in content_cols]),
+                {"ignoreNullFields": "false"},
+            )
         )
-    )
     if strategy == "agg":
         pick = F.min(F.col(id_col)) if keep == "min" else F.max(F.col(id_col))
         winners = (

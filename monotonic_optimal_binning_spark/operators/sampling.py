@@ -108,6 +108,49 @@ def stratified_sample(
     )
 
 
+def sample_to_token_budget(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    n_tok_col: str,
+    budgets: Mapping[str, int],
+    *,
+    salt: str = "mix",
+    default_budget: int = 0,
+) -> DataFrame:
+    """Training-mixture construction: per group (source), keep rows in
+    md5(salt || id) hash order until the group's TOKEN budget is reached —
+    the deterministic way to hit a target mixture like
+    ``{"web": 10B, "code": 2B}`` tokens.
+
+    A row is kept while the running token total BEFORE it is under budget,
+    so the budget may be overshot by at most one document (the standard
+    greedy contract; exact-cut packing is :mod:`packing`'s job). Groups
+    absent from ``budgets`` get ``default_budget`` (0 = dropped). Pure
+    function of (group, id, salt): reruns, repartitions, and cluster
+    resizes keep the identical sample. One shuffle (window per group).
+    """
+    entries = [(str(k), int(v)) for k, v in budgets.items()]
+    budget_map = F.create_map(
+        *[F.lit(x) for kv in entries for x in kv]
+    )
+    budget = F.coalesce(
+        budget_map[F.col(group_col).cast("string")],
+        F.lit(int(default_budget)),
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(_bucket_hex(F.col(id_col), salt), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_before = F.sum(F.col(n_tok_col)).over(w) - F.col(n_tok_col)
+    return (
+        df.withColumn("__cum_before", cum_before)
+        .filter(F.col("__cum_before") < budget)
+        .drop("__cum_before")
+    )
+
+
 def hash_sample(
     df: DataFrame,
     id_col: str,

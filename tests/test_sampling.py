@@ -106,3 +106,34 @@ def test_stratified_sample_caps_per_group_deterministically(spark):
     c = sorted(r["doc_id"] for r in stratified_sample(
         df, "source", "doc_id", 50, salt="other").collect())
     assert len(c) == len(a) and c != a
+
+
+def test_sample_to_token_budget(spark):
+    from monotonic_optimal_binning_spark.operators.sampling import (
+        sample_to_token_budget,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(300),
+            "source": (["web"] * 200 + ["code"] * 80 + ["rare"] * 20),
+            "n_tok": [10] * 300,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = sample_to_token_budget(
+        df, "source", "doc_id", "n_tok", {"web": 500, "code": 95}
+    ).toPandas()
+    got = out.groupby("source")["n_tok"].agg(["count", "sum"]).to_dict("index")
+    assert got["web"] == {"count": 50, "sum": 500}     # exact multiple
+    assert got["code"] == {"count": 10, "sum": 100}    # overshoot by <1 doc
+    assert "rare" not in got                           # no budget -> dropped
+    # deterministic under repartitioning
+    a = sorted(out["doc_id"])
+    b = sorted(
+        sample_to_token_budget(
+            df.repartition(11), "source", "doc_id", "n_tok",
+            {"web": 500, "code": 95},
+        ).toPandas()["doc_id"]
+    )
+    assert a == b
