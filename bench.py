@@ -212,10 +212,11 @@ def main():
 
     # one small warmup run first (JIT/codegen + python-worker startup are
     # session costs, not per-row costs; first-vs-warm differs 3-5x), then
-    # best of two timed runs (this sandbox VM shows +-30% external noise;
-    # min measures the engine, not the neighbors)
+    # best of three timed runs (this sandbox VM throttles in multi-second
+    # episodes that can hit one or two of the reps; min measures the
+    # engine, not the neighbors)
     run_flagship(max(n_docs // 10, 10_000))
-    flagship_sec = min(run_flagship(n_docs), run_flagship(n_docs))
+    flagship_sec = min(run_flagship(n_docs) for _ in range(3))
     feature_rows = n_docs
     timings["flagship_pipeline"] = round(flagship_sec, 3)
 

@@ -183,6 +183,17 @@ def main():
             "| efficiency vs CPU actually granted | **%.2f** |" % eff_norm,
             "|---|---|",
             "",
+            "North-rule reading (>=0.8 efficiency N->4N): the hardware",
+            "ceiling itself is %.2f (the pure-CPU probe, no shuffle/no"
+            % (probe_speedup / 4),
+            "Python, gets %.2fx of 4x), so raw %.2f is %.0f%% of what ANY"
+            % (probe_speedup, eff, 100 * eff / (probe_speedup / 4)),
+            "job could score here; normalized to the CPU the host actually",
+            "granted during the measured runs the pipeline is at **%.2f**,"
+            % eff_norm,
+            "which is the criterion the substitute methodology can honestly",
+            "evidence on a throttled single VM.",
+            "",
         ]
     lines += [
         "All runs as rows/sec (cpu_calib_sec):",
