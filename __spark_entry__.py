@@ -897,6 +897,25 @@ def q_stratified_sample(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination audit: count of distinct word-3-grams each
+    corpus doc shares with the 'benchmark' slice (doc_id < 5) — the eval-
+    leakage guard; plan is one corpus scan + broadcast of the benchmark's
+    distinct shingle set."""
+    from monotonic_optimal_binning_spark.operators.dedup import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") >= 5).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") < 5).select("doc_id", "text")
+    out = decontaminate(
+        corpus, bench, shingle_size=3, shingle_unit="word", mode="flag"
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_contaminated_ngrams").cast("long").alias("n_contaminated"),
+    )
+
+
 def q_token_budget_mix(spark, sf_dir):
     """Training-mixture sampling: keep rows per source in deterministic
     hash order until each source's TOKEN budget is hit (overshoot < 1 doc);
@@ -1102,6 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "stratified_sample": q_stratified_sample,
         "token_budget_mix": q_token_budget_mix,
+        "decontaminate": q_decontaminate,
         "tpch_q1": q_tpch_q1,
         "join_topk": q_join_topk,
         "rollup": q_rollup,
@@ -1735,6 +1755,28 @@ def oracle_sql() -> dict[str, str]:
                                  CAST(doc_id AS VARCHAR))), 1, 8),
                                 doc_id) AS rn
               FROM documents) WHERE rn <= 10
+        """,
+        "decontaminate": r"""
+            WITH grams AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(0, greatest(len(t)-3, 0)+1),
+                       i -> array_to_string(list_slice(t, i+1, i+3), ' '))) AS g
+              FROM (SELECT doc_id,
+                           list_filter(string_split_regex(trim(text), '\s+'),
+                                       x -> x != '') AS t
+                    FROM documents)),
+            bench AS (
+              SELECT DISTINCT unnest(g) AS s FROM grams WHERE doc_id < 5),
+            hits AS (
+              SELECT doc_id, count(*) AS n
+              FROM (SELECT doc_id, unnest(g) AS s FROM grams WHERE doc_id >= 5)
+              JOIN bench USING (s)
+              GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id >= 5) d
+            LEFT JOIN hits h ON h.doc_id = d.doc_id
         """,
         "token_budget_mix": r"""
             WITH d AS (

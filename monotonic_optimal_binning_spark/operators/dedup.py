@@ -489,6 +489,68 @@ def ngram_jaccard_pairs(
     return out.filter(F.col("jaccard") >= threshold)
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    benchmark_text_col: Optional[str] = None,
+    shingle_size: int = 8,
+    shingle_unit: str = "word",
+    min_hits: int = 1,
+    mode: str = "drop",
+) -> DataFrame:
+    """Benchmark decontamination: remove (or flag) corpus documents sharing
+    at least ``min_hits`` distinct ``shingle_size``-grams with ANY benchmark
+    document — the standard guard against evaluation data leaking into a
+    training corpus (word 8-grams ≈ the n-gram overlap rule used by public
+    LLM training pipelines).
+
+    Plan shape for 100 TB corpus × small benchmark: the benchmark's
+    distinct shingle-hash set is aggregated FIRST (it is tiny relative to
+    the corpus — thousands of eval docs), then the corpus posting list
+    joins against it; AQE broadcasts the benchmark side, so the corpus is
+    never shuffled — one scan + broadcast hash join + one groupBy(corpus
+    id) count. ``mode="drop"`` anti-joins the contaminated ids out;
+    ``mode="flag"`` adds ``n_contaminated_ngrams`` (0 for clean docs)
+    for audit/threshold tuning.
+    """
+    if mode not in ("drop", "flag"):
+        raise ValueError("mode must be 'drop' or 'flag'")
+    btext = benchmark_text_col or text_col
+    bench_shingles = (
+        benchmark.select(
+            F.explode(
+                _shingles(F.col(btext), shingle_size, shingle_unit)
+            ).alias("s")
+        )
+        .distinct()
+    )
+    post = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            _shingles(F.col(text_col), shingle_size, shingle_unit)
+        ).alias("s"),
+    )
+    hits = (
+        post.join(F.broadcast(bench_shingles), on="s")
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("__n_hits"))
+        .filter(F.col("__n_hits") >= min_hits)
+    )
+    if mode == "drop":
+        return corpus.join(
+            hits, on=corpus[id_col] == hits["__id"], how="left_anti"
+        )
+    out = corpus.join(
+        hits, on=corpus[id_col] == hits["__id"], how="left"
+    ).drop("__id")
+    return out.withColumn(
+        "n_contaminated_ngrams", F.coalesce(F.col("__n_hits"), F.lit(0))
+    ).drop("__n_hits")
+
+
 def simhash(tokens: Column, bits: int = 64) -> Column:
     """SimHash fingerprint (bigint) of a token-array column.
 

@@ -275,3 +275,36 @@ def test_exact_dedup_distinguishes_null_from_empty(spark):
     ).toPandas()
     # (null,y) != ("",y); (x,null) duplicated -> keep min id 3
     assert sorted(kept["doc_id"].tolist()) == [1, 2, 3]
+
+
+def test_decontaminate_drop_and_flag(spark):
+    from monotonic_optimal_binning_spark.operators.dedup import decontaminate
+
+    corpus = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "the quick brown fox jumps over the lazy dog",   # contains bench gram
+            "a completely unrelated document about spark",
+            "quick brown fox appears here too somewhere",    # contains bench gram
+            "nothing shared with any benchmark at all",
+        ],
+    }))
+    bench = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [100],
+        "text": ["benchmark question: the quick brown fox answer"],
+    }))
+    kept = decontaminate(
+        corpus, bench, shingle_size=3, shingle_unit="word"
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 4]
+    flagged = decontaminate(
+        corpus, bench, shingle_size=3, shingle_unit="word", mode="flag"
+    ).toPandas().set_index("doc_id")["n_contaminated_ngrams"].to_dict()
+    # doc 1 shares 'the quick brown' and 'quick brown fox'; doc 3 one gram
+    assert flagged[1] == 2 and flagged[3] == 1
+    assert flagged[2] == 0 and flagged[4] == 0
+    # min_hits=2 only drops the double-overlap doc
+    kept2 = decontaminate(
+        corpus, bench, shingle_size=3, shingle_unit="word", min_hits=2
+    )
+    assert sorted(r["doc_id"] for r in kept2.collect()) == [2, 3, 4]

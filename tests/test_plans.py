@@ -1,0 +1,115 @@
+"""Physical-plan regression guards: the plan *shapes* PLANS.md documents
+are asserted here so a refactor can't silently reintroduce an extra
+shuffle, lose filter pushdown, or drop a broadcast."""
+
+import os
+import re
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from monotonic_optimal_binning_spark.operators.asof import asof_join
+from monotonic_optimal_binning_spark.operators.dedup import decontaminate
+
+SF = os.path.join(
+    os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata"), "sf0.001"
+)
+
+
+def plan_of(df, mode="formatted") -> str:
+    jqe = df._jdf.queryExecution()
+    sess = df.sparkSession
+    return sess._jvm.PythonSQLUtils.explainString(jqe, mode)
+
+
+def count_exchanges(df) -> int:
+    # count on the SIMPLE plan (formatted mode prints each node twice:
+    # tree + details); AQE reuse nodes are not real extra shuffles, and
+    # BroadcastExchange is not a shuffle
+    plan = plan_of(df, "simple")
+    # standalone "Exchange" only: the lookbehind excludes BroadcastExchange
+    # (not a shuffle) and ReusedExchange (AQE reuse, not an extra shuffle)
+    return len(re.findall(r"(?<![A-Za-z])Exchange\b", plan))
+
+
+def test_asof_join_single_exchange_and_pushdown(spark):
+    from monotonic_optimal_binning_spark.functions.timeutil import (
+        epoch_seconds,
+        pin_utc,
+    )
+
+    pin_utc(spark)
+    ev = spark.read.parquet(os.path.join(SF, "events.parquet"))
+    left = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", epoch_seconds(ev, "ts").alias("ts")
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", epoch_seconds(ev, "ts").alias("ts"), "value"
+    )
+    out = asof_join(
+        left, right, on="user_id", left_ts="ts", value_cols=["value"]
+    )
+    plan = plan_of(out)
+    # ONE shuffle of |L|+|R| (the window partitioning) — the documented
+    # lower bound; a join-based rewrite would show 2+
+    assert count_exchanges(out) == 1, plan
+    # both side filters reach the parquet scans
+    assert plan.count("PushedFilters: [IsNotNull(event_type)") >= 2 or (
+        "EqualTo(event_type,click)" in plan
+        and "EqualTo(event_type,purchase)" in plan
+    ), plan
+    # no Python in the hot path
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_mob_fit_scan_is_column_pruned(spark):
+    li = spark.read.parquet(os.path.join(SF, "lineitem.parquet"))
+    df = li.select(
+        F.col("l_quantity").alias("x"),
+        (F.col("l_discount") > 0.05).cast("int").alias("y"),
+    )
+    agg = df.groupBy("x").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("s")
+    )
+    plan = plan_of(agg)
+    # the scan must read exactly the two source columns
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"l_quantity", "l_discount"}, plan
+    # partial (map-side) aggregation before the exchange
+    assert re.search(r"partial_count|partial_sum", plan), plan
+    assert count_exchanges(agg) == 1, plan
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": range(50), "text": [f"doc number {i} words" for i in range(50)]}
+        )
+    )
+    bench = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": ["benchmark words here"]})
+    )
+    out = decontaminate(corpus, bench, shingle_size=2, shingle_unit="word")
+    plan = plan_of(out)
+    # the benchmark shingle set must be broadcast — a shuffled corpus-side
+    # hash join here would re-shuffle the entire corpus posting list
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_broadcast_dim_join_plan(spark):
+    orders = spark.read.parquet(os.path.join(SF, "orders.parquet"))
+    cust = spark.read.parquet(os.path.join(SF, "customer.parquet"))
+    out = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan, plan
+    # fact side is never shuffled for the join itself: exactly the one
+    # aggregate exchange
+    assert count_exchanges(out) == 1, plan
