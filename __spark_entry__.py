@@ -460,6 +460,27 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+def q_sessionize_bucketed(spark, sf_dir):
+    """Skew-resistant sessionize (local per-(key, time-bucket) sessions +
+    tiny-summary stitching) — must equal the plain per-key window
+    row-for-row; the same DuckDB oracle verifies both paths."""
+    from monotonic_optimal_binning_spark.operators.windows import (
+        sessionize_bucketed,
+    )
+
+    pin_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize_bucketed(
+        ev, "user_id", "ts", gap_seconds=1800.0, bucket_seconds=3600.0,
+        tiebreak=["event_id"],
+    )
+    micro = F.floor(F.col("value") * 1e6).cast("long")
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(micro).alias("session_value_micro"),
+    )
+
+
 def q_rolling_stats(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
     out = rolling_stats(ev, "value", "user_id", "ts", n_rows=3, stats=("mean", "count"), tiebreak=["event_id"])
@@ -1089,6 +1110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lag_lead": q_lag_lead,
         "backfill": q_backfill,
         "sessionize": q_sessionize,
+        "sessionize_bucketed": q_sessionize_bucketed,
         "rolling_stats": q_rolling_stats,
         "tumbling_agg": q_tumbling_agg,
         "sliding_window": q_sliding_window,
@@ -1361,6 +1383,26 @@ def oracle_sql() -> dict[str, str]:
                   FROM events)
         """,
         "sessionize": """
+            WITH flagged AS (
+              SELECT user_id, ts, event_id, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            sess AS (
+              SELECT user_id, value, event_id,
+                     CAST(sum(is_new) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                       AS BIGINT) AS session_id
+              FROM flagged)
+            SELECT user_id, session_id, count(*) AS n_events,
+                   CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT)
+                     AS session_value_micro
+            FROM sess GROUP BY user_id, session_id
+        """,
+        "sessionize_bucketed": """
             WITH flagged AS (
               SELECT user_id, ts, event_id, value,
                      CASE WHEN lag(ts) OVER w IS NULL

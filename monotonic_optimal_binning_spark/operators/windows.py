@@ -122,6 +122,93 @@ def sessionize(
     return out.drop("__is_new")
 
 
+def sessionize_bucketed(
+    df: DataFrame,
+    key: str | Sequence[str],
+    ts: str,
+    gap_seconds: float,
+    bucket_seconds: float,
+    session_col: str = "session_id",
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Skew-resistant sessionize: identical output to :func:`sessionize`
+    (same 0-based per-entity session ids and ``{session_col}_start``), but
+    no per-entity serial window — the fix for a hot key whose event stream
+    is too large for one task's sort.
+
+    Plan: events are sessionized LOCALLY inside (key, time-bucket)
+    partitions (parallel across a hot key's buckets); a per-(key, bucket)
+    summary — first/last ts and local session count, ONE row per bucket —
+    is stitched with a window over the tiny summary table: a bucket's
+    first local session merges with the previous bucket's last session
+    when the boundary gap is within ``gap_seconds``, and the cumulative
+    (sessions so far − merges so far) gives each bucket's global id
+    offset. Session starts come from a map-side-combinable groupBy on the
+    final (key, session) key — finer than the per-key window the plain
+    version sorts on, so the hot key's work stays spread out.
+
+    Any ``bucket_seconds`` > 0 is correct (merge logic compares adjacent
+    EXISTING buckets, so buckets smaller than the gap still chain); choose
+    it so one bucket's events fit a task comfortably.
+    """
+    if bucket_seconds <= 0:
+        raise ValueError("bucket_seconds must be positive")
+    keys = _keys(key)
+    order = _order_cols(ts, tiebreak)
+    tsd = epoch_seconds(df, ts)
+    work = df.withColumn("__tsd", tsd).withColumn(
+        "__b", F.floor(F.col("__tsd") / F.lit(float(bucket_seconds))).cast("long")
+    )
+    w1 = Window.partitionBy(*keys, "__b").orderBy(*order)
+    prev = F.lag("__tsd").over(w1)
+    is_new = F.when(
+        prev.isNull()
+        | ((F.col("__tsd") - prev) > F.lit(float(gap_seconds))),
+        1,
+    ).otherwise(0)
+    wrun1 = (
+        Window.partitionBy(*keys, "__b")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    work = work.withColumn("__is_new", is_new).withColumn(
+        "__lsid", F.sum("__is_new").over(wrun1) - 1
+    )
+
+    summ = work.groupBy(*keys, "__b").agg(
+        F.min("__tsd").alias("__first"),
+        F.max("__tsd").alias("__last"),
+        (F.max("__lsid") + 1).alias("__n_sess"),
+    )
+    w2 = Window.partitionBy(*keys).orderBy("__b")
+    prev_last = F.lag("__last").over(w2)
+    merge = F.when(
+        prev_last.isNotNull()
+        & ((F.col("__first") - prev_last) <= F.lit(float(gap_seconds))),
+        1,
+    ).otherwise(0)
+    wrun2 = (
+        Window.partitionBy(*keys)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offs = summ.withColumn("__merge", merge).withColumn(
+        "__off",
+        F.sum("__n_sess").over(wrun2)
+        - F.col("__n_sess")
+        - F.sum("__merge").over(wrun2),
+    )
+    out = work.join(offs.select(*keys, "__b", "__off"), on=[*keys, "__b"])
+    out = out.withColumn(
+        session_col, (F.col("__lsid") + F.col("__off")).cast("long")
+    )
+    starts = out.groupBy(*keys, session_col).agg(
+        F.min(ts).alias(f"{session_col}_start")
+    )
+    out = out.join(starts, on=[*keys, session_col])
+    return out.drop("__tsd", "__b", "__is_new", "__lsid", "__off")
+
+
 def rolling_stats(
     df: DataFrame,
     value: str,

@@ -159,3 +159,43 @@ def test_time_bucket(spark):
         .collect()
     )
     assert [r["bucket"] for r in res] == [0, 0, 1, 2]
+
+
+def test_sessionize_bucketed_equals_plain(spark):
+    """The skew-resistant bucketed sessionize must reproduce the plain
+    per-key window's session ids and starts exactly, for bucket sizes both
+    smaller and larger than the gap (boundary chains included)."""
+    from monotonic_optimal_binning_spark.operators.windows import (
+        sessionize,
+        sessionize_bucketed,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    pdf = pd.DataFrame(
+        {
+            "eid": np.arange(n),
+            "user": rng.integers(0, 5, n),       # few hot keys
+            "ts": np.round(np.sort(rng.uniform(0, 40_000, n)), 3),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    plain = (
+        sessionize(df, "user", "ts", gap_seconds=120.0, tiebreak=["eid"])
+        .select("eid", "session_id", "session_id_start")
+        .toPandas()
+        .set_index("eid")
+    )
+    for bucket in (60.0, 900.0):
+        got = (
+            sessionize_bucketed(
+                df, "user", "ts", gap_seconds=120.0,
+                bucket_seconds=bucket, tiebreak=["eid"],
+            )
+            .select("eid", "session_id", "session_id_start")
+            .toPandas()
+            .set_index("eid")
+            .loc[plain.index]
+        )
+        assert got["session_id"].tolist() == plain["session_id"].tolist(), bucket
+        assert got["session_id_start"].tolist() == plain["session_id_start"].tolist(), bucket
