@@ -187,17 +187,22 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    train = corpus.select(
-        array_to_vector(F.col(corpus_vec).cast("array<double>")).alias("features")
+    # null filter BELOW array_to_vector: the conversion UDF NPEs on null
+    train = (
+        corpus.select(F.col(corpus_vec).cast("array<double>").alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .select(array_to_vector(F.col("__v")).alias("features"))
     )
     if train_fraction is not None:
         train = train.sample(fraction=train_fraction, seed=seed)
     model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
 
+    # null vectors can neither be assigned to a cell nor routed (the
+    # vectorized router stacks the batch) — they produce no neighbors
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(corpus_vec).cast("array<double>").alias("__cv"),
-    ).withColumn("__cn", l2_norm(F.col("__cv")))
+    ).filter(F.col("__cv").isNotNull()).withColumn("__cn", l2_norm(F.col("__cv")))
     c = model.transform(
         c.withColumn("features", array_to_vector(F.col("__cv")))
     ).select("neighbor_id", "__cv", "__cn", F.col(model.getPredictionCol()).alias("cell"))
@@ -209,7 +214,7 @@ def ivf_topk(
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(query_vec).cast("array<double>").alias("__qv"),
-    ).withColumn("__qn", l2_norm(F.col("__qv")))
+    ).filter(F.col("__qv").isNotNull()).withColumn("__qn", l2_norm(F.col("__qv")))
     # probe-cell routing: broadcast centroid matrix + one matmul per Arrow
     # batch (nearest_cells_udf) — flat plan size in n_cells, unlike the
     # literal-expression formulation this replaced

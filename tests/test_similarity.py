@@ -178,3 +178,20 @@ def test_ivf_topk_large_cell_count_smoke(spark):
     res = out.toPandas()
     assert len(res) == 15
     assert res.groupby("query_id")["rank"].max().eq(3).all()
+
+
+def test_ivf_topk_tolerates_null_vectors(spark):
+    from monotonic_optimal_binning_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(9)
+    vecs = [list(map(float, rng.standard_normal(8))) for _ in range(100)]
+    pdf = pd.DataFrame({"vec_id": range(102),
+                        "embedding": vecs + [None, None]})
+    df = spark.createDataFrame(pdf)
+    q = df.filter(F.col("vec_id").isin([0, 100])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(df, q, k=3, n_cells=4, n_probe=4).toPandas()
+    # null query produces no rows; null corpus vectors never appear
+    assert set(out["query_id"]) == {0}
+    assert len(out) == 3
