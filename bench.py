@@ -98,16 +98,17 @@ def main():
     def bench(name, fn):
         if flagship_only:
             return
-        # min of two runs: this VM's host throttles in multi-second episodes
-        # (same query measured 3.8s and 41s in different windows); the min
-        # measures the engine, not the neighbors. First run also absorbs
-        # JIT/codegen for the query's operators.
-        t0 = time.time()
-        fn()
-        first = time.time() - t0
-        t0 = time.time()
-        fn()
-        timings[name] = round(min(first, time.time() - t0), 3)
+        # min of three runs: this VM's host throttles in multi-second
+        # episodes (same query measured 3.8s and 41s in different windows,
+        # and episodes can span two consecutive reps); the min measures the
+        # engine, not the neighbors. First run also absorbs JIT/codegen for
+        # the query's operators.
+        reps = []
+        for _ in range(3):
+            t0 = time.time()
+            fn()
+            reps.append(time.time() - t0)
+        timings[name] = round(min(reps), 3)
 
     # --- headline operator queries on the driver-provided testdata ---
     bench("tpch_q1", lambda: materialize(
