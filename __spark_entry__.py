@@ -445,6 +445,30 @@ def q_backfill(spark, sf_dir):
     )
 
 
+def q_backfill_bucketed(spark, sf_dir):
+    """Skew-resistant forward-fill (local fill per (key, time-bucket) +
+    carried last-non-null over the tiny bucket summary) — must equal the
+    plain per-key window; the same DuckDB oracle verifies both paths."""
+    from monotonic_optimal_binning_spark.operators.windows import (
+        backfill_bucketed,
+    )
+
+    pin_utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("value") >= 5.0, F.col("value")).alias("value_masked"),
+    )
+    out = backfill_bucketed(
+        ev, ["value_masked"], "user_id", "ts", bucket_seconds=3600.0,
+        tiebreak=["event_id"],
+    )
+    return out.select(
+        "event_id", F.round("value_masked_filled", _R).alias("value_filled")
+    )
+
+
 def q_sessionize(spark, sf_dir):
     pin_utc(spark)
     ev = load_table(spark, sf_dir, "events")
@@ -1109,6 +1133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "lag_lead": q_lag_lead,
         "backfill": q_backfill,
+        "backfill_bucketed": q_backfill_bucketed,
         "sessionize": q_sessionize,
         "sessionize_bucketed": q_sessionize_bucketed,
         "rolling_stats": q_rolling_stats,
@@ -1373,6 +1398,16 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "backfill": """
+            SELECT event_id,
+                   round(last_value(value_masked IGNORE NULLS) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                     AS value_filled
+            FROM (SELECT event_id, user_id, ts,
+                         CASE WHEN value >= 5.0 THEN value END AS value_masked
+                  FROM events)
+        """,
+        "backfill_bucketed": """
             SELECT event_id,
                    round(last_value(value_masked IGNORE NULLS) OVER
                      (PARTITION BY user_id ORDER BY ts, event_id

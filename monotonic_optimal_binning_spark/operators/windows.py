@@ -86,6 +86,78 @@ def backfill(
     return out
 
 
+def backfill_bucketed(
+    df: DataFrame,
+    cols: Sequence[str],
+    key: str | Sequence[str],
+    ts: str,
+    bucket_seconds: float,
+    output_suffix: str = "_filled",
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Skew-resistant forward-fill: identical output to
+    :func:`backfill` (forward direction), without the per-entity serial
+    window a hot key would funnel into one task.
+
+    Plan: fill LOCALLY inside (key, time-bucket) partitions; each bucket's
+    LAST non-null value per column (a ``max_by`` over the bucket — ignores
+    rows whose ordering key is nulled out) forms a one-row-per-bucket
+    summary; a window over the tiny summary carries the most recent
+    non-null value across PRECEDING buckets, and rows whose local fill is
+    still null coalesce with their bucket's carry-in. Same stitching
+    pattern as :func:`sessionize_bucketed` / ``asof_join_bucketed``.
+    """
+    if bucket_seconds <= 0:
+        raise ValueError("bucket_seconds must be positive")
+    keys = _keys(key)
+    order = _order_cols(ts, tiebreak)
+    tsd = epoch_seconds(df, ts)
+    work = df.withColumn(
+        "__b", F.floor(tsd / F.lit(float(bucket_seconds))).cast("long")
+    )
+    w1 = (
+        Window.partitionBy(*keys, "__b")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in cols:
+        work = work.withColumn(
+            f"__local_{c}", F.last(c, ignorenulls=True).over(w1)
+        )
+
+    # bucket's last non-null value per col: max_by with the ordering key
+    # nulled out for null values (max_by skips null ordering keys)
+    okey = F.struct(*[F.col(o) for o in order])
+    summ = work.groupBy(*keys, "__b").agg(
+        *[
+            F.max_by(F.col(c), F.when(F.col(c).isNotNull(), okey)).alias(
+                f"__last_{c}"
+            )
+            for c in cols
+        ]
+    )
+    w2 = (
+        Window.partitionBy(*keys)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = summ.select(
+        *keys,
+        "__b",
+        *[
+            F.last(f"__last_{c}", ignorenulls=True).over(w2).alias(f"__carry_{c}")
+            for c in cols
+        ],
+    )
+    out = work.join(carry, on=[*keys, "__b"])
+    for c in cols:
+        out = out.withColumn(
+            c + output_suffix,
+            F.coalesce(F.col(f"__local_{c}"), F.col(f"__carry_{c}")),
+        ).drop(f"__local_{c}", f"__carry_{c}")
+    return out.drop("__b")
+
+
 def sessionize(
     df: DataFrame,
     key: str | Sequence[str],

@@ -199,3 +199,39 @@ def test_sessionize_bucketed_equals_plain(spark):
         )
         assert got["session_id"].tolist() == plain["session_id"].tolist(), bucket
         assert got["session_id_start"].tolist() == plain["session_id_start"].tolist(), bucket
+
+
+def test_backfill_bucketed_equals_plain(spark):
+    """Skew-resistant forward-fill must equal the plain per-key window for
+    bucket sizes that split and don't split null runs."""
+    from monotonic_optimal_binning_spark.operators.windows import (
+        backfill,
+        backfill_bucketed,
+    )
+
+    rng = np.random.default_rng(13)
+    n = 3000
+    vals = rng.uniform(0, 100, n).round(2)
+    vals[rng.random(n) < 0.7] = np.nan    # long null runs
+    pdf = pd.DataFrame(
+        {
+            "eid": np.arange(n),
+            "user": rng.integers(0, 4, n),
+            "ts": np.round(np.sort(rng.uniform(0, 20_000, n)), 3),
+            "v": vals,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    plain = (
+        backfill(df, ["v"], "user", "ts", tiebreak=["eid"])
+        .select("eid", "v_filled").toPandas().set_index("eid").sort_index()
+    )
+    for bucket in (50.0, 5000.0):
+        got = (
+            backfill_bucketed(
+                df, ["v"], "user", "ts", bucket_seconds=bucket,
+                tiebreak=["eid"],
+            )
+            .select("eid", "v_filled").toPandas().set_index("eid").sort_index()
+        )
+        pd.testing.assert_frame_equal(got, plain), bucket
