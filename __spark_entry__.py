@@ -628,7 +628,9 @@ def q_minhash_pairs(spark, sf_dir):
     below-threshold pairs are never materialized."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_candidates(
-        docs, "text", "doc_id", num_hashes=32, n_bands=8, threshold=0.5
+        docs, "text", "doc_id", num_hashes=32, n_bands=8, threshold=0.5,
+        materialize=True,  # eager: releases the LSH caches (cheap now that
+        # the threshold filter runs before materialization)
     )
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", _R).alias("jaccard")
@@ -651,10 +653,29 @@ def q_minhash_planted(spark, sf_dir):
     pairs = minhash_lsh_candidates(
         uni, "text", "doc_id",
         num_hashes=32, n_bands=8, shingle_size=3, shingle_unit="word",
-        threshold=1.0,
+        threshold=1.0, materialize=True,
     )
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", _R).alias("jaccard")
+    )
+
+
+def q_lsh_bucket_audit(spark, sf_dir):
+    """Cap-tuning diagnostic: the LSH index's bucket-size histogram summary
+    (shares the exact banding pipeline with the candidate generator, so
+    the audit can never drift from the real bucketing). Buckets hash
+    xxhash64 signatures -> engine-specific -> rows-only."""
+    from monotonic_optimal_binning_spark.operators.dedup import (
+        lsh_bucket_sizes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist = lsh_bucket_sizes(
+        docs, "text", "doc_id", num_hashes=32, n_bands=8,
+        shingle_size=3, shingle_unit="word",
+    )
+    return hist.groupBy("n_ids").agg(
+        F.count(F.lit(1)).alias("n_buckets")
     )
 
 
@@ -1150,6 +1171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "minhash_pairs_planted": q_minhash_planted,
         "embedding_neardup_planted": q_embedding_neardup_planted,
+        "lsh_bucket_audit": q_lsh_bucket_audit,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_maxdf": q_ngram_jaccard_maxdf,
         "dedup_clusters": q_dedup_clusters,

@@ -160,7 +160,7 @@ def main():
     ))
     bench("exact_dedup", lambda: materialize(exact_dedup(docs, ["text"], "doc_id")))
     bench("minhash_pairs", lambda: materialize(
-        minhash_lsh_candidates(docs, "text", "doc_id", num_hashes=32, n_bands=8, shingle_size=3, shingle_unit="word")
+        minhash_lsh_candidates(docs, "text", "doc_id", num_hashes=32, n_bands=8, shingle_size=3, shingle_unit="word", materialize=True)
     ))
     bench("quality_features", lambda: materialize(quality_features(docs)))
     queries16 = emb.filter(F.col("vec_id") < 16).select(

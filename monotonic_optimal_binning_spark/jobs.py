@@ -179,6 +179,39 @@ def dedup_job(args) -> None:
     run.record(exact_dir)
 
     if args.near_threshold is not None:
+        extra = {}
+        if args.audit_buckets:
+            # opt-in observability for the (silent, by design) bucket cap:
+            # one aggregate over the banded index, recorded in the stage
+            # manifest so a recall-losing cap is visible in lineage
+            from pyspark.sql import functions as F
+
+            from .operators.dedup import lsh_bucket_sizes
+
+            hist = lsh_bucket_sizes(
+                deduped, args.text_col, args.id_col,
+                num_hashes=args.num_hashes, n_bands=args.n_bands,
+            )
+            row = hist.agg(
+                F.count(F.lit(1)).alias("n_buckets"),
+                F.max("n_ids").alias("max_bucket"),
+                F.sum(
+                    (F.col("n_ids") > args.max_bucket_size).cast("long")
+                ).alias("n_over_cap"),
+            ).first()
+            extra = {
+                "lsh_n_buckets": row["n_buckets"],
+                "lsh_max_bucket": row["max_bucket"],
+                "lsh_buckets_over_cap": row["n_over_cap"],
+                "lsh_cap": args.max_bucket_size,
+            }
+            if row["n_over_cap"]:
+                print(
+                    f"WARNING: {row['n_over_cap']} LSH buckets exceed "
+                    f"max_bucket_size={args.max_bucket_size} and will be "
+                    f"dropped (near-dups only reachable through them are "
+                    f"missed); largest bucket holds {row['max_bucket']} ids"
+                )
         near_dir = os.path.join(args.workdir, "stage_neardup")
         run_stage(
             spark, near_dir, "minhash_dedup",
@@ -187,12 +220,15 @@ def dedup_job(args) -> None:
                 threshold=args.near_threshold,
                 num_hashes=args.num_hashes, n_bands=args.n_bands,
                 transitive=args.transitive,
+                max_bucket_size=args.max_bucket_size,
                 checkpoint_dir=args.checkpoint_dir,
             ),
             inputs=[exact_dir],
             params={"threshold": args.near_threshold,
                     "num_hashes": args.num_hashes, "n_bands": args.n_bands,
-                    "transitive": args.transitive},
+                    "transitive": args.transitive,
+                    "max_bucket_size": args.max_bucket_size},
+            extra_metrics=extra,
         )
         run.record(near_dir)
     print(run.save())
@@ -263,6 +299,11 @@ def main(argv: Optional[list] = None) -> None:
     dd.add_argument("--n-bands", type=int, default=16)
     dd.add_argument("--transitive", action="store_true",
                     help="exact single-link clusters (connected components)")
+    dd.add_argument("--max-bucket-size", type=int, default=5000,
+                    help="LSH bucket cap (degenerate-bucket guard)")
+    dd.add_argument("--audit-buckets", action="store_true",
+                    help="record LSH bucket histogram stats (incl. how many "
+                         "buckets the cap drops) in the stage manifest")
     dd.add_argument("--checkpoint-dir", default=None,
                     help="reliable checkpoint path (HDFS/S3) for iterative "
                          "stages; default localCheckpoint")

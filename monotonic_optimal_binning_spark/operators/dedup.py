@@ -181,6 +181,51 @@ def minhash_signature(
     return F.when(F.size(shingles) > 0, sig)
 
 
+def _banded_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int,
+    n_bands: int,
+    shingle_size: int,
+    shingle_unit: str,
+    seed: int,
+) -> DataFrame:
+    """(id, band, bucket) LSH index rows — the shared banding pipeline of
+    :func:`minhash_lsh_candidates` and :func:`lsh_bucket_sizes`.
+
+    The band index is exploded FIRST: Generate is a project-collapse
+    barrier, so the signature expression evaluates exactly once per input
+    row (the obvious transform-lambda formulation re-evaluates the whole
+    signature pipeline once per band — measured 8x slower). Buckets then
+    hash a slice of the already-materialized signature array.
+    """
+    rows_per_band = num_hashes // n_bands
+    base = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(
+            _shingles(F.col(text_col), shingle_size, shingle_unit),
+            num_hashes,
+            seed,
+        ).alias("__sig"),
+    )
+    return base.select(
+        "id",
+        "__sig",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    ).select(
+        "id",
+        "band",
+        F.xxhash64(
+            "band",
+            F.slice(
+                F.col("__sig"), F.col("band") * rows_per_band + 1, rows_per_band
+            ),
+        ).alias("bucket"),
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str,
@@ -231,37 +276,14 @@ def minhash_lsh_candidates(
     before returning; use it when the result feeds an iterative consumer
     (connected components) or outlives this SparkSession's caches.
     """
-    rows_per_band = num_hashes // n_bands
-    base = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(
-            _shingles(F.col(text_col), shingle_size, shingle_unit), num_hashes, seed
-        ).alias("__sig"),
-    )
-
-    # Explode the band index FIRST: Generate is a project-collapse barrier,
-    # so the signature expression evaluates exactly once per input row (the
-    # obvious transform-lambda formulation re-evaluates the whole signature
-    # pipeline once per band — measured 8x slower). Buckets then hash a
-    # slice of the already-materialized signature array.
-    banded = (
-        base.select(
-            "id", "__sig",
-            F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
-        )
-        .select(
-            "id",
-            "band",
-            F.xxhash64(
-                "band",
-                F.slice(F.col("__sig"), F.col("band") * rows_per_band + 1, rows_per_band),
-            ).alias("bucket"),
-        )
-        # persist the TINY (id, band, bucket) table: the self-join would
-        # otherwise recompute the signature pipeline once per side
-        # (measured: no ReusedExchange fires for the aliased self-join)
-        .persist()
-    )
+    # persist the TINY (id, band, bucket) table: the self-join would
+    # otherwise recompute the signature pipeline once per side
+    # (measured: no ReusedExchange fires for the aliased self-join)
+    banded = _banded_index(
+        df, text_col, id_col,
+        num_hashes=num_hashes, n_bands=n_bands,
+        shingle_size=shingle_size, shingle_unit=shingle_unit, seed=seed,
+    ).persist()
 
     banded_use = banded
     if max_bucket_size is not None:
@@ -348,25 +370,15 @@ def lsh_bucket_sizes(
 ) -> DataFrame:
     """Diagnostic: (band, bucket, n_ids) histogram for the LSH index the
     candidate generator would build — run it to audit how many buckets a
-    given ``max_bucket_size`` cap would drop before committing to one."""
-    rows_per_band = num_hashes // n_bands
-    base = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(
-            _shingles(F.col(text_col), shingle_size, shingle_unit), num_hashes, seed
-        ).alias("__sig"),
-    )
-    banded = base.select(
-        "id",
-        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
-        "__sig",
-    ).select(
-        "id",
-        "band",
-        F.xxhash64(
-            "band",
-            F.slice(F.col("__sig"), F.col("band") * rows_per_band + 1, rows_per_band),
-        ).alias("bucket"),
+    given ``max_bucket_size`` cap would drop before committing to one
+    (the cap itself is silent at runtime by design: counting drops would
+    cost an extra job on the hot path). Shares :func:`_banded_index` with
+    the candidate generator so the audit can never drift from the real
+    bucketing."""
+    banded = _banded_index(
+        df, text_col, id_col,
+        num_hashes=num_hashes, n_bands=n_bands,
+        shingle_size=shingle_size, shingle_unit=shingle_unit, seed=seed,
     )
     return banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n_ids"))
 
@@ -512,9 +524,10 @@ def decontaminate(
     the corpus — thousands of eval docs), then the corpus posting list
     joins against it; AQE broadcasts the benchmark side, so the corpus is
     never shuffled — one scan + broadcast hash join + one groupBy(corpus
-    id) count. ``mode="drop"`` anti-joins the contaminated ids out;
-    ``mode="flag"`` adds ``n_contaminated_ngrams`` (0 for clean docs)
-    for audit/threshold tuning.
+    id) count. ``mode="drop"`` anti-joins ids with >= ``min_hits``
+    overlapping grams out; ``mode="flag"`` adds ``n_contaminated_ngrams``
+    with the RAW overlap count (0 for clean docs; ``min_hits`` is ignored)
+    so the drop threshold can be tuned from the audit.
     """
     if mode not in ("drop", "flag"):
         raise ValueError("mode must be 'drop' or 'flag'")
@@ -537,12 +550,15 @@ def decontaminate(
         post.join(F.broadcast(bench_shingles), on="s")
         .groupBy("__id")
         .agg(F.count(F.lit(1)).alias("__n_hits"))
-        .filter(F.col("__n_hits") >= min_hits)
     )
     if mode == "drop":
         return corpus.join(
-            hits, on=corpus[id_col] == hits["__id"], how="left_anti"
+            hits.filter(F.col("__n_hits") >= min_hits),
+            on=corpus[id_col] == hits["__id"],
+            how="left_anti",
         )
+    # flag mode reports RAW overlap counts (min_hits is the drop-mode
+    # threshold only) — the whole point of flagging is tuning min_hits
     out = corpus.join(
         hits, on=corpus[id_col] == hits["__id"], how="left"
     ).drop("__id")

@@ -47,6 +47,14 @@ def global_prefix_sum(
     Exactness note: the quantile pass only places BUCKET BOUNDARIES — the
     prefix values themselves are exact integer sums regardless of how
     balanced the buckets are.
+
+    Scan accounting (deliberate): the input is read three times, but the
+    quantile probe and the bucket-totals aggregate are COLUMN-PRUNED scans
+    of one/two narrow columns with map-side combine (k rows shuffled) —
+    only the window pass touches full rows. Persisting full rows to avoid
+    the two narrow scans would trade cheap columnar re-reads for caching
+    the whole corpus, which loses at the 100 TB design point; callers that
+    already have the frame cached get the reuse for free.
     """
     probs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = (

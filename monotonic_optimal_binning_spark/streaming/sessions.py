@@ -141,9 +141,10 @@ def streaming_asof_enrich(
     arriving late (older event time than the carried right row) gets null
     rather than a value from its temporal future, enforcing the
     zero-leakage contract instead of merely documenting it. A right row
-    arriving late is still applied from its processing point onward, never
-    retroactively — the streaming-world trade-off, stated rather than
-    hidden.
+    arriving with an event time OLDER than the carried right-side frontier
+    is ignored entirely (the frontier is monotone — in-block matches and
+    the carried state both respect it); it is never applied retroactively
+    — the streaming-world trade-off, stated rather than hidden.
 
     ``reorder_within`` (seconds, optional) upgrades the documented
     order assumption to an ENFORCED bounded-disorder guarantee: rows are
@@ -152,8 +153,11 @@ def streaming_asof_enrich(
     disorder within the bound is sorted out before matching — a late right
     row IS applied retroactively to lefts still inside the buffer. The
     cost is the streaming-standard one: output is delayed by the bound,
-    and rows within ``reorder_within`` of the frontier stay buffered until
-    later data (or stream end processing) advances it.
+    and rows within ``reorder_within`` of a key's CURRENT frontier stay
+    buffered until later data for that key advances it — there is no
+    end-of-stream flush (a bounded replay that simply stops withholds the
+    final window; append a sentinel event past the bound per key to force
+    the flush).
 
     ``value_cols`` are carried as doubles in state (fixed state schema).
     Output: left rows + prefixed value columns.
@@ -220,6 +224,20 @@ def streaming_asof_enrich(
                 state_ok = np.zeros(left_ts.shape, dtype=bool)
             else:
                 state_ok = cur[0] <= left_ts
+            # a LATE right row inside this block can sort before a left row
+            # while the CARRIED state is newer: the state must win whenever
+            # it is eligible (<= left ts) and strictly newer than the
+            # in-block match, or the late right would regress the as-of
+            # frontier for this block's lefts
+            rts = pdf["__ts"].to_numpy(dtype=float)[is_right]
+            if len(rts):
+                matched_ts = rts[np.clip(match_idx, 0, None)]
+            else:
+                matched_ts = np.full(left_ts.shape, -np.inf)
+            state_newer = state_ok & (
+                (match_idx < 0)
+                | ((cur[0] if cur[0] is not None else -np.inf) > matched_ts)
+            )
             out = pd.DataFrame(
                 [_payload_tuple(p) for p in pdf["__payload"].to_numpy()[is_left]],
                 columns=left_fields,
@@ -228,9 +246,13 @@ def streaming_asof_enrich(
                 rv = pdf[f"__v{i}"].to_numpy(dtype=float)[is_right]
                 state_v = np.nan if cur[1 + i] is None else cur[1 + i]
                 col = np.where(
-                    match_idx >= 0,
-                    rv[np.clip(match_idx, 0, None)] if len(rv) else np.nan,
-                    np.where(state_ok, state_v, np.nan),
+                    state_newer,
+                    state_v,
+                    np.where(
+                        match_idx >= 0,
+                        rv[np.clip(match_idx, 0, None)] if len(rv) else np.nan,
+                        np.nan,
+                    ),
                 )
                 # nullable Float64 so no-match NaN arrives as SQL NULL
                 # (matching the batch as-of), not as a NaN double

@@ -300,3 +300,40 @@ def test_streaming_asof_reorder_buffer_applies_late_right(spark, tmp_path):
     got2 = spark.sql("select * from asof_noreorder").toPandas()
     by2 = dict(zip(got2["eid"], got2["last_val"]))
     assert by2[0] == 1.0  # only the in-order right@10 was visible in time
+
+
+def test_streaming_asof_inblock_late_right_does_not_regress_state(spark, tmp_path):
+    """A late right row arriving IN THE SAME BATCH as a newer left must not
+    override the newer carried state value (in-block frontier regression)."""
+    from monotonic_optimal_binning_spark.streaming.sessions import (
+        streaming_asof_enrich,
+    )
+
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    # batch 1: right@100 val=5 reaches state via left@110
+    r1 = pd.DataFrame({"k": [1], "ts": [100.0], "val": [5.0]})
+    l1 = pd.DataFrame({"k": [1], "ts": [110.0], "eid": [0]})
+    # batch 2: LATE right@50 val=77 + left@150 — 150 must see 5, not 77
+    r2 = pd.DataFrame({"k": [1], "ts": [50.0], "val": [77.0]})
+    l2 = pd.DataFrame({"k": [1], "ts": [150.0], "eid": [1]})
+    spark.createDataFrame(r1).coalesce(1).write.parquet(rsrc + "/b1")
+    spark.createDataFrame(r2).coalesce(1).write.parquet(rsrc + "/b2")
+    spark.createDataFrame(l1).coalesce(1).write.parquet(lsrc + "/b1")
+    spark.createDataFrame(l2).coalesce(1).write.parquet(lsrc + "/b2")
+    lstream = (
+        spark.readStream.schema(spark.read.parquet(lsrc + "/b1").schema)
+        .option("maxFilesPerTrigger", 1).parquet(lsrc + "/*")
+    )
+    rstream = (
+        spark.readStream.schema(spark.read.parquet(rsrc + "/b1").schema)
+        .option("maxFilesPerTrigger", 1).parquet(rsrc + "/*")
+    )
+    out = streaming_asof_enrich(
+        lstream, rstream, on="k", ts="ts", value_cols=["val"],
+        right_prefix="last_",
+    )
+    _run_to_memory(out, "asof_inblock_late", "append")
+    got = spark.sql("select * from asof_inblock_late").toPandas()
+    by_eid = dict(zip(got["eid"], got["last_val"]))
+    assert by_eid[0] == 5.0
+    assert by_eid[1] == 5.0   # NOT 77: the carried frontier (100) is newer
