@@ -159,9 +159,24 @@ def main():
         )
     ))
     bench("exact_dedup", lambda: materialize(exact_dedup(docs, ["text"], "doc_id")))
-    bench("minhash_pairs", lambda: materialize(
-        minhash_lsh_candidates(docs, "text", "doc_id", num_hashes=32, n_bands=8, shingle_size=3, shingle_unit="word", materialize=True)
-    ))
+
+    from monotonic_optimal_binning_spark.operators.dedup import (
+        release_lsh_caches,
+    )
+
+    def run_minhash():
+        # lazy mode keeps the measurement comparable across rounds (ONE
+        # streamed pass to the noop sink, no checkpoint store of the full
+        # unthresholded pair set); caches released per rep so reps don't
+        # accumulate pinned storage
+        out = minhash_lsh_candidates(
+            docs, "text", "doc_id", num_hashes=32, n_bands=8,
+            shingle_size=3, shingle_unit="word",
+        )
+        materialize(out)
+        release_lsh_caches(out)
+
+    bench("minhash_pairs", run_minhash)
     bench("quality_features", lambda: materialize(quality_features(docs)))
     queries16 = emb.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("query_id"), "embedding"

@@ -179,8 +179,14 @@ def dedup_job(args) -> None:
     run.record(exact_dir)
 
     if args.near_threshold is not None:
+        from .plans.checkpoint import load_manifest
+
+        near_dir = os.path.join(args.workdir, "stage_neardup")
         extra = {}
-        if args.audit_buckets:
+        # gate the audit on the stage manifest being ABSENT: on a resumed
+        # run the stage is skipped, and re-running the full signature scan
+        # just to discard its result would defeat the checkpoint contract
+        if args.audit_buckets and load_manifest(near_dir) is None:
             # opt-in observability for the (silent, by design) bucket cap:
             # one aggregate over the banded index, recorded in the stage
             # manifest so a recall-losing cap is visible in lineage
@@ -212,7 +218,6 @@ def dedup_job(args) -> None:
                     f"dropped (near-dups only reachable through them are "
                     f"missed); largest bucket holds {row['max_bucket']} ids"
                 )
-        near_dir = os.path.join(args.workdir, "stage_neardup")
         run_stage(
             spark, near_dir, "minhash_dedup",
             lambda: minhash_dedup(

@@ -142,9 +142,12 @@ def streaming_asof_enrich(
     rather than a value from its temporal future, enforcing the
     zero-leakage contract instead of merely documenting it. A right row
     arriving with an event time OLDER than the carried right-side frontier
-    is ignored entirely (the frontier is monotone — in-block matches and
-    the carried state both respect it); it is never applied retroactively
-    — the streaming-world trade-off, stated rather than hidden.
+    never advances or overrides that frontier: lefts at or past the
+    frontier always see the newest eligible value, and the late right is
+    never applied retroactively. (It can still serve a left BELOW the
+    frontier that shares its micro-batch — best-effort for late lefts,
+    which otherwise get null — so a late left's value can depend on batch
+    slicing; only the at-or-past-frontier behavior is deterministic.)
 
     ``reorder_within`` (seconds, optional) upgrades the documented
     order assumption to an ENFORCED bounded-disorder guarantee: rows are
@@ -282,7 +285,16 @@ def streaming_asof_enrich(
 
     def _enrich(key, pdf_iter, state: GroupState):
         cur = list(state.get) if state.exists else [None] * (1 + n_vals)
-        for pdf in pdf_iter:
+        # concatenate the key's WHOLE micro-batch before sorting: pdf_iter
+        # yields Arrow-batch-sized chunks, and sorting each chunk alone
+        # would leave disorder ACROSS chunk boundaries unresolved for keys
+        # with more rows than one Arrow batch (a right in chunk 2 would be
+        # invisible to a later-ts left in chunk 1)
+        chunks = list(pdf_iter)
+        if chunks:
+            pdf = chunks[0] if len(chunks) == 1 else pd.concat(
+                chunks, ignore_index=True
+            )
             out = _process_block(pdf, cur)
             if out is not None and len(out):
                 yield out
