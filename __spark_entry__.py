@@ -570,6 +570,17 @@ def q_deterministic_split(spark, sf_dir):
     )
 
 
+def q_hash_sample(spark, sf_dir):
+    """Deterministic fractional sample keyed by md5(salt||id) — stable
+    under partitioning/cluster size unlike DataFrame.sample; the oracle
+    re-derives the exact kept set."""
+    from monotonic_optimal_binning_spark.operators.sampling import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = hash_sample(docs, "doc_id", 0.3)
+    return out.select("doc_id", "source")
+
+
 def q_exact_dedup(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return exact_dedup(docs, ["text"], "doc_id").select("doc_id", "source")
@@ -1161,6 +1172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_agg": q_tumbling_agg,
         "sliding_window": q_sliding_window,
         "deterministic_split": q_deterministic_split,
+        "hash_sample": q_hash_sample,
         "exact_dedup": q_exact_dedup,
         "exact_dedup_agg": q_exact_dedup_agg,
         "token_count": q_token_count,
@@ -1517,6 +1529,11 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    CAST(sum(n_chars) AS BIGINT) AS chars
             FROM s GROUP BY 1
+        """,
+        "hash_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE substring(md5(concat('sample', CAST(doc_id AS VARCHAR))), 1, 8)
+                  < '4ccccccc'
         """,
         "exact_dedup": """
             SELECT doc_id, source FROM (
