@@ -101,3 +101,34 @@ def test_pack_sequences_doc_spanning_chunks(spark):
     assert d1["n_tok_slice"].tolist() == [90, 100, 60]
     assert d1["doc_offset"].tolist() == [0, 90, 190]
     assert d1["chunk_offset"].tolist() == [10, 0, 0]
+
+
+def test_pack_sequences_invariants_property(spark):
+    """Property-style invariants over randomized shapes: token conservation,
+    full interior chunks, contiguous per-doc slices, offset consistency."""
+    rng = np.random.default_rng(21)
+    for trial in range(5):
+        n = int(rng.integers(1, 120))
+        budget = int(rng.integers(1, 50))
+        n_tok = rng.integers(0, 25, n)
+        pdf = pd.DataFrame({"doc_id": np.arange(n), "n_tok": n_tok})
+        out = pack_sequences(
+            spark.createDataFrame(pdf), "n_tok", "doc_id", budget
+        ).toPandas()
+        total = int(n_tok.sum())
+        # token conservation
+        assert out["n_tok_slice"].sum() == total, (trial, n, budget)
+        if total:
+            per_chunk = out.groupby("chunk_id")["n_tok_slice"].sum().sort_index()
+            # chunk ids are 0..ceil(total/budget)-1, interior chunks full
+            assert per_chunk.index.tolist() == list(range(-(-total // budget)))
+            assert (per_chunk.iloc[:-1] == budget).all()
+            # per-doc slices are contiguous from offset 0
+            for doc, grp in out.sort_values("chunk_id").groupby("doc_id"):
+                offs = grp["doc_offset"].tolist()
+                sizes = grp["n_tok_slice"].tolist()
+                assert offs[0] == 0
+                for k in range(1, len(offs)):
+                    assert offs[k] == offs[k - 1] + sizes[k - 1]
+            # chunk_offset + slice length never exceeds the budget
+            assert ((out["chunk_offset"] + out["n_tok_slice"]) <= budget).all()

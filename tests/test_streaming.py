@@ -337,3 +337,33 @@ def test_streaming_asof_inblock_late_right_does_not_regress_state(spark, tmp_pat
     by_eid = dict(zip(got["eid"], got["last_val"]))
     assert by_eid[0] == 5.0
     assert by_eid[1] == 5.0   # NOT 77: the carried frontier (100) is newer
+
+
+def test_stateless_textstats_work_under_streaming(spark, tmp_path):
+    """quality/repetition/PII operators are pure column expressions, so the
+    SAME code must run unchanged under readStream (stateless streaming)."""
+    from monotonic_optimal_binning_spark.operators.textstats import (
+        pii_scrub,
+        quality_features,
+        repetition_features,
+    )
+
+    src = str(tmp_path / "docs")
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["the quick brown fox\nthe quick brown fox",
+                     "reach me at a@b.co now"],
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    out = pii_scrub(repetition_features(quality_features(stream)))
+    _run_to_memory(out, "textstats_stream", "append")
+    got = spark.sql("select * from textstats_stream").toPandas().set_index("doc_id")
+    assert got.loc[1, "dup_line_frac"] == 1.0
+    assert got.loc[2, "n_email"] == 1
+    assert "<EMAIL>" in got.loc[2, "text_scrubbed"]
+    assert got.loc[1, "n_tokens"] == 8
