@@ -228,11 +228,19 @@ def main():
 
     # one small warmup run first (JIT/codegen + python-worker startup are
     # session costs, not per-row costs; first-vs-warm differs 3-5x), then
-    # best of three timed runs (this sandbox VM throttles in multi-second
-    # episodes that can hit one or two of the reps; min measures the
-    # engine, not the neighbors)
+    # adaptive best-of-reps: the host throttles in episodes long enough to
+    # eat several consecutive reps (observed: 3 reps at 5-15s vs a 2.1s
+    # floor), so keep taking reps (3..6) until the min stops improving by
+    # >5% for two consecutive reps — the min measures the engine, not the
+    # neighbors
     run_flagship(max(n_docs // 10, 10_000))
-    flagship_sec = min(run_flagship(n_docs) for _ in range(3))
+    reps = [run_flagship(n_docs)]
+    stale = 0
+    while len(reps) < 6 and (len(reps) < 3 or stale < 2):
+        t = run_flagship(n_docs)
+        stale = stale + 1 if t > min(reps) * 0.95 else 0
+        reps.append(t)
+    flagship_sec = min(reps)
     feature_rows = n_docs
     timings["flagship_pipeline"] = round(flagship_sec, 3)
 
