@@ -1011,6 +1011,32 @@ def q_token_budget_mix(spark, sf_dir):
     return out.select("doc_id", "source", F.col("n_tok").cast("long").alias("n_tok"))
 
 
+def q_psi_drift(spark, sf_dir):
+    """Population stability index between two corpus slices over fixed
+    n_chars buckets — the scorecard drift monitor that accompanies WoE
+    binning (0.5-smoothed shares, so one-sided-empty bins stay finite)."""
+    from monotonic_optimal_binning_spark.operators.drift import psi
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.when(F.col("n_chars") < 200, "s")
+        .when(F.col("n_chars") < 600, "m")
+        .otherwise("l")
+        .alias("bucket")
+    )
+    expected = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0).select(bucket)
+    actual = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1).select(bucket)
+    out = psi(expected, actual, "bucket")
+    return out.select(
+        "bucket",
+        "n_expected",
+        "n_actual",
+        F.round("pct_expected", _R).alias("pct_expected"),
+        F.round("pct_actual", _R).alias("pct_actual"),
+        F.round("psi_term", _R).alias("psi_term"),
+    )
+
+
 def q_tpch_q1(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     return (
@@ -1203,6 +1229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "token_budget_mix": q_token_budget_mix,
         "decontaminate": q_decontaminate,
+        "psi_drift": q_psi_drift,
         "tpch_q1": q_tpch_q1,
         "join_topk": q_join_topk,
         "rollup": q_rollup,
@@ -1914,6 +1941,36 @@ def oracle_sql() -> dict[str, str]:
             WHERE cum_before < CASE source WHEN 'src0' THEN 900
                                            WHEN 'src1' THEN 400
                                            ELSE 0 END
+        """,
+        "psi_drift": """
+            WITH b AS (
+              SELECT CASE WHEN n_chars < 200 THEN 's'
+                          WHEN n_chars < 600 THEN 'm'
+                          ELSE 'l' END AS bucket,
+                     ((doc_id % 2) + 2) % 2 AS side
+              FROM documents),
+            e AS (SELECT bucket, count(*) AS n_expected FROM b
+                  WHERE side = 0 GROUP BY bucket),
+            a AS (SELECT bucket, count(*) AS n_actual FROM b
+                  WHERE side = 1 GROUP BY bucket),
+            j AS (
+              SELECT coalesce(e.bucket, a.bucket) AS bucket,
+                     coalesce(n_expected, 0) AS n_expected,
+                     coalesce(n_actual, 0) AS n_actual
+              FROM e FULL OUTER JOIN a ON e.bucket = a.bucket),
+            tot AS (SELECT sum(n_expected) AS te, sum(n_actual) AS ta,
+                           count(*) AS k FROM j)
+            SELECT bucket,
+                   CAST(n_expected AS BIGINT) AS n_expected,
+                   CAST(n_actual AS BIGINT) AS n_actual,
+                   round((n_expected + 0.5) / (te + 0.5 * k), 6) AS pct_expected,
+                   round((n_actual + 0.5) / (ta + 0.5 * k), 6) AS pct_actual,
+                   round(((n_actual + 0.5) / (ta + 0.5 * k)
+                          - (n_expected + 0.5) / (te + 0.5 * k))
+                         * ln(((n_actual + 0.5) / (ta + 0.5 * k))
+                              / ((n_expected + 0.5) / (te + 0.5 * k))), 6)
+                     AS psi_term
+            FROM j CROSS JOIN tot
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
