@@ -119,9 +119,11 @@ def pack_sequences(
       n_tok_slice    slice length (sums to n_tok per doc, to budget per
                      full chunk)
     plus ``tokens_slice`` (the actual token sub-array) when ``tokens_col``
-    is given. Zero-token documents produce no slice. Chunk arithmetic is
-    exact integer ``div`` on BIGINT global offsets — no double rounding at
-    any corpus size.
+    is given. Zero-token documents produce no slice; ``n_tok`` must be
+    non-negative (negative counts would corrupt every downstream offset —
+    validate upstream, a lazy plan cannot check it for free). Chunk
+    arithmetic is exact integer ``div`` on BIGINT global offsets — no
+    double rounding at any corpus size.
     """
     if budget <= 0:
         raise ValueError("budget must be positive")

@@ -126,9 +126,11 @@ def sample_to_token_budget(
     A row is kept while the running token total BEFORE it is under budget,
     so the budget may be overshot by at most one document (the standard
     greedy contract; exact-cut packing is :mod:`packing`'s job). Groups
-    absent from ``budgets`` get ``default_budget`` (0 = dropped). Pure
-    function of (group, id, salt): reruns, repartitions, and cluster
-    resizes keep the identical sample. One shuffle (window per group).
+    absent from ``budgets`` get ``default_budget`` (0 = dropped). Rows
+    with a null ``n_tok_col`` are dropped (a null poisons the running
+    sum). Pure function of (group, id, salt): reruns, repartitions, and
+    cluster resizes keep the identical sample. One shuffle (window per
+    group).
     """
     entries = [(str(k), int(v)) for k, v in budgets.items()]
     budget_map = F.create_map(
