@@ -25,35 +25,20 @@ def gcm_data(binner) -> Dict[str, pd.DataFrame]:
     """Inputs of plot_gcm / plot_pava_comparison (csd_gcm.py:167,595):
     ``groups`` (x, group_mean, count — the cumulative-sum-diagram points)
     and ``blocks`` (the PAVA greatest-convex-minorant step function as
-    [left, right) intervals with pooled means)."""
-    if binner.model_ is None:
-        raise ValueError("fit the binner first")
-    groups = pd.DataFrame(
-        [
-            {"x": g.x, "group_mean": g.sum / g.count if g.count else 0.0,
-             "count": g.count}
-            for g in binner._groups
-        ]
-    )
-    blocks = pava_blocks_data(binner)
-    return {"groups": groups, "blocks": blocks}
+    [left, right) intervals with pooled means). Thin views over the
+    public ``pava_groups_()`` / ``pava_blocks_()`` accessors — the pooled
+    mean/var definitions live in ONE place (core/blocks.py Block)."""
+    groups = binner.pava_groups_()[["x", "group_mean", "count"]]
+    return {"groups": groups, "blocks": pava_blocks_data(binner)}
 
 
 def pava_blocks_data(binner) -> pd.DataFrame:
     """The PAVA fit's pooled blocks (csd_gcm.py:344 plot_pava_process
-    input): one row per monotone block BEFORE statistical merging."""
-    if binner._pava_result is None:
-        raise ValueError("fit the binner first")
-    return pd.DataFrame(
-        [
-            {
-                "left": b.left, "right": b.right, "n": b.n,
-                "mean": b.mean, "var": b.var,
-                "ymin": b.ymin, "ymax": b.ymax,
-            }
-            for b in binner._pava_result.blocks
-        ]
-    )
+    input): one row per monotone block BEFORE statistical merging.
+    Raises NotFittedError before fit (same contract as every accessor)."""
+    return pd.DataFrame(binner.pava_blocks_())[
+        ["left", "right", "n", "mean", "var", "ymin", "ymax"]
+    ]
 
 
 def merge_animation_data(binner) -> pd.DataFrame:
@@ -72,8 +57,13 @@ def merge_animation_data(binner) -> pd.DataFrame:
 
 def woe_bar_data(binner) -> pd.DataFrame:
     """plot_woe_bars input (mob_plot.py:25): bucket, woe, iv, count_pct
-    for the fitted (non-special) bins."""
+    for the fitted (non-special) bins. Raises for a non-binary target —
+    there is no WoE to plot (same contract as transform(assign='woe'))."""
     s = binner.summary_()
+    if "woe" not in s.columns:
+        raise ValueError(
+            "WoE bars require a binary target (no woe column in summary)"
+        )
     mask = ~s["bucket"].astype(str).str.contains("Missing|Excluded")
     cols = [c for c in ("bucket", "woe", "iv", "count", "count_pct") if c in s.columns]
     return s.loc[mask, cols].reset_index(drop=True)
@@ -128,6 +118,14 @@ def binning_stability_data(
     labeled = binner.transform(
         test_df, assign="interval",
         input_col=input_col or binner.x, output_col="__bucket",
+    )
+    # compare non-special bins on BOTH sides: train_pct is computed over
+    # fitted bins only, so Missing/Excluded labels must leave the test
+    # denominator too or an identical population with nulls would show a
+    # uniform fake shift
+    labeled = labeled.filter(
+        F.col("__bucket").isNotNull()
+        & ~F.col("__bucket").rlike("Missing|Excluded")
     )
     agg = labeled.groupBy("__bucket").agg(
         F.count(F.lit(1)).alias("test_count"),

@@ -44,3 +44,31 @@ def test_binner_psi_identical_sample_is_stable(spark):
     shifted = df.filter(F.col("x") < 10)
     drift = binner_psi(b, shifted).toPandas()
     assert drift["psi_term"].sum() > 0.25
+
+
+def test_psi_null_bucket_is_one_bin(spark):
+    e = spark.createDataFrame(
+        pd.DataFrame({"b": ["a"] * 50 + [None] * 50})).fillna({})  # keep None
+    a = spark.createDataFrame(
+        pd.DataFrame({"b": ["a"] * 50 + [None] * 50}))
+    out = psi(e, a, "b").toPandas()
+    assert len(out) == 2  # null matched null-safe: one bin, no phantoms
+    np.testing.assert_allclose(out["psi_term"].sum(), 0.0, atol=1e-12)
+
+
+def test_binner_psi_nulls_dont_fake_drift(spark):
+    df = spark.range(20_000).select(
+        (F.col("id") % 30).cast("double").alias("x"),
+        (F.pmod(F.xxhash64("id"), 100) < 40).cast("int").alias("y"),
+    )
+    b = SparkMonotonicBinner(
+        "x", "y", constraints=BinningConstraints(max_bins=4, min_bins=2)
+    ).fit(df)
+    # identical distribution + 20% nulls must NOT read as drift
+    with_nulls = spark.range(20_000).select(
+        F.when(F.pmod("id", F.lit(5)) != 0, (F.col("id") % 30).cast("double")).alias("x"),
+        (F.pmod(F.xxhash64("id"), 100) < 40).cast("int").alias("y"),
+    )
+    out = binner_psi(b, with_nulls).toPandas()
+    assert abs(out["psi_term"].sum()) < 0.01
+    assert not out["bucket"].astype(str).str.contains("Missing").any()

@@ -56,3 +56,19 @@ def test_plot_data_tables(spark):
         stab["train_pct"].to_numpy(), stab["test_pct"].to_numpy(), atol=1e-9
     )
     np.testing.assert_allclose(stab["train_pct"].sum(), 100.0)
+
+
+def test_stability_data_nulls_dont_fake_shift(spark):
+    """An identical population with 20% null x must show train_pct ==
+    test_pct (Missing rows leave both numerator and denominator)."""
+    b, df = _fit(spark)
+    with_nulls = df.select(
+        F.when(F.pmod(F.monotonically_increasing_id(), F.lit(5)) != 0,
+               F.col("x")).alias("x"),
+        "y",
+    )
+    stab = PD.binning_stability_data(b, with_nulls)
+    np.testing.assert_allclose(
+        stab["train_pct"].to_numpy(), stab["test_pct"].to_numpy(), atol=1.5
+    )
+    np.testing.assert_allclose(stab["test_pct"].sum(), 100.0)
