@@ -432,6 +432,44 @@ def q_lag_lead(spark, sf_dir):
     )
 
 
+def q_lag_lead_bucketed(spark, sf_dir):
+    """Skew-resistant lag-1/lead-1 (local per-(key, time-bucket) windows +
+    boundary carry from the one-row-per-bucket summary) — must equal the
+    plain per-key window; same DuckDB oracle as lag_lead."""
+    from monotonic_optimal_binning_spark.operators.windows import (
+        with_lag_lead_bucketed,
+    )
+
+    pin_utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = with_lag_lead_bucketed(
+        ev, ["value"], "user_id", "ts", bucket_seconds=3600.0,
+        tiebreak=["event_id"],
+    )
+    return out.select(
+        "event_id",
+        F.round("value_lag1", _R).alias("value_lag1"),
+        F.round("value_lead1", _R).alias("value_lead1"),
+    )
+
+
+def q_ngram_containment(spark, sf_dir):
+    """Asymmetric n-gram containment pairs (excerpt/quote duplication the
+    symmetric jaccard misses): widened by max(containment) >= 0.8."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.5, containment_threshold=0.8
+    )
+    return out.select(
+        "id_a", "id_b",
+        F.round("jaccard", _R).alias("jaccard"),
+        F.round("containment_a", _R).alias("containment_a"),
+        F.round("containment_b", _R).alias("containment_b"),
+    )
+
+
 def q_backfill(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select(
         "event_id",
@@ -1190,6 +1228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "json_extract": q_json_extract,
         "lag_lead": q_lag_lead,
+        "lag_lead_bucketed": q_lag_lead_bucketed,
         "backfill": q_backfill,
         "backfill_bucketed": q_backfill_bucketed,
         "sessionize": q_sessionize,
@@ -1211,6 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_planted": q_embedding_neardup_planted,
         "lsh_bucket_audit": q_lsh_bucket_audit,
         "ngram_jaccard": q_ngram_jaccard,
+        "ngram_containment": q_ngram_containment,
         "ngram_jaccard_maxdf": q_ngram_jaccard_maxdf,
         "dedup_clusters": q_dedup_clusters,
         "tfidf_topk": q_tfidf_topk,
@@ -1458,6 +1498,13 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
+        "lag_lead_bucketed": """
+            SELECT event_id,
+                   round(lag(value) OVER w, 6) AS value_lag1,
+                   round(lead(value) OVER w, 6) AS value_lead1
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
         "backfill": """
             SELECT event_id,
                    round(last_value(value_masked IGNORE NULLS) OVER
@@ -1678,6 +1725,37 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE common / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.4
+        """,
+        "ngram_containment": """
+            WITH toks AS (
+              SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+                                         x -> x != '') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(0, greatest(len(t)-3, 0)+1),
+                       i -> array_to_string(list_slice(t, i+1, i+3), ' '))) AS sset
+              FROM toks),
+            post AS (SELECT doc_id, unnest(sset) AS s FROM sh),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM post GROUP BY doc_id),
+            common AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+              FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+            scored AS (
+              SELECT id_a, id_b,
+                     common / CAST(sa.sz + sb.sz - common AS DOUBLE) AS j,
+                     common / CAST(sa.sz AS DOUBLE) AS ca,
+                     common / CAST(sb.sz AS DOUBLE) AS cb
+              FROM common
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b)
+            SELECT id_a, id_b, round(j, 6) AS jaccard,
+                   round(ca, 6) AS containment_a,
+                   round(cb, 6) AS containment_b
+            FROM scored
+            WHERE j >= 0.5 OR greatest(ca, cb) >= 0.8
         """,
         "dedup_clusters": r"""
             WITH RECURSIVE toks AS (

@@ -443,9 +443,15 @@ def ngram_jaccard_pairs(
     shingle_size: int = 3,
     shingle_unit: str = "word",
     max_df: Optional[int] = None,
+    containment_threshold: Optional[float] = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard similarity for every pair >= threshold, via an
     inverted-index (posting-list) self-join — no LSH approximation.
+    Output also carries the asymmetric ``containment_a``/``containment_b``
+    (|A∩B|/|A|, |A∩B|/|B|): a quote or excerpt scores near 1.0 on one side
+    while its symmetric jaccard stays low. ``containment_threshold`` (if
+    set) WIDENS the result: pairs qualify by jaccard >= threshold OR
+    max(containment) >= containment_threshold.
 
     Plan shape: explode distinct shingles to (id, shingle) postings; the
     self-join key is the shingle, so two documents only ever meet if they
@@ -496,9 +502,24 @@ def ngram_jaccard_pairs(
                 F.col("common").cast("double")
                 / (F.col("__sza") + F.col("__szb") - F.col("common"))
             ).alias("jaccard"),
+            # asymmetric CONTAINMENT |A∩B|/|A| (and /|B|): near 1.0 when one
+            # document is a sub-document of the other even though jaccard is
+            # low — the quote/excerpt duplication signal jaccard misses
+            (F.col("common").cast("double") / F.col("__sza")).alias(
+                "containment_a"
+            ),
+            (F.col("common").cast("double") / F.col("__szb")).alias(
+                "containment_b"
+            ),
         )
     )
-    return out.filter(F.col("jaccard") >= threshold)
+    keep = F.col("jaccard") >= threshold
+    if containment_threshold is not None:
+        keep = keep | (
+            F.greatest("containment_a", "containment_b")
+            >= containment_threshold
+        )
+    return out.filter(keep)
 
 
 def decontaminate(

@@ -47,6 +47,78 @@ def with_lag_lead(
     return out
 
 
+def with_lag_lead_bucketed(
+    df: DataFrame,
+    cols: Sequence[str],
+    key: str | Sequence[str],
+    ts: str,
+    bucket_seconds: float,
+    *,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Skew-resistant lag-1/lead-1: identical output to
+    :func:`with_lag_lead` with ``lags=[1], leads=[1]`` — the hot-key fix
+    for the per-entity serial window (same decision rule as the other
+    ``*_bucketed`` variants).
+
+    Plan: lag/lead locally inside (key, time-bucket) partitions; each
+    bucket's FIRST and LAST row values (min_by/max_by over the order key —
+    one summary row per bucket) provide the boundary carry: a bucket's
+    first row takes the previous bucket's last value as its lag, its last
+    row takes the next bucket's first value as its lead. Only lag 1 /
+    lead 1 are supported — deeper offsets would need k boundary rows
+    carried per bucket; use the plain window for those.
+    """
+    if bucket_seconds <= 0:
+        raise ValueError("bucket_seconds must be positive")
+    keys = _keys(key)
+    order = _order_cols(ts, tiebreak)
+    tsd = epoch_seconds(df, ts)
+    work = df.withColumn(
+        "__b", F.floor(tsd / F.lit(float(bucket_seconds))).cast("long")
+    )
+    w1 = Window.partitionBy(*keys, "__b").orderBy(*order)
+    okey = F.struct(*[F.col(o) for o in order])
+    for c in cols:
+        work = work.withColumn(f"__lag_{c}", F.lag(c).over(w1)).withColumn(
+            f"__lead_{c}", F.lead(c).over(w1)
+        )
+    work = work.withColumn("__rn", F.row_number().over(w1)).withColumn(
+        "__rn_max", F.count(F.lit(1)).over(Window.partitionBy(*keys, "__b"))
+    )
+
+    summ = work.groupBy(*keys, "__b").agg(
+        *[F.max_by(F.col(c), okey).alias(f"__last_{c}") for c in cols],
+        *[F.min_by(F.col(c), okey).alias(f"__first_{c}") for c in cols],
+    )
+    w2 = Window.partitionBy(*keys).orderBy("__b")
+    carry = summ.select(
+        *keys,
+        "__b",
+        *[F.lag(f"__last_{c}").over(w2).alias(f"__prev_{c}") for c in cols],
+        *[F.lead(f"__first_{c}").over(w2).alias(f"__next_{c}") for c in cols],
+    )
+    out = work.join(carry, on=[*keys, "__b"])
+    for c in cols:
+        out = (
+            out.withColumn(
+                f"{c}_lag1",
+                F.when(F.col("__rn") == 1, F.col(f"__prev_{c}")).otherwise(
+                    F.col(f"__lag_{c}")
+                ),
+            )
+            .withColumn(
+                f"{c}_lead1",
+                F.when(
+                    F.col("__rn") == F.col("__rn_max"), F.col(f"__next_{c}")
+                ).otherwise(F.col(f"__lead_{c}")),
+            )
+            .drop(f"__lag_{c}", f"__lead_{c}", f"__prev_{c}", f"__next_{c}",
+                  f"__last_{c}", f"__first_{c}")
+        )
+    return out.drop("__b", "__rn", "__rn_max")
+
+
 def backfill(
     df: DataFrame,
     cols: Sequence[str],

@@ -308,3 +308,28 @@ def test_decontaminate_drop_and_flag(spark):
         corpus, bench, shingle_size=3, shingle_unit="word", min_hits=2
     )
     assert sorted(r["doc_id"] for r in kept2.collect()) == [2, 3, 4]
+
+
+def test_ngram_containment_detects_excerpts(spark):
+    from monotonic_optimal_binning_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    full = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliett kilo lima mike november oscar papa quebec romeo")
+    excerpt = "delta echo foxtrot golf hotel"   # verbatim sub-document
+    df = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [1, 2, 3],
+         "text": [full, excerpt, "completely different words everywhere now"]}))
+    # jaccard alone misses the excerpt (small overlap / big union)...
+    j_only = ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.5).toPandas()
+    assert len(j_only) == 0
+    # ...containment finds it with score 1.0 on the excerpt side
+    out = ngram_jaccard_pairs(
+        df, "text", "doc_id", threshold=0.5, containment_threshold=0.9
+    ).toPandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row["id_a"], row["id_b"]) == (1, 2)
+    assert max(row["containment_a"], row["containment_b"]) == 1.0
+    assert row["jaccard"] < 0.5

@@ -235,3 +235,34 @@ def test_backfill_bucketed_equals_plain(spark):
             .select("eid", "v_filled").toPandas().set_index("eid").sort_index()
         )
         pd.testing.assert_frame_equal(got, plain), bucket
+
+
+def test_lag_lead_bucketed_equals_plain(spark):
+    from monotonic_optimal_binning_spark.operators.windows import (
+        with_lag_lead,
+        with_lag_lead_bucketed,
+    )
+
+    rng = np.random.default_rng(17)
+    n = 3000
+    pdf = pd.DataFrame(
+        {
+            "eid": np.arange(n),
+            "user": rng.integers(0, 4, n),
+            "ts": np.round(np.sort(rng.uniform(0, 20_000, n)), 3),
+            "v": rng.uniform(0, 100, n).round(2),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    plain = (
+        with_lag_lead(df, ["v"], "user", "ts", lags=[1], leads=[1], tiebreak=["eid"])
+        .select("eid", "v_lag1", "v_lead1").toPandas().set_index("eid").sort_index()
+    )
+    for bucket in (40.0, 4000.0):
+        got = (
+            with_lag_lead_bucketed(
+                df, ["v"], "user", "ts", bucket_seconds=bucket, tiebreak=["eid"]
+            )
+            .select("eid", "v_lag1", "v_lead1").toPandas().set_index("eid").sort_index()
+        )
+        pd.testing.assert_frame_equal(got, plain), bucket
