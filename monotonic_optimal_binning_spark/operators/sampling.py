@@ -85,6 +85,8 @@ def stratified_sample(
     n_per_group: int,
     *,
     salt: str = "strat",
+    oversample: float = 4.0,
+    slack: int = 64,
 ) -> DataFrame:
     """Keep at most ``n_per_group`` rows per group, chosen as the rows with
     the smallest md5(salt || id) — a deterministic uniform-without-
@@ -92,19 +94,45 @@ def stratified_sample(
 
     Same reproducibility contract as :func:`deterministic_split`: the kept
     set is a pure function of (group, id, salt), invariant to partitioning
-    and cluster size. One shuffle (window by group); a pathologically hot
-    group serializes its rank into one task — for those, pre-filter with
-    :func:`hash_sample` at a fraction that bounds the group size first.
+    and cluster size.
+
+    Scale shape: the naive formulation (``row_number`` over a per-group
+    window) serializes a hot stratum into ONE task. Instead the operator
+    bounds each group's candidate set FIRST: one map-side-combinable
+    aggregate counts each group, the per-group hash-threshold
+    ``(oversample·n + slack) / count`` is broadcast back, and only rows
+    whose hash falls under it enter the exact ``row_number`` window — so a
+    billion-row stratum contributes ~``oversample·n + slack`` window rows
+    instead of a billion. The winners (the ``n`` smallest hashes) survive
+    the pre-filter unless fewer than ``n`` of a group's rows hash under a
+    threshold with mean ``oversample·n + slack`` — a Chernoff tail below
+    ``exp(-(3n+slack)²/(2(4n+slack)))`` (< 1e-13 even at n=1 with the
+    defaults), negligible at any corpus size. Groups smaller than the
+    oversample target are never filtered at all. Assumes group cardinality
+    fits a broadcast (strata are sources/buckets, not ids).
     """
     if n_per_group <= 0:
         raise ValueError("n_per_group must be positive")
-    w = Window.partitionBy(group_col).orderBy(
-        _bucket_hex(F.col(id_col), salt), F.col(id_col)
+    h = _bucket_hex(F.col(id_col), salt)
+    hv = F.conv(h, 16, 10).cast("long")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__gn"))
+    cut = F.least(
+        F.lit(float(_HEX_SPACE)),
+        F.lit(float(oversample) * n_per_group + float(slack))
+        / F.col("__gn")
+        * F.lit(float(_HEX_SPACE)),
+    ).cast("long")
+    survivors = (
+        df.join(F.broadcast(counts), on=group_col)
+        .filter(hv < cut)
+        .drop("__gn")
     )
+    w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
     return (
-        df.withColumn("__rn", F.row_number().over(w))
+        survivors.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= n_per_group)
         .drop("__rn")
+        .select(*df.columns)
     )
 
 
@@ -117,6 +145,7 @@ def sample_to_token_budget(
     *,
     salt: str = "mix",
     default_budget: int = 0,
+    n_buckets: int = 64,
 ) -> DataFrame:
     """Training-mixture construction: per group (source), keep rows in
     md5(salt || id) hash order until the group's TOKEN budget is reached —
@@ -129,9 +158,25 @@ def sample_to_token_budget(
     absent from ``budgets`` get ``default_budget`` (0 = dropped). Rows
     with a null ``n_tok_col`` are dropped (a null poisons the running
     sum). Pure function of (group, id, salt): reruns, repartitions, and
-    cluster resizes keep the identical sample. One shuffle (window per
-    group).
+    cluster resizes keep the identical sample.
+
+    Scale shape: the per-group running cumsum is a grouped prefix sum in
+    the style of :func:`packing.global_prefix_sum` — NOT a
+    ``Window.partitionBy(group)`` (which funnels each source's multi-TB
+    slice through one task). The md5 order key is uniform by construction,
+    so its first 4 hex chars split each group into ``n_buckets``
+    deterministic equal-width ranges with no quantile probe: a per-
+    (group, bucket) window computes local cumsums in parallel, the
+    per-bucket totals (k·n_buckets rows, map-side combined — the same
+    exchange as the window, so AQE reuses it) roll into exclusive offsets
+    via a window over the TINY totals table, and the offsets broadcast
+    back. Input must be deterministic across actions (no unseeded
+    sample()/rand() upstream): the window pass and the totals aggregate
+    each re-scan it, and a frame that changes between scans would corrupt
+    the offsets.
     """
+    if not 1 <= n_buckets <= 65536:
+        raise ValueError("n_buckets must be in [1, 65536]")
     entries = [(str(k), int(v)) for k, v in budgets.items()]
     budget_map = F.create_map(
         *[F.lit(x) for kv in entries for x in kv]
@@ -140,16 +185,37 @@ def sample_to_token_budget(
         budget_map[F.col(group_col).cast("string")],
         F.lit(int(default_budget)),
     )
-    w = (
-        Window.partitionBy(group_col)
-        .orderBy(_bucket_hex(F.col(id_col), salt), F.col(id_col))
+    h = _bucket_hex(F.col(id_col), salt)
+    # bucket = equal-width range of the hash prefix: monotone in the full
+    # hex order (bucket(a) < bucket(b) ⇒ h(a) < h(b)), so per-bucket
+    # cumsums + cross-bucket offsets compose to the exact global cumsum
+    hv16 = F.conv(F.substring(h, 1, 4), 16, 10).cast("long")
+    bucket = F.floor(hv16 * int(n_buckets) / F.lit(65536)).cast("int")
+    work = df.withColumn("__h", h).withColumn("__bkt", bucket)
+    wloc = (
+        Window.partitionBy(group_col, "__bkt")
+        .orderBy(F.col("__h"), F.col(id_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum_before = F.sum(F.col(n_tok_col)).over(w) - F.col(n_tok_col)
+    local = work.withColumn("__loc", F.sum(F.col(n_tok_col)).over(wloc))
+    totals = work.groupBy(group_col, "__bkt").agg(
+        F.sum(F.col(n_tok_col)).alias("__tot")
+    )
+    woff = (
+        Window.partitionBy(group_col)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        group_col,
+        "__bkt",
+        F.coalesce(F.sum("__tot").over(woff), F.lit(0)).alias("__off"),
+    )
+    cum_before = F.col("__off") + F.col("__loc") - F.col(n_tok_col)
     return (
-        df.withColumn("__cum_before", cum_before)
-        .filter(F.col("__cum_before") < budget)
-        .drop("__cum_before")
+        local.join(F.broadcast(offsets), on=[group_col, "__bkt"])
+        .filter(cum_before < budget)
+        .select(*df.columns)
     )
 
 

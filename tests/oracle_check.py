@@ -55,7 +55,7 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> str
     return "OK"
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: list | None = None) -> int:
     from pyspark.sql import SparkSession
 
     import __spark_entry__ as entry_mod
@@ -81,6 +81,8 @@ def main(sf_dir: str) -> int:
     oracles = entry_mod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
+        if only and name not in only:
+            continue
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -107,12 +109,13 @@ def main(sf_dir: str) -> int:
             failures += 1
 
     # entry smoke
-    try:
-        n = entry_mod.entry(spark).count()
-        print(f"[ok  ] entry: {n} rows")
-    except Exception as e:
-        print(f"[FAIL] entry: {e}")
-        failures += 1
+    if not only:
+        try:
+            n = entry_mod.entry(spark).count()
+            print(f"[ok  ] entry: {n} rows")
+        except Exception as e:
+            print(f"[FAIL] entry: {e}")
+            failures += 1
 
     spark.stop()
     return failures
@@ -120,4 +123,4 @@ def main(sf_dir: str) -> int:
 
 if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    sys.exit(min(main(sf), 1))
+    sys.exit(min(main(sf, only=sys.argv[2:] or None), 1))

@@ -100,6 +100,63 @@ def test_decontaminate_broadcasts_benchmark_side(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
 
 
+def test_token_budget_mix_has_no_per_group_global_window(spark):
+    """The per-source running-token cumsum must be the grouped prefix sum
+    (window by (group, hash-bucket) + tiny offsets table), NEVER a window
+    partitioned by the source alone over the raw rows — that serializes
+    each source's multi-TB slice into one task at corpus scale."""
+    from monotonic_optimal_binning_spark.operators.sampling import (
+        sample_to_token_budget,
+    )
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(1000), "source": ["a"] * 500 + ["b"] * 500,
+         "n_tok": [10] * 1000}
+    )
+    df = spark.createDataFrame(pdf)
+    out = sample_to_token_budget(df, "source", "doc_id", "n_tok", {"a": 100})
+    plan = plan_of(out)
+    # the big cumsum window partitions by (source, bucket)
+    assert re.search(
+        r"windowspecdefinition\(source#\d+, __bkt#\d+, __h#", plan
+    ), plan
+    # no window over the raw rows keyed by source alone and ordered by the
+    # row hash (the single-task-per-source shape); the only source-keyed
+    # window is the offsets rollup over the tiny totals, ordered by __bkt
+    assert not re.search(
+        r"windowspecdefinition\(source#\d+, __h#", plan
+    ), plan
+    # offsets come back via broadcast, not a shuffled join
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_stratified_sample_filters_before_rank_window(spark):
+    """The exact row_number window must rank the bounded candidate set
+    (hash < per-group threshold), not the raw group — a hot stratum would
+    otherwise serialize into one task."""
+    from monotonic_optimal_binning_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(1000), "source": ["a"] * 500 + ["b"] * 500}
+    )
+    df = spark.createDataFrame(pdf)
+    out = stratified_sample(df, "source", "doc_id", 10)
+    plan = plan_of(out, "simple")
+    # group counts join back as a broadcast
+    assert "BroadcastHashJoin" in plan, plan
+    # the hash-threshold predicate sits BELOW the rank window (tree prints
+    # children after parents, so its line must come later); Catalyst folds
+    # it into the broadcast join condition itself
+    win = plan.index("row_number()")
+    m = re.search(r"(Filter|BroadcastHashJoin) .*conv\(", plan)
+    assert m and m.start() > win, plan
+    # Spark's rank-limit pushdown keeps only the top-n per group BEFORE the
+    # window shuffle — survivors per task are bounded twice over
+    assert "WindowGroupLimit" in plan, plan
+
+
 def test_broadcast_dim_join_plan(spark):
     orders = spark.read.parquet(os.path.join(SF, "orders.parquet"))
     cust = spark.read.parquet(os.path.join(SF, "customer.parquet"))

@@ -208,3 +208,52 @@ def test_auto_fallback_equals_explicit_prebins(spark):
         b[["left", "right", "n", "sum", "mean"]].to_numpy(float),
         rtol=1e-9,
     )
+
+
+def test_stratified_sample_hot_group_exact_and_bounded(spark):
+    """A pathologically hot stratum (50k rows vs n=5) must (a) return the
+    EXACT n-smallest-hash winners (pre-filter never clips a winner) and
+    (b) rank only a bounded candidate set, not the whole group."""
+    import hashlib
+
+    from monotonic_optimal_binning_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    n_hot = 50_000
+    df = spark.range(n_hot + 20).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < n_hot, "hot").otherwise("cold").alias("source"),
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in stratified_sample(df, "source", "doc_id", 5).collect()
+        if r["source"] == "hot"
+    )
+    # independent ground truth: the 5 smallest md5('strat'||id) prefixes
+    expect = sorted(
+        sorted(
+            range(n_hot),
+            key=lambda i: (
+                hashlib.md5(f"strat{i}".encode()).hexdigest()[:8], i
+            ),
+        )[:5]
+    )
+    assert got == expect
+    # candidate bound: threshold keeps ~ (4*5+64)/50000 of the hot group
+    from monotonic_optimal_binning_spark.operators.sampling import (
+        _HEX_SPACE,
+        _bucket_hex,
+    )
+
+    counts = df.groupBy("source").agg(F.count(F.lit(1)).alias("__gn"))
+    cut = (4.0 * 5 + 64) / n_hot * _HEX_SPACE
+    survivors = (
+        df.filter(F.col("source") == "hot")
+        .filter(
+            F.conv(_bucket_hex(F.col("doc_id"), "strat"), 16, 10)
+            .cast("long") < F.lit(int(cut))
+        )
+        .count()
+    )
+    assert survivors < 500  # ~84 expected; whole group is 50k
