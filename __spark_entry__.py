@@ -1211,7 +1211,29 @@ def q_per_source_fit_monotone(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS for the driver's CORRECTNESS harness: it checks entries
+    # in dict order and has truncated at 50 of 65 before (r03), so queries
+    # with the LEAST driver-verified history go FIRST — (a) never checked in
+    # any round, (b) last checked in r02, (c) green in r03.
     return {
+        # --- (a) never driver-checked (added round 3) ---
+        "pack_chunks": q_pack_chunks,
+        "repetition": q_repetition,
+        "pii_scrub": q_pii_scrub,
+        "stratified_sample": q_stratified_sample,
+        "token_budget_mix": q_token_budget_mix,
+        "decontaminate": q_decontaminate,
+        "psi_drift": q_psi_drift,
+        "per_source_fit_monotone": q_per_source_fit_monotone,
+        # --- (b) last driver-checked in round 2 ---
+        "media_features": q_media_features,
+        "tpch_q1": q_tpch_q1,
+        "join_topk": q_join_topk,
+        "rollup": q_rollup,
+        "cube_agg": q_cube_agg,
+        "percentiles": q_percentiles,
+        "per_source_fit": q_per_source_fit,
+        # --- (c) green in round 3 ---
         "group_stats": q_group_stats,
         "cumulative_stats": q_cumulative_stats,
         "sign_correlation": q_sign_correlation,
@@ -1262,21 +1284,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "ivf_topk_planted": q_ivf_topk_planted,
         "embedding_neardup": q_embedding_neardup,
-        "media_features": q_media_features,
-        "pack_chunks": q_pack_chunks,
-        "repetition": q_repetition,
-        "pii_scrub": q_pii_scrub,
-        "stratified_sample": q_stratified_sample,
-        "token_budget_mix": q_token_budget_mix,
-        "decontaminate": q_decontaminate,
-        "psi_drift": q_psi_drift,
-        "tpch_q1": q_tpch_q1,
-        "join_topk": q_join_topk,
-        "rollup": q_rollup,
-        "cube_agg": q_cube_agg,
-        "percentiles": q_percentiles,
-        "per_source_fit": q_per_source_fit,
-        "per_source_fit_monotone": q_per_source_fit_monotone,
     }
 
 
