@@ -95,23 +95,38 @@ def main():
     # runs the flagship at two parallelism levels)
     flagship_only = bool(os.environ.get("SPARK_GRAFT_FLAGSHIP_ONLY"))
 
+    # Queries REGISTER here and run later in interleaved round-robin ROUNDS
+    # (q1,q2,...,qn, q1,q2,...) instead of consecutive per-query reps: the
+    # host throttles in episodes long enough to swallow 3+ consecutive reps
+    # of one query (round-3 driver run: minhash 6.1s recorded vs 2.3s warm),
+    # but an episode that spans one round inflates each query's SINGLE rep
+    # of that round and leaves its other rounds clean — per-query min then
+    # measures the engine. Adaptive depth per query: 3 rounds minimum, up
+    # to 5 while the min is still improving >5% (rep 1 absorbs JIT).
+    _registry = []
+
     def bench(name, fn):
         if flagship_only:
             return
-        # adaptive best-of-reps (3..5): this VM's host throttles in
-        # episodes long enough to span three consecutive reps (same query
-        # measured 1.0s and 9.2s in different windows); keep taking reps
-        # while the min is still improving >5%. The min measures the
-        # engine, not the neighbors; rep 1 also absorbs JIT/codegen.
-        reps = []
-        stale = 0
-        while len(reps) < 5 and (len(reps) < 3 or stale < 2):
-            t0 = time.time()
-            fn()
-            t = time.time() - t0
-            stale = stale + 1 if reps and t > min(reps) * 0.95 else 0
-            reps.append(t)
-        timings[name] = round(min(reps), 3)
+        _registry.append((name, fn))
+
+    def run_registered():
+        reps = {name: [] for name, _ in _registry}
+        stale = {name: 0 for name, _ in _registry}
+        for rnd in range(5):
+            for name, fn in _registry:
+                r = reps[name]
+                if len(r) >= 5 or (len(r) >= 3 and stale[name] >= 2):
+                    continue
+                t0 = time.time()
+                fn()
+                t = time.time() - t0
+                stale[name] = (
+                    stale[name] + 1 if r and t > min(r) * 0.95 else 0
+                )
+                r.append(t)
+        for name, r in reps.items():
+            timings[name] = round(min(r), 3)
 
     # --- headline operator queries on the driver-provided testdata ---
     bench("tpch_q1", lambda: materialize(
@@ -186,6 +201,8 @@ def main():
     )
     bench("cosine_topk", lambda: materialize(brute_force_topk(emb, queries16, k=10)))
 
+    run_registered()
+
     # --- flagship: north-star feature pipeline on the token table ---
     # Scale discipline: the heavy token-array payload is projected OUT
     # before the as-of shuffle — the feature pipeline computes on scalar
@@ -247,21 +264,22 @@ def main():
     feature_rows = n_docs
     timings["flagship_pipeline"] = round(flagship_sec, 3)
 
-    cpu_calib_sec = None
-    if flagship_only:
-        # per-session CPU calibration: a fixed pure-CPU hash-aggregate whose
-        # wall time reveals how much real CPU the host is granting this VM
-        # during THIS session (it varies ~6x between host-load windows; the
-        # scaling harness uses it to identify full-speed measurements).
-        # Rebuilt per run — re-collecting one DataFrame reuses shuffle maps.
-        def calib():
-            t0 = time.time()
-            spark.range(0, 1_000_000_000, 1, CPUS * 2).select(
-                F.sum(F.shiftright(F.xxhash64("id", F.lit(int(t0) % 97)), 32))
-            ).collect()
-            return time.time() - t0
-        calib()
-        cpu_calib_sec = round(min(calib(), calib()), 3)
+    # per-session CPU calibration (ALL modes): a fixed pure-CPU
+    # hash-aggregate whose wall time reveals how much real CPU the host is
+    # granting this VM during THIS session (it varies ~6x between host-load
+    # windows). Emitted next to the headline numbers so a run recorded
+    # inside a throttle episode is self-identifying — compare against the
+    # ~1.1-1.3 s full-speed floor noted in BENCH.md. Rebuilt per run —
+    # re-collecting one DataFrame reuses shuffle maps.
+    def calib():
+        t0 = time.time()
+        spark.range(0, 1_000_000_000, 1, CPUS * 2).select(
+            F.sum(F.shiftright(F.xxhash64("id", F.lit(int(t0) % 97)), 32))
+        ).collect()
+        return time.time() - t0
+
+    calib()
+    cpu_calib_sec = round(min(calib(), calib()), 3)
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -274,8 +292,7 @@ def main():
         "flagship_rows": feature_rows,
         "cpus": CPUS,
     }
-    if cpu_calib_sec is not None:
-        result["cpu_calib_sec"] = cpu_calib_sec
+    result["cpu_calib_sec"] = cpu_calib_sec
     print(json.dumps(result))
     spark.stop()
 

@@ -138,6 +138,11 @@ def fit_woe_job(args) -> None:
     os.makedirs(args.workdir, exist_ok=True)
     with open(os.path.join(args.workdir, "cut_points.json"), "w") as f:
         json.dump(cut_points, f, indent=2, allow_nan=False)
+    # full serving artifact alongside the cut-point digest: this is what
+    # the `drift` subcommand scores new slices against (and what
+    # FittedBins/GroupedBins.load_json serves lookups from)
+    model_path = os.path.join(args.workdir, "model.json")
+    (grouped if args.group_col else binner.model_).save_json(model_path)
 
     out_dir = os.path.join(args.workdir, "stage_transform")
     run_stage(
@@ -239,6 +244,83 @@ def dedup_job(args) -> None:
     print(run.save())
 
 
+def drift_job(args) -> None:
+    """Production drift monitoring: score a NEW parquet slice against a
+    SAVED binning artifact (``FittedBins``/``GroupedBins`` JSON from
+    ``fit-woe`` / ``save_json``) — per-bucket PSI terms written as an
+    idempotent checkpoint stage, with the total index and the
+    conventional stable/shifting/shifted reading in the stage manifest.
+    No refit, no training-data rescan: the artifact carries the training
+    bin counts."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from .operators.binning import FittedBins, GroupedBins
+    from .operators.drift import grouped_model_psi, model_psi
+
+    spark = _spark("mob-drift")
+    run = PipelineRun(root=args.workdir)
+    df = (
+        spark.read.parquet(args.input)
+        if "/" in args.input
+        else spark.read.table(args.input)
+    )
+    with open(args.model) as f:
+        payload = _json.load(f)
+    grouped = "models" in payload
+    if grouped:
+        artifact = GroupedBins.load_json(args.model)
+        build = lambda: grouped_model_psi(  # noqa: E731
+            artifact, df,
+            input_col=args.input_col, group_col=args.group_col,
+            smoothing=args.smoothing,
+        )
+    else:
+        artifact = FittedBins.from_dict(payload)
+        build = lambda: model_psi(  # noqa: E731
+            artifact, df,
+            input_col=args.input_col, smoothing=args.smoothing,
+        )
+
+    # the PSI frame is k·bins rows — computing the headline index up front
+    # (for the manifest) costs one tiny duplicate aggregate, not a rescan
+    # of the input worth checkpoint plumbing
+    if grouped:
+        totals = {
+            r[artifact.group_col]: float(r["psi"])
+            for r in build()
+            .groupBy(artifact.group_col)
+            .agg(F.sum("psi_term").alias("psi"))
+            .collect()
+        }
+        worst = max(totals.values()) if totals else 0.0
+    else:
+        row = build().agg(F.sum("psi_term").alias("psi")).first()
+        totals = {"_all": float(row["psi"] or 0.0)}
+        worst = totals["_all"]
+    status = (
+        "stable" if worst < 0.1 else
+        "shifting" if worst <= 0.25 else "shifted"
+    )
+
+    out_dir = os.path.join(args.workdir, "stage_drift")
+    run_stage(
+        spark, out_dir, "psi_drift", build,
+        inputs=[args.input, args.model],
+        params={"model": args.model, "smoothing": args.smoothing,
+                "input_col": args.input_col},
+        extra_metrics={
+            "psi": {k: round(v, 6) for k, v in totals.items()},
+            "psi_worst": round(worst, 6),
+            "status": status,
+        },
+    )
+    run.record(out_dir)
+    print(f"PSI {round(worst, 6)} ({status})")
+    print(run.save())
+
+
 def pack_job(args) -> None:
     """Sequence-packing pipeline stage: token counts -> distributed global
     prefix sum -> concat-then-chunk slices, written as an idempotent
@@ -313,6 +395,20 @@ def main(argv: Optional[list] = None) -> None:
                     help="reliable checkpoint path (HDFS/S3) for iterative "
                          "stages; default localCheckpoint")
     dd.set_defaults(func=dedup_job)
+
+    dr = sub.add_parser(
+        "drift", help="PSI drift of a new slice vs a saved bins artifact"
+    )
+    dr.add_argument("--input", required=True, help="parquet path or table id")
+    dr.add_argument("--model", required=True,
+                    help="FittedBins/GroupedBins JSON (save_json artifact)")
+    dr.add_argument("--workdir", required=True)
+    dr.add_argument("--input-col", default=None,
+                    help="column to score (default: the artifact's x)")
+    dr.add_argument("--group-col", default=None,
+                    help="group column override for GroupedBins artifacts")
+    dr.add_argument("--smoothing", type=float, default=0.5)
+    dr.set_defaults(func=drift_job)
 
     pk = sub.add_parser("pack", help="concat-then-chunk sequence packing")
     pk.add_argument("--input", required=True, help="parquet path or table id")

@@ -87,17 +87,31 @@ def psi(
     )
 
 
-def binner_psi(
-    binner,
+def _train_counts(model) -> list:
+    """(bucket, count) rows for the FITTED bins of a FittedBins artifact —
+    the Missing/Excluded summary rows are out of scope (see
+    :func:`model_psi`)."""
+    s = model.summary_df
+    mask = ~s["bucket"].astype(str).str.contains("Missing|Excluded")
+    return [
+        (str(b), int(n))
+        for b, n in zip(s.loc[mask, "bucket"], s.loc[mask, "count"])
+    ]
+
+
+def model_psi(
+    model,
     actual: DataFrame,
     *,
     input_col: Optional[str] = None,
     smoothing: float = 0.5,
 ) -> DataFrame:
-    """PSI of a NEW sample against a fitted binner's training
-    distribution: the fit's per-bin counts are already on the driver
-    (summary table, k rows — broadcast), so only the actual frame is
-    scanned (transform + one aggregate).
+    """PSI of a NEW sample against a SAVED ``FittedBins`` artifact — the
+    production monitoring loop: fit once, ``save_json``, then score every
+    fresh slice against the artifact without refitting or rescanning the
+    training data (the artifact's summary table already carries the
+    training bin counts; k rows, broadcast). Only the actual frame is
+    scanned: one Arrow-vectorized interval lookup + one aggregate.
 
     Both sides compare the FITTED bins only: the training side excludes
     the Missing/Excluded summary rows, so the actual side's
@@ -106,17 +120,17 @@ def binner_psi(
     read as drifted (deflated pct_actual in every real bin plus a phantom
     Missing bin). Monitor null-rate drift separately if it matters.
     """
-    s = binner.summary_()
-    mask = ~s["bucket"].astype(str).str.contains("Missing|Excluded")
-    train = [
-        (str(b), int(n))
-        for b, n in zip(s.loc[mask, "bucket"], s.loc[mask, "count"])
-    ]
     spark = actual.sparkSession
-    e = spark.createDataFrame(train, "bucket string, n_expected long")
-    labeled = binner.transform(
-        actual, assign="interval",
-        input_col=input_col or binner.x, output_col="__bucket",
+    e = spark.createDataFrame(
+        _train_counts(model), "bucket string, n_expected long"
+    )
+
+    @F.pandas_udf("string")
+    def _interval(values):
+        return model.assign_batch(values, "interval")
+
+    labeled = actual.withColumn(
+        "__bucket", _interval(F.col(input_col or model.x))
     ).filter(
         F.col("__bucket").isNotNull()
         & ~F.col("__bucket").rlike("Missing|Excluded")
@@ -125,3 +139,96 @@ def binner_psi(
         F.count(F.lit(1)).alias("n_actual")
     )
     return _psi_from_counts(F.broadcast(e), a, smoothing)
+
+
+def binner_psi(
+    binner,
+    actual: DataFrame,
+    *,
+    input_col: Optional[str] = None,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """PSI of a NEW sample against a fitted binner's training
+    distribution — :func:`model_psi` on the binner's in-memory model."""
+    return model_psi(
+        binner._model(), actual,
+        input_col=input_col or binner.x, smoothing=smoothing,
+    )
+
+
+def grouped_model_psi(
+    grouped,
+    actual: DataFrame,
+    *,
+    input_col: Optional[str] = None,
+    group_col: Optional[str] = None,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Per-group PSI of a new sample against a saved ``GroupedBins``
+    artifact: one vectorized per-group interval lookup over the actual
+    frame, one (group, bucket) aggregate, and the artifact's training
+    counts broadcast — totals are PER GROUP (each group is its own
+    distribution; pooling them would let a mix shift masquerade as
+    within-group drift). Rows whose group has no model are excluded
+    (their lookup yields null). Output adds ``group_col`` in front of
+    the :func:`psi` columns; ``sum(psi_term) GROUP BY group`` is each
+    group's index.
+    """
+    group_col = group_col or grouped.group_col
+    input_col = input_col or grouped.x
+    rows = [
+        (str(g), b, n)
+        for g, m in sorted(grouped.items(), key=lambda kv: str(kv[0]))
+        for b, n in _train_counts(m)
+    ]
+    spark = actual.sparkSession
+    e = spark.createDataFrame(
+        rows, f"`{group_col}` string, __be string, n_expected long"
+    )
+    labeled = grouped.transform(
+        actual, assign="interval",
+        input_col=input_col, group_col=group_col, output_col="__bucket",
+    ).filter(
+        F.col("__bucket").isNotNull()
+        & ~F.col("__bucket").rlike("Missing|Excluded")
+    )
+    a = labeled.groupBy(
+        F.col(group_col).cast("string").alias(group_col),
+        F.col("__bucket").alias("__ba"),
+    ).agg(F.count(F.lit(1)).alias("n_actual"))
+    j = (
+        e.withColumnRenamed(group_col, "__ge")
+        .join(
+            a.withColumnRenamed(group_col, "__ga"),
+            on=(F.col("__ge") == F.col("__ga"))
+            & F.col("__be").eqNullSafe(F.col("__ba")),
+            how="full_outer",
+        )
+        .select(
+            F.coalesce("__ge", "__ga").alias(group_col),
+            F.coalesce("__be", "__ba").alias("bucket"),
+            F.coalesce("n_expected", F.lit(0)).alias("n_expected"),
+            F.coalesce("n_actual", F.lit(0)).alias("n_actual"),
+        )
+    )
+    tot = j.groupBy(group_col).agg(
+        F.sum("n_expected").alias("te"),
+        F.sum("n_actual").alias("ta"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    j = j.join(F.broadcast(tot), on=group_col)
+    pe = (F.col("n_expected") + smoothing) / (
+        F.col("te") + smoothing * F.col("k")
+    )
+    pa = (F.col("n_actual") + smoothing) / (
+        F.col("ta") + smoothing * F.col("k")
+    )
+    return j.select(
+        group_col,
+        "bucket",
+        "n_expected",
+        "n_actual",
+        pe.alias("pct_expected"),
+        pa.alias("pct_actual"),
+        ((pa - pe) * F.log(pa / pe)).alias("psi_term"),
+    )

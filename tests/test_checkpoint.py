@@ -149,3 +149,54 @@ def test_pack_job_end_to_end(spark, tmp_path):
         F.sum("n_tok_slice").alias("s")).orderBy("chunk_id").collect()
     # 650 tokens -> 6 full chunks of 100 + one 50-token tail
     assert [r["s"] for r in per_chunk] == [100] * 6 + [50]
+
+
+def test_drift_job_end_to_end(spark, tmp_path):
+    """fit -> save_json artifact -> score a new slice with the drift job:
+    manifest carries the PSI index + status, resume skips the stage, and
+    a shifted slice flips the status."""
+    import numpy as np
+    import pandas as pd
+
+    from monotonic_optimal_binning_spark import (
+        BinningConstraints,
+        SparkMonotonicBinner,
+    )
+    from monotonic_optimal_binning_spark.jobs import main
+
+    df = spark.range(20_000).select(
+        (F.col("id") % 40).cast("double").alias("x"),
+        (F.pmod(F.xxhash64("id"), 100) < F.col("id") % 40 + 20)
+        .cast("int").alias("y"),
+    )
+    b = SparkMonotonicBinner(
+        "x", "y", constraints=BinningConstraints(max_bins=5, min_bins=3)
+    ).fit(df)
+    model = str(tmp_path / "model.json")
+    b.model_.save_json(model)
+
+    same = str(tmp_path / "same.parquet")
+    df.write.parquet(same)
+    wd = str(tmp_path / "drift_same")
+    main(["drift", "--input", same, "--model", model, "--workdir", wd])
+    m = load_manifest(os.path.join(wd, "stage_drift"))
+    assert m.extra_metrics["status"] == "stable"
+    assert abs(m.extra_metrics["psi_worst"]) < 1e-6
+    # per-bucket terms landed as the stage output
+    out = spark.read.parquet(os.path.join(wd, "stage_drift", "data"))
+    assert out.count() == len(b.bins_())
+
+    # resume: identical invocation must not recompute (manifest survives)
+    before = m.completed_at_unix
+    main(["drift", "--input", same, "--model", model, "--workdir", wd])
+    assert load_manifest(
+        os.path.join(wd, "stage_drift")).completed_at_unix == before
+
+    # a genuinely shifted slice alerts
+    shifted = str(tmp_path / "shifted.parquet")
+    df.filter(F.col("x") < 10).write.parquet(shifted)
+    wd2 = str(tmp_path / "drift_shifted")
+    main(["drift", "--input", shifted, "--model", model, "--workdir", wd2])
+    m2 = load_manifest(os.path.join(wd2, "stage_drift"))
+    assert m2.extra_metrics["status"] == "shifted"
+    assert m2.extra_metrics["psi_worst"] > 0.25

@@ -72,3 +72,58 @@ def test_binner_psi_nulls_dont_fake_drift(spark):
     out = binner_psi(b, with_nulls).toPandas()
     assert abs(out["psi_term"].sum()) < 0.01
     assert not out["bucket"].astype(str).str.contains("Missing").any()
+
+
+def test_model_psi_round_trips_saved_artifact(spark, tmp_path):
+    """model_psi on a load_json'd artifact must equal binner_psi on the
+    live binner (the production monitoring path never refits)."""
+    from monotonic_optimal_binning_spark.operators.binning import FittedBins
+    from monotonic_optimal_binning_spark.operators.drift import model_psi
+
+    df = spark.range(25_000).select(
+        (F.col("id") % 35).cast("double").alias("x"),
+        (F.pmod(F.xxhash64("id"), 100) < 45).cast("int").alias("y"),
+    )
+    b = SparkMonotonicBinner(
+        "x", "y", constraints=BinningConstraints(max_bins=5, min_bins=3)
+    ).fit(df)
+    path = str(tmp_path / "m.json")
+    b.model_.save_json(path)
+    loaded = FittedBins.load_json(path)
+    shifted = df.filter(F.col("x") >= 12)
+    live = binner_psi(b, shifted).toPandas().sort_values("bucket")
+    saved = model_psi(loaded, shifted).toPandas().sort_values("bucket")
+    np.testing.assert_allclose(
+        live["psi_term"].to_numpy(), saved["psi_term"].to_numpy(), rtol=1e-12
+    )
+
+
+def test_grouped_model_psi_totals_are_per_group(spark):
+    """Each group is its own distribution: a group whose within-group
+    distribution is unchanged must score ~0 even when the OTHER group
+    shrinks (a pooled-total implementation would smear the mix shift
+    across both groups)."""
+    from monotonic_optimal_binning_spark import fit_binners_per_group
+    from monotonic_optimal_binning_spark.operators.drift import (
+        grouped_model_psi,
+    )
+
+    df = spark.range(40_000).select(
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("g"),
+        (F.col("id") % 30).cast("double").alias("x"),
+        (F.pmod(F.xxhash64("id"), 100) < F.col("id") % 30 + 20)
+        .cast("int").alias("y"),
+    )
+    grouped = fit_binners_per_group(
+        df, "g", "x", "y",
+        constraints=BinningConstraints(max_bins=4, min_bins=2),
+    )
+    # keep group a intact, drop 90% of group b uniformly-in-x (hash of id
+    # is independent of x, so b's within-group shape is preserved too)
+    actual = df.filter(
+        (F.col("g") == "a") | (F.pmod(F.xxhash64("id"), 10) == 0)
+    )
+    out = grouped_model_psi(grouped, actual).toPandas()
+    per_group = out.groupby("g")["psi_term"].sum()
+    assert abs(per_group["a"]) < 0.01
+    assert abs(per_group["b"]) < 0.05  # shape preserved despite 10x shrink
