@@ -67,6 +67,7 @@ def streaming_exact_dedup(
     *,
     shards: int = 256,
     output_mode: str = "append",
+    ttl_seconds: float | None = None,
 ) -> DataFrame:
     """Streaming exact dedup: drop rows whose content was already seen in
     any earlier micro-batch (custom stateful operator via
@@ -80,10 +81,24 @@ def streaming_exact_dedup(
     FIRST arrival of a fingerprint survives (streaming arrival order; batch
     :func:`operators.dedup.exact_dedup` is the deterministic-winner analog).
 
-    State grows with the number of distinct fingerprints; at corpus scale
-    bound it by sharding more and/or a TTL policy upstream (state timeout
-    deliberately not enabled here — dedup state must not silently expire).
+    State hygiene: by default (``ttl_seconds=None``) the seen-set grows
+    with the number of distinct fingerprints forever — exact dedup state
+    must not silently expire. For unbounded corpus-scale streams pass
+    ``ttl_seconds`` to bound it: a fingerprint not sighted (emitted OR
+    dropped — re-sightings refresh recency, a sliding TTL) for that long
+    is forgotten, so its next arrival passes again. Eviction is two-level:
+    expired ENTRIES are pruned whenever their shard processes a batch, and
+    fully idle SHARDS are evicted by the engine's processing-time timeout.
+
+    Trigger caveat: with ``ttl_seconds`` set, run the query with a
+    continuous trigger (``processingTime=...``) — processing-time
+    timeouts never let an ``availableNow``/``once`` query conclude on
+    current Spark (4.1.x) builds (observed: termination hangs with the
+    timeout conf enabled even when no timeout is armed). TTL semantics
+    are wall-clock anyway, which only a continuous trigger honors.
     """
+    import time as _time
+
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -105,12 +120,49 @@ def streaming_exact_dedup(
                 yield new
         state.update((sorted(seen),))
 
+    def _dedup_ttl(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        now = _time.time()
+        seen = {}
+        if state.exists:
+            vals = state.get
+            seen = {
+                int(f): float(t)
+                for f, t in zip(vals[0], vals[1])
+                if t > now - ttl_seconds
+            }
+        for pdf in pdf_iter:
+            keep = (~pdf["__fp"].isin(list(seen))) & (
+                ~pdf["__fp"].duplicated(keep="first")
+            )
+            new = pdf[keep]
+            for v in pdf["__fp"]:
+                seen[int(v)] = now
+            if len(new):
+                yield new
+        fps = sorted(seen)
+        state.update((fps, [seen[f] for f in fps]))
+        state.setTimeoutDuration(int(ttl_seconds * 1000))
+
+    if ttl_seconds is None:
+        fn, st_schema, conf = (
+            _dedup, "seen array<bigint>", GroupStateTimeout.NoTimeout
+        )
+    else:
+        fn, st_schema, conf = (
+            _dedup_ttl,
+            "seen array<bigint>, last array<double>",
+            GroupStateTimeout.ProcessingTimeTimeout,
+        )
+
     out = ev.groupBy("__shard").applyInPandasWithState(
-        _dedup,
+        fn,
         outputStructType=out_schema,
-        stateStructType="seen array<bigint>",
+        stateStructType=st_schema,
         outputMode=output_mode,
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=conf,
     )
     return out.drop("__fp", "__shard")
 
@@ -125,6 +177,7 @@ def streaming_asof_enrich(
     right_prefix: str = "",
     output_mode: str = "append",
     reorder_within: float | None = None,
+    state_ttl_seconds: float | None = None,
 ) -> DataFrame:
     """Streaming point-in-time enrichment: each left event gets the most
     recent right-side values AT OR BEFORE its timestamp (backward as-of,
@@ -161,6 +214,16 @@ def streaming_asof_enrich(
     end-of-stream flush (a bounded replay that simply stops withholds the
     final window; append a sentinel event past the bound per key to force
     the flush).
+
+    ``state_ttl_seconds`` (optional) bounds total state for streams whose
+    key universe grows forever (doc ids, session ids): a key with no
+    arrivals on either side for that long has its carried as-of state
+    (and any reorder buffer) evicted by the engine's processing-time
+    timeout — a left row for the key arriving after eviction is enriched
+    with null, exactly as if the key were new. Default ``None`` keeps
+    state forever (the zero-forgetting contract). Same trigger caveat as
+    :func:`streaming_exact_dedup`: use a continuous trigger with TTL
+    (``availableNow`` hangs with the timeout conf on Spark 4.1.x).
 
     ``value_cols`` are carried as doubles in state (fixed state schema).
     Output: left rows + prefixed value columns.
@@ -283,7 +346,14 @@ def streaming_asof_enrich(
             return tuple(p.asDict().get(f) for f in left_fields)
         return tuple(p)
 
+    def _arm_ttl(state: GroupState):
+        if state_ttl_seconds is not None:
+            state.setTimeoutDuration(int(state_ttl_seconds * 1000))
+
     def _enrich(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
         cur = list(state.get) if state.exists else [None] * (1 + n_vals)
         # concatenate the key's WHOLE micro-batch before sorting: pdf_iter
         # yields Arrow-batch-sized chunks, and sorting each chunk alone
@@ -299,6 +369,7 @@ def streaming_asof_enrich(
             if out is not None and len(out):
                 yield out
         state.update(tuple(cur))
+        _arm_ttl(state)
 
     buf_cols = ["__ts", "__side", "__payload"] + [
         f"__v{i}" for i in range(n_vals)
@@ -335,6 +406,9 @@ def streaming_asof_enrich(
         }
 
     def _enrich_reorder(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
         cur = [None] * (1 + n_vals)
         buf_rows = []
         if state.exists:
@@ -354,10 +428,12 @@ def streaming_asof_enrich(
         frames += [pdf[buf_cols] for pdf in pdf_iter]
         if not frames:
             state.update(tuple(cur) + ([],))
+            _arm_ttl(state)
             return
         allrows = pd.concat(frames, ignore_index=True)
         if not len(allrows):
             state.update(tuple(cur) + ([],))
+            _arm_ttl(state)
             return
         # frontier watermark: only rows more than reorder_within behind the
         # newest event are processed — disorder inside the bound is fully
@@ -388,6 +464,7 @@ def streaming_asof_enrich(
             for r in pending.itertuples(index=False, name=None)
         ]
         state.update(tuple(cur) + (new_buf,))
+        _arm_ttl(state)
 
     if reorder_within is None:
         fn, st_schema = _enrich, state_schema
@@ -422,7 +499,11 @@ def streaming_asof_enrich(
         outputStructType=out_schema,
         stateStructType=st_schema,
         outputMode=output_mode,
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if state_ttl_seconds is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )
     return out
 

@@ -367,3 +367,156 @@ def test_stateless_textstats_work_under_streaming(spark, tmp_path):
     assert got.loc[2, "n_email"] == 1
     assert "<EMAIL>" in got.loc[2, "text_scrubbed"]
     assert got.loc[1, "n_tokens"] == 8
+
+
+def _poll(read, pred, seconds=60):
+    """Poll a continuous-trigger query's file-sink output until pred(df)
+    (wall-clock-driven TTL tests can't use availableNow: processing-time
+    timeouts hang availableNow termination on this Spark build — see the
+    operator docstrings)."""
+    import time
+
+    deadline = time.time() + seconds
+    while time.time() < deadline:
+        try:
+            pdf = read()
+        except Exception:
+            pdf = None
+        if pdf is not None and pred(pdf):
+            return pdf
+        time.sleep(0.5)
+    raise AssertionError("condition not reached within %ss" % seconds)
+
+
+def test_streaming_dedup_ttl_forgets_idle_fingerprints(spark, tmp_path):
+    """ttl_seconds bounds dedup state: a fingerprint not sighted for the
+    TTL is forgotten, so its next arrival passes again."""
+    import time
+
+    from monotonic_optimal_binning_spark.streaming.sessions import (
+        streaming_exact_dedup,
+    )
+
+    src = str(tmp_path / "docs")
+    cp, outdir = str(tmp_path / "cp"), str(tmp_path / "out")
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["alpha"]})
+    ).coalesce(1).write.parquet(src + "/f1")
+    schema = spark.read.parquet(src + "/f1").schema
+    stream = spark.readStream.schema(schema).parquet(src + "/*")
+    out = streaming_exact_dedup(stream, ["text"], shards=4, ttl_seconds=1.0)
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        read = lambda: spark.read.parquet(outdir).toPandas()  # noqa: E731
+        _poll(read, lambda pdf: len(pdf) >= 1)
+        time.sleep(3.0)  # > ttl: the alpha fingerprint must expire
+        spark.createDataFrame(
+            pd.DataFrame({"doc_id": [2], "text": ["alpha"]})
+        ).coalesce(1).write.parquet(src + "/f2")
+        got = _poll(read, lambda pdf: len(pdf) >= 2)
+        # the duplicate passes again: state for 'alpha' expired
+        assert sorted(got["doc_id"].tolist()) == [1, 2]
+    finally:
+        q.stop()
+
+
+def test_streaming_dedup_no_ttl_never_forgets(spark, tmp_path):
+    """Control for the TTL case: without ttl_seconds the same wall-clock
+    gap must NOT resurrect a seen fingerprint."""
+    import time
+
+    from monotonic_optimal_binning_spark.streaming.sessions import (
+        streaming_exact_dedup,
+    )
+
+    src = str(tmp_path / "docs")
+    cp, outdir = str(tmp_path / "cp"), str(tmp_path / "out")
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["alpha"]})
+    ).coalesce(1).write.parquet(src + "/f1")
+    schema = spark.read.parquet(src + "/f1").schema
+    stream = spark.readStream.schema(schema).parquet(src + "/*")
+    out = streaming_exact_dedup(stream, ["text"], shards=4)
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        read = lambda: spark.read.parquet(outdir).toPandas()  # noqa: E731
+        _poll(read, lambda pdf: len(pdf) >= 1)
+        time.sleep(3.0)
+        spark.createDataFrame(
+            pd.DataFrame({"doc_id": [2], "text": ["alpha"]})
+        ).coalesce(1).write.parquet(src + "/f2")
+        time.sleep(6.0)  # several trigger intervals to process f2
+        got = read()
+        assert got["doc_id"].tolist() == [1]  # duplicate stays dropped
+    finally:
+        q.stop()
+
+
+def test_streaming_asof_state_ttl_evicts_idle_key(spark, tmp_path):
+    """state_ttl_seconds evicts the carried as-of state of a key idle for
+    the TTL: a later left row for that key is enriched with null, exactly
+    as if the key were new. The middle write carries data for a DIFFERENT
+    key only — its batch is what fires the idle key's timeout."""
+    import time
+
+    from monotonic_optimal_binning_spark.streaming.sessions import (
+        streaming_asof_enrich,
+    )
+
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    cp, outdir = str(tmp_path / "cp"), str(tmp_path / "out")
+    lschema = "k long, ts double, eid long"
+    rschema = "k long, ts double, val double"
+
+    def write(side, name, pdf):
+        spark.createDataFrame(
+            pdf, lschema if side == "l" else rschema
+        ).coalesce(1).write.parquet((lsrc if side == "l" else rsrc) + name)
+
+    write("r", "/b1", pd.DataFrame({"k": [1], "ts": [10.0], "val": [5.0]}))
+    write("l", "/b1", pd.DataFrame({"k": [1], "ts": [11.0], "eid": [100]}))
+
+    ls = spark.readStream.schema(lschema).parquet(lsrc + "/*")
+    rs = spark.readStream.schema(rschema).parquet(rsrc + "/*")
+    out = streaming_asof_enrich(
+        ls, rs, on="k", ts="ts", value_cols=["val"],
+        right_prefix="last_", state_ttl_seconds=1.0,
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        read = lambda: spark.read.parquet(outdir).toPandas()  # noqa: E731
+        r1 = _poll(read, lambda pdf: (pdf["eid"] == 100).any())
+        assert r1.loc[r1["eid"] == 100, "last_val"].tolist() == [5.0]
+
+        time.sleep(3.0)  # > ttl: k=1 is now idle past its timeout
+        # a batch with only k=2 data fires k=1's processing-time timeout
+        write("l", "/b2", pd.DataFrame({"k": [2], "ts": [11.0], "eid": [200]}))
+        _poll(read, lambda pdf: (pdf["eid"] == 200).any())
+
+        # k=1 returns after eviction: null, not the stale 5.0
+        write("l", "/b3", pd.DataFrame({"k": [1], "ts": [12.0], "eid": [300]}))
+        r3 = _poll(read, lambda pdf: (pdf["eid"] == 300).any())
+        assert r3.loc[r3["eid"] == 300, "last_val"].isna().all()
+    finally:
+        q.stop()
