@@ -50,7 +50,11 @@ def exact_dedup(
     Same-content rows always collide (the digest is a pure function of
     content); distinct-content rows merging requires a SIMULTANEOUS
     xxhash64 AND md5 collision (~2^-192 per pair — birthday-safe at any
-    corpus size). A window row_number picks the winner in ONE shuffle of
+    corpus size; the md5 leg encodes timestamps at microsecond precision
+    and normalizes float ±0.0, matching the grouping semantics of the
+    raw-column groupBy it replaces — float fields NESTED inside
+    struct-typed content columns keep JSON text semantics, where -0.0 is
+    distinct). A window row_number picks the winner in ONE shuffle of
     df. A pathologically hot content value serializes into one window task.
 
     ``"agg"`` (skew/heavy-duplication path): winner ids via
@@ -67,23 +71,40 @@ def exact_dedup(
         raise ValueError("keep must be 'min' or 'max'")
     if strategy not in ("window", "agg"):
         raise ValueError("strategy must be 'window' or 'agg'")
-    h = F.xxhash64(*[F.col(c) for c in content_cols])
+    dtypes = dict(df.dtypes)
+
+    def _norm(c):
+        # SQL grouping treats -0.0 and 0.0 as equal; the string/JSON digest
+        # would split them into two groups — normalize to +0.0 first
+        # (a null/NaN condition falls through to the raw column)
+        col = F.col(c)
+        if dtypes.get(c) in ("float", "double"):
+            return F.when(col == 0, F.lit(0.0).cast(dtypes[c])).otherwise(col)
+        return col
+
+    # both digest legs normalize: the grouping key is the PAIR (h, h2)
+    h = F.xxhash64(*[_norm(c) for c in content_cols])
     if len(content_cols) == 1:
         # single column: hash it directly — no JSON encoding cost (null ->
         # md5(null) = null, which still groups nulls together); string and
         # binary feed md5 as-is (a binary->string cast would be lossy)
         c0 = content_cols[0]
-        dt = dict(df.dtypes).get(c0, "")
-        base = F.col(c0) if dt in ("string", "binary") else F.col(c0).cast("string")
+        dt = dtypes.get(c0, "")
+        base = F.col(c0) if dt in ("string", "binary") else _norm(c0).cast("string")
         h2 = F.md5(base)
     else:
         # md5 over to_json(struct) is an unambiguous multi-column encoding
         # (ignoreNullFields=false keeps null vs absent distinct); concat_ws
-        # would alias ("a\x00b") with ("a","b")
+        # would alias ("a\x00b") with ("a","b"). timestampFormat keeps
+        # MICROSECONDS — the default truncates to millis, which would merge
+        # microsecond-differing timestamps into one digest
         h2 = F.md5(
             F.to_json(
-                F.struct(*[F.col(c) for c in content_cols]),
-                {"ignoreNullFields": "false"},
+                F.struct(*[_norm(c) for c in content_cols]),
+                {
+                    "ignoreNullFields": "false",
+                    "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+                },
             )
         )
     if strategy == "agg":
@@ -352,8 +373,22 @@ def release_lsh_caches(result: DataFrame) -> None:
     """Unpersist the intermediate caches a lazy (``materialize=False``)
     :func:`minhash_lsh_candidates` / :func:`embedding_neardup_pairs` result
     pinned. Call AFTER the last action on ``result`` — the plan references
-    the caches, so releasing early just recomputes them."""
-    for cached in getattr(result, "_mob_pinned_caches", []):
+    the caches, so releasing early just recomputes them.
+
+    Must be called on the ORIGINAL returned handle: any downstream
+    transformation (``.filter``/``.select``) is a NEW DataFrame without
+    the cache registry, and silently accepting it would leak both pinned
+    caches for the session — so a handle with no registry raises.
+    """
+    pinned = getattr(result, "_mob_pinned_caches", None)
+    if pinned is None:
+        raise ValueError(
+            "release_lsh_caches must be called on the DataFrame returned "
+            "by the candidate generator itself (derived DataFrames do not "
+            "carry the cache registry); keep the original handle, or use "
+            "materialize=True which releases the caches before returning"
+        )
+    for cached in pinned:
         cached.unpersist()
 
 

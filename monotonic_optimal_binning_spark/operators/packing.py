@@ -44,6 +44,13 @@ def global_prefix_sum(
     and therefore the prefix, ill-defined) without a single-task global
     window. Adds ``out_col``; see the module docstring for the plan shape.
 
+    ``df`` must be DETERMINISTIC across actions (no unseeded ``sample()``/
+    ``rand()`` upstream): the quantile probe, the window pass, and the
+    bucket-totals aggregate each re-scan it, and a frame that changes
+    between scans would silently corrupt every broadcast offset — the
+    same rationale as the deterministic range buckets below. Cache or
+    checkpoint a non-deterministic input first.
+
     Exactness note: the quantile pass only places BUCKET BOUNDARIES — the
     prefix values themselves are exact integer sums regardless of how
     balanced the buckets are.
@@ -121,9 +128,10 @@ def pack_sequences(
     plus ``tokens_slice`` (the actual token sub-array) when ``tokens_col``
     is given. Zero-token documents produce no slice; ``n_tok`` must be
     non-negative (negative counts would corrupt every downstream offset —
-    validate upstream, a lazy plan cannot check it for free). Chunk
-    arithmetic is exact integer ``div`` on BIGINT global offsets — no
-    double rounding at any corpus size.
+    validate upstream, a lazy plan cannot check it for free). The input
+    must be deterministic across actions (:func:`global_prefix_sum`
+    re-scans it; see there). Chunk arithmetic is exact integer ``div`` on
+    BIGINT global offsets — no double rounding at any corpus size.
     """
     if budget <= 0:
         raise ValueError("budget must be positive")

@@ -21,6 +21,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 MANIFEST_NAME = "_MANIFEST.json"
 
+# last checkpoint dir set through truncate_lineage (the SparkContext
+# setting is context-global and reports a UUID-suffixed path, so this
+# mirror is what change-detection compares against)
+_last_checkpoint_dir: Optional[str] = None
+
 
 @dataclass
 class StageManifest:
@@ -116,11 +121,26 @@ def truncate_lineage(
     ``checkpoint()``, which survives executor loss at the cost of a
     distributed write. Iterative callers (connected components, the LSH
     candidate generators) expose this as a ``checkpoint_dir`` knob.
+
+    The checkpoint dir is CONTEXT-GLOBAL SparkContext state — it is only
+    (re)set when it differs from the current value, and two interleaved
+    callers passing different dirs will still redirect each other's
+    subsequent reliable checkpoints (Spark offers no per-plan dir);
+    standardize on one dir per application.
     """
     if checkpoint_dir is None:
         return df.localCheckpoint(eager=eager)
     sc = df.sparkSession.sparkContext
-    sc.setCheckpointDir(checkpoint_dir)
+    # the context reports the dir with a per-set UUID child appended, so
+    # it can't be compared to the caller's path directly; mirror the last
+    # value WE set and only re-set on change (or if unset externally)
+    global _last_checkpoint_dir
+    if (
+        _last_checkpoint_dir != checkpoint_dir
+        or not sc._jsc.sc().getCheckpointDir().isDefined()
+    ):
+        sc.setCheckpointDir(checkpoint_dir)
+        _last_checkpoint_dir = checkpoint_dir
     return df.checkpoint(eager=eager)
 
 

@@ -333,3 +333,61 @@ def test_ngram_containment_detects_excerpts(spark):
     assert (row["id_a"], row["id_b"]) == (1, 2)
     assert max(row["containment_a"], row["containment_b"]) == 1.0
     assert row["jaccard"] < 0.5
+
+
+def test_exact_dedup_digest_float_zero_and_timestamp_micros(spark):
+    """Digest-key semantics must match the raw-column groupBy it replaced:
+    -0.0 and 0.0 share one group (SQL grouping normalizes signed zero),
+    while timestamps differing only in MICROSECONDS stay distinct (the
+    default to_json format truncates to millis)."""
+    import datetime
+
+    import pandas as pd
+
+    from monotonic_optimal_binning_spark.operators.dedup import exact_dedup
+
+    zdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "v": [0.0, -0.0, 1.0]})
+    )
+    for strategy in ("window", "agg"):
+        out = exact_dedup(zdf, ["v"], "doc_id", strategy=strategy)
+        assert sorted(r["doc_id"] for r in out.collect()) == [1, 3], strategy
+    # multi-column path normalizes signed zero too
+    z2 = zdf.withColumn("tag", F.lit("x"))
+    out = exact_dedup(z2, ["v", "tag"], "doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
+
+    t0 = datetime.datetime(2026, 1, 1, 0, 0, 0, 100000)
+    t1 = datetime.datetime(2026, 1, 1, 0, 0, 0, 100001)  # +1 microsecond
+    tdf = spark.createDataFrame(
+        [(1, t0, "a"), (2, t1, "a")], "doc_id long, ts timestamp, tag string"
+    )
+    out = exact_dedup(tdf, ["ts", "tag"], "doc_id")
+    assert out.count() == 2  # microsecond difference is a real difference
+
+
+def test_release_lsh_caches_rejects_derived_handle(spark):
+    """Calling release on a derived DataFrame (which lacks the cache
+    registry) must raise instead of silently leaking both pinned caches."""
+    import pandas as pd
+    import pytest
+
+    from monotonic_optimal_binning_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        release_lsh_caches,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": range(20),
+             "text": [f"some words here number {i}" for i in range(20)]}
+        )
+    )
+    out = minhash_lsh_candidates(
+        docs, "text", "doc_id", num_hashes=8, n_bands=2,
+        shingle_size=2, shingle_unit="word",
+    )
+    derived = out.filter(F.col("jaccard") > 0.5)
+    with pytest.raises(ValueError, match="original handle"):
+        release_lsh_caches(derived)
+    release_lsh_caches(out)  # the real handle still releases fine
