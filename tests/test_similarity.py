@@ -195,3 +195,43 @@ def test_ivf_topk_tolerates_null_vectors(spark):
     # null query produces no rows; null corpus vectors never appear
     assert set(out["query_id"]) == {0}
     assert len(out) == 3
+
+
+def test_ivf_topk_production_cell_count_smoke(spark):
+    """n_cells=1024 (production-scale coarse quantizer): routing is a
+    broadcast centroid matmul per Arrow batch — flat in n_cells — so a
+    big codebook must just work and still return exact-format results.
+    KMeans caps at the distinct-vector count, so feed > 1024 corpus rows."""
+    import time
+
+    from monotonic_optimal_binning_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(17)
+    n, dim = 3000, 16
+    vecs = rng.normal(size=(n, dim)).astype("float32")
+    pdf = pd.DataFrame(
+        {"vec_id": range(n), "embedding": [v.tolist() for v in vecs]}
+    )
+    corpus = spark.createDataFrame(pdf)
+    queries = spark.createDataFrame(
+        pdf.head(5).rename(columns={"vec_id": "query_id"})
+    )
+    t0 = time.time()
+    out = ivf_topk(
+        corpus, queries, k=3, n_cells=1024, n_probe=8,
+        train_fraction=0.5,
+    ).toPandas()
+    wall = time.time() - t0
+    # 5 queries x 3 ranks (self-pairs are excluded by the operator)
+    assert len(out) == 15
+    assert sorted(out["rank"].tolist()) == sorted([1, 2, 3] * 5)
+    assert (out["neighbor_id"] != out["query_id"]).all()
+    assert out["cosine"].between(-1.0 - 1e-9, 1.0 + 1e-9).all()
+    # ranks are ordered by descending cosine within each query
+    for _, g in out.groupby("query_id"):
+        cs = g.sort_values("rank")["cosine"].to_numpy()
+        assert (np.diff(cs) <= 1e-12).all()
+    # flat-in-n_cells routing: generous bound that still catches a return
+    # to the literal-expression-tree formulation (which grew superlinearly
+    # and took minutes at this codebook size)
+    assert wall < 120, wall
