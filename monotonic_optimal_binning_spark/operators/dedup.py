@@ -330,10 +330,10 @@ def minhash_lsh_candidates(
 
     # shingles for the exact verify: restrict to candidate ids FIRST (semi
     # join), so the expensive shingle expression only evaluates for the few
-    # rows that made it out of LSH
+    # rows that made it out of LSH; explode reads the cached pair set ONCE
+    # (the union-of-two-projections formulation scanned it twice)
     cand_ids = (
-        pairs.select(F.col("id_a").alias("id"))
-        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        pairs.select(F.explode(F.array("id_a", "id_b")).alias("id"))
         .distinct()
     )
     sh = (
