@@ -268,8 +268,10 @@ def main():
     # hash-aggregate whose wall time reveals how much real CPU the host is
     # granting this VM during THIS session (it varies ~6x between host-load
     # windows). Emitted next to the headline numbers so a run recorded
-    # inside a throttle episode is self-identifying — compare against the
-    # ~1.1-1.3 s full-speed floor noted in BENCH.md. Rebuilt per run —
+    # inside a throttle episode is self-identifying — measured full-speed
+    # range is ~0.3-0.7 s at local[32] (BENCH.md: 0.62 s at local[8],
+    # 2.1 s at local[2]); a local[32] value above ~2 s means the session
+    # was throttled and the headline is inflated. Rebuilt per run —
     # re-collecting one DataFrame reuses shuffle maps.
     def calib():
         t0 = time.time()

@@ -219,6 +219,82 @@ def sample_to_token_budget(
     )
 
 
+def source_token_counts(
+    df: DataFrame, group_col: str, n_tok_col: str
+) -> Dict[str, int]:
+    """Available tokens per source — ONE map-side-combinable aggregate,
+    k rows to the driver. The input :func:`temperature_mixture_budgets`
+    needs; null token counts are ignored (they can't be sampled)."""
+    rows = (
+        df.groupBy(F.col(group_col).cast("string").alias("g"))
+        .agg(F.sum(F.col(n_tok_col)).alias("n"))
+        .collect()
+    )
+    return {r["g"]: int(r["n"] or 0) for r in rows}
+
+
+def temperature_mixture_budgets(
+    available: Mapping[str, int],
+    total_budget: int,
+    *,
+    alpha: float = 0.7,
+    cap_at_available: bool = True,
+) -> Dict[str, int]:
+    """Per-source token budgets for a temperature-sampled training mix:
+    weight each source ``n_i^alpha`` (``alpha=1`` proportional — the raw
+    corpus mix; ``alpha=0`` uniform; the 0.2–0.7 range is the standard
+    up-weighting of small sources in multilingual / multi-domain
+    pretraining), scale to ``total_budget``, and (by default) water-fill:
+    a source whose share exceeds its available tokens is capped there and
+    the excess is re-split over the remaining sources by the same
+    weights, iterating until stable — so no budget silently exceeds what
+    :func:`sample_to_token_budget` could actually draw.
+
+    Driver-side pure arithmetic over k sources; plug the result straight
+    into :func:`sample_to_token_budget`'s ``budgets``.
+    """
+    if total_budget < 0:
+        raise ValueError("total_budget must be non-negative")
+    if alpha < 0:
+        raise ValueError("alpha must be non-negative")
+    avail = {str(k): max(int(v), 0) for k, v in available.items()}
+    budgets: Dict[str, int] = {k: 0 for k in avail}
+    remaining = int(total_budget)
+    active = {k for k, v in avail.items() if v > 0}
+    if cap_at_available:
+        remaining = min(remaining, sum(avail[k] for k in active))
+    while remaining > 0 and active:
+        weights = {k: float(avail[k]) ** alpha for k in active}
+        wsum = sum(weights.values())
+        # largest-remainder rounding so the shares sum to `remaining`
+        raw = {k: remaining * weights[k] / wsum for k in active}
+        share = {k: int(raw[k]) for k in active}
+        leftover = remaining - sum(share.values())
+        for k in sorted(
+            active, key=lambda k: (raw[k] - share[k], k), reverse=True
+        )[:leftover]:
+            share[k] += 1
+        if not cap_at_available:
+            for k, s in share.items():
+                budgets[k] += s
+            break
+        overfull = {k for k in active if budgets[k] + share[k] > avail[k]}
+        if not overfull:
+            for k, s in share.items():
+                budgets[k] += s
+            break
+        # cap the overfull sources; water-fill the excess over the rest
+        # next round (terminates: |active| strictly shrinks)
+        for k in overfull:
+            budgets[k] = avail[k]
+        active -= overfull
+        remaining = min(
+            total_budget - sum(budgets.values()),
+            sum(avail[k] - budgets[k] for k in active),
+        )
+    return budgets
+
+
 def hash_sample(
     df: DataFrame,
     id_col: str,

@@ -137,3 +137,73 @@ def test_sample_to_token_budget(spark):
         ).toPandas()["doc_id"]
     )
     assert a == b
+
+
+def test_temperature_mixture_budgets_math():
+    from monotonic_optimal_binning_spark.operators.sampling import (
+        temperature_mixture_budgets,
+    )
+
+    avail = {"web": 8_000_000, "code": 1_000_000, "books": 1_000_000}
+
+    # alpha=1: proportional to availability (raw corpus mix)
+    b = temperature_mixture_budgets(avail, 1_000_000, alpha=1.0)
+    assert b == {"web": 800_000, "code": 100_000, "books": 100_000}
+
+    # alpha=0: uniform regardless of availability
+    b = temperature_mixture_budgets(avail, 900_000, alpha=0.0)
+    assert b == {"web": 300_000, "code": 300_000, "books": 300_000}
+
+    # intermediate alpha up-weights small sources vs proportional
+    b = temperature_mixture_budgets(avail, 1_000_000, alpha=0.5)
+    assert b["code"] > 100_000 and b["books"] > 100_000
+    assert b["web"] < 800_000
+    assert sum(b.values()) == 1_000_000
+
+    # water-filling: a capped source's excess flows to the others, and
+    # no budget exceeds its availability
+    tight = {"web": 8_000_000, "code": 50_000, "books": 1_000_000}
+    b = temperature_mixture_budgets(tight, 3_000_000, alpha=0.0)
+    assert b["code"] == 50_000
+    assert b["web"] + b["books"] == 2_950_000
+    assert all(b[k] <= tight[k] for k in tight)
+
+    # budget above total availability clamps to what exists
+    b = temperature_mixture_budgets(tight, 10**12, alpha=0.7)
+    assert b == tight
+
+    # uncapped mode honors the requested budget even past availability
+    b = temperature_mixture_budgets(
+        tight, 10_000_000, alpha=1.0, cap_at_available=False
+    )
+    assert sum(b.values()) == 10_000_000
+
+
+def test_temperature_budgets_feed_token_budget_mix(spark):
+    """End-to-end: counts aggregate -> temperature budgets -> deterministic
+    mixture sample; each source's drawn tokens land within one doc of its
+    derived budget (the greedy overshoot contract)."""
+    from monotonic_optimal_binning_spark.operators.sampling import (
+        sample_to_token_budget,
+        source_token_counts,
+        temperature_mixture_budgets,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(900),
+            "source": ["web"] * 600 + ["code"] * 200 + ["books"] * 100,
+            "n_tok": [100] * 900,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    counts = source_token_counts(df, "source", "n_tok")
+    assert counts == {"web": 60_000, "code": 20_000, "books": 10_000}
+    budgets = temperature_mixture_budgets(counts, 30_000, alpha=0.5)
+    assert sum(budgets.values()) == 30_000
+    out = sample_to_token_budget(
+        df, "source", "doc_id", "n_tok", budgets
+    ).toPandas()
+    drawn = out.groupby("source")["n_tok"].sum().to_dict()
+    for k, budget in budgets.items():
+        assert budget <= drawn[k] < budget + 100  # overshoot < 1 doc
