@@ -126,15 +126,18 @@ def tf_idf(
     Output: (doc_id, term, tf, df, tfidf) with tfidf = tf * ln(N / df).
 
     Plan shape (the 100 TB shape): explode tokens once; ``tf`` is a
-    map-side-combinable count keyed by (doc, term); ``df`` is a window
-    count over the term partition of the tf table — one exchange by term,
-    no second aggregate and no self-join (a groupBy(term)+join formulation
-    re-shuffles the same data twice); the corpus size N is a one-row
-    broadcast. Two shuffles total, both on natural keys; no row ever
-    carries the full token array through a shuffle.
+    map-side-combinable count keyed by (doc, term); ``df`` comes from a
+    second ALGEBRAIC aggregate over the tf table — its map-side partial
+    collapses every term to one row per task, so only ~|vocab| rows reach
+    the wire — and joins back on term. A window count over the term
+    partition would be one exchange cheaper on paper, but a stop-word
+    term ("the": df ≈ N) funnels its entire posting into ONE window task
+    and AQE cannot split a window partition; it CAN split a skewed join
+    partition, which is why the join formulation is the one that
+    survives a 100 TB vocabulary. The corpus size N is a one-row
+    broadcast. No row ever carries the full token array through a
+    shuffle.
     """
-    from pyspark.sql import Window
-
     toks = whitespace_tokens(F.col(text_col))
     if lowercase:
         toks = F.transform(toks, lambda t: F.lower(t))
@@ -142,10 +145,10 @@ def tf_idf(
         F.col(id_col).alias("doc_id"), F.explode(toks).alias("term")
     )
     tf = post.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(F.countDistinct(F.col(id_col)).alias("__n"))
     return (
-        tf.withColumn("df", dfreq)
+        tf.join(dfreq, on="term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
