@@ -776,6 +776,29 @@ def q_dedup_clusters(spark, sf_dir):
     return connected_components(pairs).select("id", "component")
 
 
+def q_simhash_planted(spark, sf_dir):
+    """SimHash made value-checkable (the planted-twin pattern of
+    q_minhash_planted): byte-identical planted duplicates (doc_id +
+    100000) have identical token MULTISETS, and the 64-bit fingerprint is
+    a pure function of the multiset (per-token votes are order-
+    insensitive) — so the hamming==0 slice of the banded-Hamming join is
+    exactly the set of equal-token-multiset pairs, which DuckDB
+    reproduces by joining on the sorted token list. Distinct multisets
+    colliding on all 64 bits would break the equivalence (~n²/2⁶⁴ —
+    absent at this scale)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", "text")
+    )
+    planted = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    uni = docs.unionByName(planted)
+    out = simhash_neardup_pairs(uni, "text", "doc_id", max_hamming=0)
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
 def q_simhash_dedup(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return simhash_dedup(docs, "text", "doc_id").select("doc_id")
@@ -1210,6 +1233,44 @@ def q_per_source_fit_monotone(spark, sf_dir):
     )
 
 
+def q_psi_drift_grouped(spark, sf_dir):
+    """Per-source PSI against a fitted grouped artifact, value-checked via
+    the deterministic no-merge construction of q_per_source_fit_monotone:
+    every source's bins are the plain per-(source, x) aggregates with
+    known interval labels, so expected counts, the actual slice's bucket
+    assignment, and the 0.5-smoothed per-group PSI terms are all
+    ANSI-SQL-reproducible. The actual slice keeps x <= 2 only — a real
+    shift that leaves two bins empty on the actual side in every source
+    (exercising the full-outer + smoothing path per group)."""
+    from monotonic_optimal_binning_spark.operators.drift import (
+        grouped_model_psi,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.select(
+        F.pmod(F.col("user_id"), F.lit(3)).alias("source"),
+        F.pmod(F.col("user_id"), F.lit(5)).cast("double").alias("x"),
+        (
+            F.pmod(F.col("event_id"), F.lit(100))
+            < (F.pmod(F.col("user_id"), F.lit(5)) + 1) * 15
+        ).cast("int").alias("y"),
+    )
+    binners = fit_binners_per_group(
+        df, "source", "x", "y", prebins="exact",
+        constraints=BinningConstraints(max_bins=10, min_bins=2),
+    )
+    out = grouped_model_psi(binners, df.filter(F.col("x") <= 2))
+    return out.select(
+        "source",
+        "bucket",
+        F.col("n_expected").cast("long").alias("n_expected"),
+        F.col("n_actual").cast("long").alias("n_actual"),
+        F.round("pct_expected", _R).alias("pct_expected"),
+        F.round("pct_actual", _R).alias("pct_actual"),
+        F.round("psi_term", _R).alias("psi_term"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the driver's CORRECTNESS harness: it checks entries
     # in dict order and has truncated at 50 of 65 before (r03), so queries
@@ -1225,6 +1286,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "psi_drift": q_psi_drift,
         "per_source_fit_monotone": q_per_source_fit_monotone,
+        "simhash_planted": q_simhash_planted,
+        "psi_drift_grouped": q_psi_drift_grouped,
         # --- (b) last driver-checked in round 2 ---
         "media_features": q_media_features,
         "tpch_q1": q_tpch_q1,
@@ -2123,6 +2186,68 @@ def oracle_sql() -> dict[str, str]:
               FROM toks)
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    CAST(1.0 AS DOUBLE) AS jaccard
+            FROM keyed a JOIN keyed b
+              ON a.k = b.k AND a.doc_id < b.doc_id
+        """,
+        "psi_drift_grouped": """
+            -- deterministic no-merge grouped fit (see bin_fit_monotone):
+            -- bins == per-(source, x) aggregates with known labels, so the
+            -- per-group smoothed PSI pipeline is plain SQL
+            WITH d AS (
+              SELECT user_id % 3 AS source,
+                     CAST(user_id % 5 AS DOUBLE) AS x
+              FROM events),
+            lab AS (
+              SELECT source, x,
+                     CASE CAST(x AS INT)
+                       WHEN 0 THEN '(-inf, 1)' WHEN 1 THEN '[1, 2)'
+                       WHEN 2 THEN '[2, 3)' WHEN 3 THEN '[3, 4)'
+                       ELSE '[4, +inf)' END AS bucket
+              FROM d),
+            e AS (SELECT source, bucket, count(*) AS n_expected
+                  FROM lab GROUP BY source, bucket),
+            a AS (SELECT source, bucket, count(*) AS n_actual
+                  FROM lab WHERE x <= 2 GROUP BY source, bucket),
+            j AS (
+              SELECT coalesce(e.source, a.source) AS source,
+                     coalesce(e.bucket, a.bucket) AS bucket,
+                     coalesce(n_expected, 0) AS n_expected,
+                     coalesce(n_actual, 0) AS n_actual
+              FROM e FULL OUTER JOIN a
+                ON e.source = a.source AND e.bucket = a.bucket),
+            tot AS (SELECT source, sum(n_expected) AS te,
+                           sum(n_actual) AS ta, count(*) AS k
+                    FROM j GROUP BY source)
+            SELECT CAST(j.source AS VARCHAR) AS source, bucket,
+                   CAST(n_expected AS BIGINT) AS n_expected,
+                   CAST(n_actual AS BIGINT) AS n_actual,
+                   round((n_expected + 0.5) / (te + 0.5 * k), 6)
+                     AS pct_expected,
+                   round((n_actual + 0.5) / (ta + 0.5 * k), 6) AS pct_actual,
+                   round(((n_actual + 0.5) / (ta + 0.5 * k)
+                          - (n_expected + 0.5) / (te + 0.5 * k))
+                         * ln(((n_actual + 0.5) / (ta + 0.5 * k))
+                              / ((n_expected + 0.5) / (te + 0.5 * k))), 6)
+                     AS psi_term
+            FROM j JOIN tot ON j.source = tot.source
+        """,
+        "simhash_planted": r"""
+            -- the 64-bit simhash is a pure function of the token MULTISET
+            -- (order-insensitive per-token votes), so planted duplicates
+            -- pair at hamming 0 and the hamming==0 slice equals the set of
+            -- equal-sorted-token-list pairs
+            WITH u AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 50
+              UNION ALL
+              SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50),
+            keyed AS (
+              SELECT doc_id,
+                     array_to_string(list_sort(
+                       list_filter(string_split_regex(trim(text), '\s+'),
+                                   x -> x != '')), chr(30)) AS k
+              FROM u)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(0 AS BIGINT) AS hamming
             FROM keyed a JOIN keyed b
               ON a.k = b.k AND a.doc_id < b.doc_id
         """,
