@@ -244,6 +244,82 @@ def dedup_job(args) -> None:
     print(run.save())
 
 
+def quality_filter_job(args) -> None:
+    """Corpus cleaning stage (the step between dedup and packing): keep
+    documents passing the quality-score floor, token-count band, and the
+    Gopher repetition caps — ONE scan computing every signal in a single
+    codegen pass, written as an idempotent checkpoint stage.
+
+    ``--audit`` adds a rejection-reason breakdown to the manifest (one
+    extra aggregate scan; flags are non-exclusive, so reasons can sum to
+    more than the total dropped)."""
+    from pyspark.sql import functions as F
+
+    from .operators.textstats import quality_features, repetition_features
+
+    spark = _spark("mob-quality-filter")
+    run = PipelineRun(root=args.workdir)
+    df = (
+        spark.read.parquet(args.input)
+        if "/" in args.input
+        else spark.read.table(args.input)
+    )
+
+    def featured():
+        feats = repetition_features(
+            quality_features(df, args.text_col), args.text_col
+        )
+        fails = {
+            "low_quality": F.col("quality_score") < args.min_quality,
+            "too_few_tokens": F.col("n_tokens") < args.min_tokens,
+            "too_many_tokens": (
+                F.col("n_tokens") > args.max_tokens
+                if args.max_tokens is not None
+                else F.lit(False)
+            ),
+            "dup_lines": F.col("dup_line_frac") > args.max_dup_line_frac,
+            "top_token": F.col("top_token_frac") > args.max_top_token_frac,
+        }
+        keep = F.lit(True)
+        for cond in fails.values():
+            keep = keep & ~cond
+        return feats, fails, keep
+
+    extra = {}
+    if args.audit:
+        feats, fails, keep = featured()
+        row = feats.agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(keep.cast("long")).alias("kept"),
+            *[
+                F.sum(c.cast("long")).alias(name)
+                for name, c in fails.items()
+            ],
+        ).first()
+        extra = {"audit_" + k: int(row[k] or 0) for k in row.asDict()}
+
+    out_dir = os.path.join(args.workdir, "stage_quality_filter")
+
+    def build():
+        feats, _, keep = featured()
+        return feats.filter(keep).select(*df.columns)
+
+    run_stage(
+        spark, out_dir, "quality_filter", build,
+        inputs=[args.input],
+        params={
+            "min_quality": args.min_quality,
+            "min_tokens": args.min_tokens,
+            "max_tokens": args.max_tokens,
+            "max_dup_line_frac": args.max_dup_line_frac,
+            "max_top_token_frac": args.max_top_token_frac,
+        },
+        extra_metrics=extra,
+    )
+    run.record(out_dir)
+    print(run.save())
+
+
 def drift_job(args) -> None:
     """Production drift monitoring: score a NEW parquet slice against a
     SAVED binning artifact (``FittedBins``/``GroupedBins`` JSON from
@@ -395,6 +471,26 @@ def main(argv: Optional[list] = None) -> None:
                     help="reliable checkpoint path (HDFS/S3) for iterative "
                          "stages; default localCheckpoint")
     dd.set_defaults(func=dedup_job)
+
+    qf = sub.add_parser(
+        "quality-filter",
+        help="keep docs passing quality/length/repetition gates",
+    )
+    qf.add_argument("--input", required=True, help="parquet path or table id")
+    qf.add_argument("--workdir", required=True)
+    qf.add_argument("--text-col", default="text")
+    qf.add_argument("--min-quality", type=float, default=0.3,
+                    help="composite quality_score floor in [0,1]")
+    qf.add_argument("--min-tokens", type=int, default=20)
+    qf.add_argument("--max-tokens", type=int, default=None)
+    qf.add_argument("--max-dup-line-frac", type=float, default=0.3,
+                    help="Gopher duplicate-line fraction cap")
+    qf.add_argument("--max-top-token-frac", type=float, default=0.2,
+                    help="Gopher most-frequent-token fraction cap")
+    qf.add_argument("--audit", action="store_true",
+                    help="record rejection-reason counts in the manifest "
+                         "(one extra aggregate scan)")
+    qf.set_defaults(func=quality_filter_job)
 
     dr = sub.add_parser(
         "drift", help="PSI drift of a new slice vs a saved bins artifact"

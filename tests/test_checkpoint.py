@@ -200,3 +200,49 @@ def test_drift_job_end_to_end(spark, tmp_path):
     m2 = load_manifest(os.path.join(wd2, "stage_drift"))
     assert m2.extra_metrics["status"] == "shifted"
     assert m2.extra_metrics["psi_worst"] > 0.25
+
+
+def test_quality_filter_job_end_to_end(spark, tmp_path):
+    """Cleaning-stage job: good docs survive, junk (punct soup, too-short,
+    repeated-line spam) is dropped; audit mode records per-reason counts;
+    resume skips the stage."""
+    import pandas as pd
+
+    from monotonic_optimal_binning_spark.jobs import main
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then it runs "
+        "through the quiet field while the sun is setting over the hills "
+        "and everyone is watching the long evening settle in for the night"
+    )
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                good,
+                "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))",  # punct soup
+                "too short",                                 # few tokens
+                "\n".join(["same line of repeated text here"] * 30),  # dup
+            ],
+        }
+    )
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(docs).write.parquet(src)
+    wd = str(tmp_path / "qf")
+    main(["quality-filter", "--input", src, "--workdir", wd, "--audit"])
+    out = spark.read.parquet(os.path.join(wd, "stage_quality_filter", "data"))
+    assert [r["doc_id"] for r in out.collect()] == [1]
+    assert set(out.columns) == {"doc_id", "text"}  # features projected out
+
+    m = load_manifest(os.path.join(wd, "stage_quality_filter"))
+    assert m.extra_metrics["audit_total"] == 4
+    assert m.extra_metrics["audit_kept"] == 1
+    assert m.extra_metrics["audit_too_few_tokens"] >= 1
+    assert m.extra_metrics["audit_dup_lines"] >= 1
+    assert m.rows_written == 1
+
+    # resume skips
+    before = m.completed_at_unix
+    main(["quality-filter", "--input", src, "--workdir", wd])
+    assert load_manifest(
+        os.path.join(wd, "stage_quality_filter")).completed_at_unix == before
