@@ -170,3 +170,29 @@ def test_broadcast_dim_join_plan(spark):
     # fact side is never shuffled for the join itself: exactly the one
     # aggregate exchange
     assert count_exchanges(out) == 1, plan
+
+
+def test_topk_windows_get_rank_limit_pushdown(spark):
+    """The top-k family's row_number windows must keep Spark's rank-limit
+    pushdown (WindowGroupLimit Partial before the shuffle + Final after):
+    each map task then ships at most k rows per query, so a query's rank
+    never sorts the full corpus in one task. Guards against refactors
+    that break the pushdown pattern (e.g. filtering on rank != / adding
+    expressions between window and filter)."""
+    import numpy as np
+
+    from monotonic_optimal_binning_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    rng = np.random.default_rng(1)
+    pdf = pd.DataFrame(
+        {"vec_id": range(100),
+         "embedding": [v.tolist() for v in rng.normal(size=(100, 8))]}
+    )
+    corpus = spark.createDataFrame(pdf)
+    q = spark.createDataFrame(
+        pdf.head(3).rename(columns={"vec_id": "query_id"})
+    )
+    plan = plan_of(brute_force_topk(corpus, q, 5), "simple")
+    assert plan.count("WindowGroupLimit") == 2, plan  # Partial + Final
