@@ -178,13 +178,25 @@ def sample_to_token_budget(
     if not 1 <= n_buckets <= 65536:
         raise ValueError("n_buckets must be in [1, 65536]")
     entries = [(str(k), int(v)) for k, v in budgets.items()]
-    budget_map = F.create_map(
-        *[F.lit(x) for kv in entries for x in kv]
-    )
-    budget = F.coalesce(
-        budget_map[F.col(group_col).cast("string")],
-        F.lit(int(default_budget)),
-    )
+    budget_join = None
+    if len(entries) <= 128:
+        budget_map = F.create_map(
+            *[F.lit(x) for kv in entries for x in kv]
+        )
+        budget = F.coalesce(
+            budget_map[F.col(group_col).cast("string")],
+            F.lit(int(default_budget)),
+        )
+    else:
+        # thousands of sources: a create_map literal would inline 2·k
+        # literals into the plan (the expression-tree bloat that killed
+        # IVF's literal routing); ship the budgets as a broadcast table
+        budget_join = F.broadcast(
+            df.sparkSession.createDataFrame(
+                entries, "__bkey string, __budget long"
+            )
+        )
+        budget = F.coalesce(F.col("__budget"), F.lit(int(default_budget)))
     h = _bucket_hex(F.col(id_col), salt)
     # bucket = equal-width range of the hash prefix: monotone in the full
     # hex order (bucket(a) < bucket(b) ⇒ h(a) < h(b)), so per-bucket
@@ -212,11 +224,14 @@ def sample_to_token_budget(
         F.coalesce(F.sum("__tot").over(woff), F.lit(0)).alias("__off"),
     )
     cum_before = F.col("__off") + F.col("__loc") - F.col(n_tok_col)
-    return (
-        local.join(F.broadcast(offsets), on=[group_col, "__bkt"])
-        .filter(cum_before < budget)
-        .select(*df.columns)
-    )
+    joined = local.join(F.broadcast(offsets), on=[group_col, "__bkt"])
+    if budget_join is not None:
+        joined = joined.join(
+            budget_join,
+            on=F.col(group_col).cast("string") == F.col("__bkey"),
+            how="left",
+        )
+    return joined.filter(cum_before < budget).select(*df.columns)
 
 
 def source_token_counts(

@@ -207,3 +207,37 @@ def test_temperature_budgets_feed_token_budget_mix(spark):
     drawn = out.groupby("source")["n_tok"].sum().to_dict()
     for k, budget in budgets.items():
         assert budget <= drawn[k] < budget + 100  # overshoot < 1 doc
+
+
+def test_token_budget_mix_many_sources_broadcast_path(spark):
+    """With >128 sources the budget lookup switches from a create_map
+    literal (plan bloat at corpus source counts) to a broadcast table —
+    results must be identical to the literal path's semantics."""
+    from monotonic_optimal_binning_spark.operators.sampling import (
+        sample_to_token_budget,
+    )
+
+    n_src = 200
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(n_src * 5),
+            "source": [f"s{i % n_src}" for i in range(n_src * 5)],
+            "n_tok": [10] * (n_src * 5),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    budgets = {f"s{i}": 20 for i in range(n_src)}  # 2 docs per source
+    out = sample_to_token_budget(
+        df, "source", "doc_id", "n_tok", budgets
+    ).toPandas()
+    counts = out.groupby("source")["doc_id"].count()
+    assert len(counts) == n_src
+    assert (counts == 2).all()
+    # default budget applies to sources missing from the table
+    partial = {f"s{i}": 20 for i in range(150)}
+    out2 = sample_to_token_budget(
+        df, "source", "doc_id", "n_tok", partial, default_budget=10
+    ).toPandas()
+    c2 = out2.groupby("source")["doc_id"].count()
+    assert (c2[[f"s{i}" for i in range(150)]] == 2).all()
+    assert (c2[[f"s{i}" for i in range(150, 200)]] == 1).all()
