@@ -241,3 +241,57 @@ def test_token_budget_mix_many_sources_broadcast_path(spark):
     c2 = out2.groupby("source")["doc_id"].count()
     assert (c2[[f"s{i}" for i in range(150)]] == 2).all()
     assert (c2[[f"s{i}" for i in range(150, 200)]] == 1).all()
+
+
+def test_token_budget_mix_property_vs_naive(spark):
+    """Property check of the grouped-prefix-sum sampler against a naive
+    pandas reference (global md5 order cumsum per group) across random
+    frames — sizes chosen to cross bucket boundaries both ways. Spark
+    session per example is expensive, so this drives N seeded cases
+    through one session instead of hypothesis' per-example engine."""
+    import hashlib
+
+    import numpy as np
+
+    from monotonic_optimal_binning_spark.operators.sampling import (
+        sample_to_token_budget,
+    )
+
+    rng = np.random.default_rng(123)
+    for case in range(8):
+        n = int(rng.integers(1, 400))
+        n_src = int(rng.integers(1, 5))
+        pdf = pd.DataFrame(
+            {
+                "doc_id": rng.permutation(10_000)[:n],
+                "source": [f"g{int(v)}" for v in rng.integers(0, n_src, n)],
+                "n_tok": rng.integers(0, 50, n),
+            }
+        )
+        budgets = {
+            f"g{i}": int(rng.integers(0, 2000)) for i in range(n_src)
+        }
+        nb = int(rng.choice([1, 2, 64]))
+
+        def h(i):
+            return hashlib.md5(f"mix{i}".encode()).hexdigest()[:8]
+
+        expect = set()
+        for g, grp in pdf.groupby("source"):
+            b = budgets.get(g, 0)
+            ordered = grp.assign(__h=[h(i) for i in grp["doc_id"]]).sort_values(
+                ["__h", "doc_id"]
+            )
+            cum = 0
+            for _, r in ordered.iterrows():
+                if cum < b:
+                    expect.add(int(r["doc_id"]))
+                cum += int(r["n_tok"])
+        got = set(
+            int(r["doc_id"])
+            for r in sample_to_token_budget(
+                spark.createDataFrame(pdf).repartition(3),
+                "source", "doc_id", "n_tok", budgets, n_buckets=nb,
+            ).collect()
+        )
+        assert got == expect, (case, n, n_src, nb)
