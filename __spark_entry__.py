@@ -315,6 +315,36 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_asof_broadcast(spark, sf_dir):
+    """Same point-in-time join as q_asof_join on the BROADCAST plan: the
+    small purchase side is collected into per-key sorted arrays and each
+    Arrow batch of clicks resolves matches with one searchsorted — the
+    probe side is never shuffled. Shares q_asof_join's oracle (same
+    result, different physical plan)."""
+    from monotonic_optimal_binning_spark.operators.asof import (
+        asof_join_broadcast,
+    )
+
+    pin_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", epoch_seconds(ev, "ts").alias("ts")
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", epoch_seconds(ev, "ts").alias("ts"), "value"
+    )
+    out = asof_join_broadcast(
+        left, right, on="user_id", left_ts="ts", value_cols=["value"],
+        right_prefix="purchase_",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("ts", _R).alias("ts"),
+        F.round("purchase_value", _R).alias("purchase_value"),
+    )
+
+
 def q_asof_bucketed(spark, sf_dir):
     """Skew-resistant bucketed as-of join — must equal the plain as-of
     (same DuckDB ASOF oracle verifies both paths)."""
@@ -1288,6 +1318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "per_source_fit_monotone": q_per_source_fit_monotone,
         "simhash_planted": q_simhash_planted,
         "psi_drift_grouped": q_psi_drift_grouped,
+        "asof_broadcast": q_asof_broadcast,
         # --- (b) last driver-checked in round 2 ---
         "media_features": q_media_features,
         "tpch_q1": q_tpch_q1,
@@ -1354,7 +1385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "group_stats": """
             SELECT round(l_quantity, 6) AS x,
                    count(*) AS n,
@@ -2317,3 +2348,7 @@ def oracle_sql() -> dict[str, str]:
         # the LSH machinery on deterministic-recall slices);
         # simhash_dedup: xxhash64-specific fingerprints -> rows-only.
     }
+    # the broadcast as-of computes the SAME result as the shuffle as-of on
+    # a different physical plan — one oracle, two engines under test
+    d["asof_broadcast"] = d["asof_join"]
+    return d

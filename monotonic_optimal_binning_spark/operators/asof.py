@@ -67,6 +67,12 @@ def asof_join(
         right_prefix: prefix for the emitted value columns.
         include_matched_ts: if set, also emit the matched right timestamp
             (seconds, double) under this name — used by leakage audits.
+
+    Null event times match NOTHING on either side: a null-ts right row is
+    dropped (it is never "before" or "after" anything) and a null-ts left
+    row gets null values — without this, Spark's NULLS FIRST ordering
+    would leak a null-ts right row into every backward match and hand
+    forward-mode null-ts left rows the earliest right value.
     """
     keys = [on] if isinstance(on, str) else list(on)
     right_ts = right_ts or left_ts
@@ -122,7 +128,10 @@ def asof_join(
         _ts_expr(right, right_ts).alias("__asof_ts"),
         _ts_expr(right, right_ts).alias(_MATCH_TS),
     ]
-    r_tagged = right.select(*rsel)
+    # a right row with a NULL event time can never be "before" or "after"
+    # anything — without this filter it sorts NULLS FIRST and its values
+    # leak into every backward match
+    r_tagged = right.select(*rsel).filter(F.col("__asof_ts").isNotNull())
 
     unioned = l_tagged.unionByName(r_tagged)
 
@@ -150,6 +159,15 @@ def asof_join(
     is_left_row = F.col(_SIDE) == F.lit(left_side)
     result = filled.filter(is_left_row)
 
+    # a left row with a NULL event time matches nothing (it would
+    # otherwise sort NULLS FIRST and, in forward mode, grab the earliest
+    # right value)
+    null_ts = F.col("__asof_ts").isNull()
+    for c in out_names + [_MATCH_TS]:
+        result = result.withColumn(
+            c, F.when(null_ts, F.lit(None)).otherwise(F.col(c))
+        )
+
     if tolerance is not None:
         too_far = (
             F.abs(F.col("__asof_ts") - F.col(_MATCH_TS)) > F.lit(float(tolerance))
@@ -168,6 +186,128 @@ def asof_join(
     else:
         drop.append(_MATCH_TS)
     return result.drop(*drop)
+
+
+def asof_join_broadcast(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_ts: Optional[str] = None,
+    value_cols: Optional[List[str]] = None,
+    *,
+    allow_exact_matches: bool = True,
+    right_prefix: str = "",
+    max_rows: int = 5_000_000,
+) -> DataFrame:
+    """Backward as-of join for a SMALL right side — the dimension-table
+    path :func:`asof_join` deliberately doesn't take.
+
+    The union-and-window plan shuffles |L|+|R| rows; when the right side
+    is dimension-sized (model releases, config changes, price updates)
+    that shuffles a 100 TB left to join against kilobytes. Here the
+    whole right side is collected once (guarded by ``max_rows``),
+    organized into per-key sorted timestamp/value arrays, shipped with
+    the task closure, and each Arrow batch of left rows resolves its
+    matches with one ``np.searchsorted`` per key group — the left is
+    never shuffled, never sorted: scan → ArrowEval → project.
+
+    Semantics match :func:`asof_join(direction="backward")`: most recent
+    right value at-or-before (or strictly-before with
+    ``allow_exact_matches=False``) each left timestamp, null when none;
+    null left timestamps match nothing. As with the window plan, ties in
+    right (key, ts) have no deterministic winner — keep them unique.
+    Native right-side value types are preserved.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    keys = [on] if isinstance(on, str) else list(on)
+    right_ts = right_ts or left_ts
+    if value_cols is None:
+        value_cols = [
+            c for c in right.columns if c not in keys and c != right_ts
+        ]
+    out_names = [right_prefix + c for c in value_cols]
+    for c in out_names:
+        if c in left.columns:
+            raise ValueError(
+                f"output column '{c}' collides with a left column; set "
+                f"right_prefix"
+            )
+
+    probe = right.limit(max_rows + 1).count()
+    if probe > max_rows:
+        raise ValueError(
+            f"right side exceeds max_rows={max_rows}; use asof_join (the "
+            f"shuffle plan) for large build sides"
+        )
+    rpdf = (
+        right.select(
+            *[F.col(k).alias(f"__k{i}") for i, k in enumerate(keys)],
+            _ts_expr(right, right_ts).alias("__ts"),
+            *[F.col(c) for c in value_cols],
+        )
+        .toPandas()
+    )
+    rpdf = rpdf[rpdf["__ts"].notna()]
+    kcols = [f"__k{i}" for i in range(len(keys))]
+    # pandas yields 1-tuples when ITERATING a list grouper but scalars
+    # from .groups — normalize every key to a plain tuple on both sides
+    def _tup(key):
+        return key if isinstance(key, tuple) else (key,)
+
+    lookup = {}
+    for key, grp in rpdf.groupby(kcols, sort=False, dropna=False):
+        g = grp.sort_values("__ts", kind="mergesort")
+        lookup[_tup(key)] = (
+            g["__ts"].to_numpy(dtype=np.float64),
+            [g[c].to_numpy() for c in value_cols],
+        )
+
+    side = "right" if allow_exact_matches else "left"
+    struct_t = T.StructType(
+        [
+            T.StructField(p, right.schema[c].dataType)
+            for c, p in zip(value_cols, out_names)
+        ]
+    )
+    n_vals = len(value_cols)
+
+    @F.pandas_udf(struct_t)
+    def _lookup(*cols):
+        kseries, ts = list(cols[:-1]), cols[-1]
+        n = len(ts)
+        outs = [np.full(n, None, dtype=object) for _ in range(n_vals)]
+        kframe = pd.DataFrame({i: s for i, s in enumerate(kseries)})
+        tvals = pd.to_numeric(ts, errors="coerce").to_numpy(dtype=np.float64)
+        for key, grp_idx in kframe.groupby(
+            list(range(len(kseries))), sort=False, dropna=False
+        ).groups.items():
+            entry = lookup.get(_tup(key))
+            if entry is None:
+                continue
+            rts, rvals = entry
+            pos = np.asarray(grp_idx)
+            t = tvals[pos]
+            ok = ~np.isnan(t)
+            idx = np.searchsorted(rts, t[ok], side=side) - 1
+            hit = idx >= 0
+            tgt = pos[ok][hit]
+            for j in range(n_vals):
+                outs[j][tgt] = rvals[j][idx[hit]]
+        return pd.DataFrame({p: outs[j] for j, p in enumerate(out_names)})
+
+    matched = left.withColumn(
+        "__m",
+        _lookup(
+            *[F.col(k) for k in keys], _ts_expr(left, left_ts)
+        ),
+    )
+    return matched.select(
+        *left.columns, *[F.col("__m")[p].alias(p) for p in out_names]
+    )
 
 
 def leakage_audit(

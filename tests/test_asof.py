@@ -230,3 +230,94 @@ def test_range_join_negative_values(spark):
     )
     # -15 in [-20,-10]; -5 in [-10,10]; 5 in [-10,10]; -10 boundary not hit
     assert got == [(1, 1), (2, 2), (3, 2)]
+
+
+def test_asof_broadcast_matches_window_plan(spark):
+    """asof_join_broadcast must equal asof_join(direction='backward') on
+    mixed payload types (double + string + long), including no-match
+    nulls, exact-match toggling, unknown keys, and null left timestamps
+    — while never shuffling the left side."""
+    import numpy as np
+    import pandas as pd
+
+    from monotonic_optimal_binning_spark.operators.asof import (
+        asof_join,
+        asof_join_broadcast,
+    )
+
+    rng = np.random.default_rng(9)
+    n_l, n_r = 500, 60
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 8, n_l),          # key 7 absent on right
+            "ts": np.round(rng.uniform(0, 100, n_l), 3),
+            "eid": np.arange(n_l),
+        }
+    )
+    left.loc[::50, "ts"] = np.nan                  # null left timestamps
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 7, n_r),
+            "ts": np.round(rng.uniform(0, 100, n_r), 3),
+            "v": np.round(rng.uniform(0, 10, n_r), 2),
+            "tag": [f"t{i}" for i in range(n_r)],
+            "m": rng.integers(0, 1000, n_r),
+        }
+    )
+    # force one exact-ts collision between sides to exercise the toggle
+    # (left row 1 — row 0's ts is nulled above)
+    right.loc[0, ["k", "ts"]] = [left.loc[1, "k"], left.loc[1, "ts"]]
+    right.loc[1, "ts"] = np.nan                    # null right event time
+    ldf, rdf = spark.createDataFrame(left), spark.createDataFrame(right)
+
+    for exact in (True, False):
+        want = (
+            asof_join(
+                ldf, rdf, on="k", left_ts="ts", value_cols=["v", "tag", "m"],
+                right_prefix="r_", allow_exact_matches=exact,
+            )
+            .toPandas().sort_values("eid").reset_index(drop=True)
+        )
+        got = (
+            asof_join_broadcast(
+                ldf, rdf, on="k", left_ts="ts", value_cols=["v", "tag", "m"],
+                right_prefix="r_", allow_exact_matches=exact,
+            )
+            .toPandas().sort_values("eid").reset_index(drop=True)
+        )
+        np.testing.assert_allclose(
+            got["r_v"].to_numpy(float), want["r_v"].to_numpy(float),
+            equal_nan=True, err_msg=str(exact),
+        )
+        assert got["r_tag"].where(got["r_tag"].notna(), None).tolist() == \
+            want["r_tag"].where(want["r_tag"].notna(), None).tolist()
+        np.testing.assert_array_equal(
+            got["r_m"].to_numpy(float), want["r_m"].to_numpy(float)
+        )
+    # native types preserved on the broadcast path
+    out = asof_join_broadcast(
+        ldf, rdf, on="k", left_ts="ts", value_cols=["tag", "m"],
+        right_prefix="r_",
+    )
+    assert str(out.schema["r_tag"].dataType) == "StringType()"
+    assert str(out.schema["r_m"].dataType) == "LongType()"
+
+
+def test_asof_broadcast_guards_large_right(spark):
+    import pytest
+
+    from monotonic_optimal_binning_spark.operators.asof import (
+        asof_join_broadcast,
+    )
+
+    left = spark.range(10).select(
+        F.col("id").alias("k"), F.lit(1.0).alias("ts")
+    )
+    right = spark.range(100).select(
+        F.col("id").alias("k"), F.lit(0.5).alias("ts"),
+        F.lit(1.0).alias("v"),
+    )
+    with pytest.raises(ValueError, match="max_rows"):
+        asof_join_broadcast(
+            left, right, on="k", left_ts="ts", value_cols=["v"], max_rows=50
+        )
