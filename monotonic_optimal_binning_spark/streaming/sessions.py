@@ -252,6 +252,11 @@ def streaming_asof_enrich(
             for i, c in enumerate(value_cols)
         ],
     )
+    # a null-ts right row must never enter state: float(None) -> NaN would
+    # poison the frontier permanently (NaN >= x is False for every later
+    # row). Null-ts LEFT rows stay — they emit with null values (batch
+    # asof_join parity), enforced in _process_block.
+    r_tagged = r_tagged.filter(F.col("__ts").isNotNull())
     unioned = l_tagged.unionByName(r_tagged)
 
     out_schema = T.StructType(
@@ -281,6 +286,9 @@ def streaming_asof_enrich(
             prefix_rights = np.cumsum(is_right)[is_left]  # per left row
             match_idx = prefix_rights - 1
             left_ts = pdf["__ts"].to_numpy(dtype=float)[is_left]
+            # null-ts left rows match NOTHING (they sort last under NaN
+            # and would otherwise grab the block's final right row)
+            match_idx = np.where(np.isnan(left_ts), -1, match_idx)
             # the carried state value is only eligible when the state's
             # right-side ts is AT OR BEFORE the left row's event time —
             # a left row arriving in a later micro-batch with an OLDER
@@ -406,6 +414,8 @@ def streaming_asof_enrich(
         }
 
     def _enrich_reorder(key, pdf_iter, state: GroupState):
+        import numpy as np
+
         if state.hasTimedOut:
             state.remove()
             return
@@ -439,8 +449,12 @@ def streaming_asof_enrich(
         # newest event are processed — disorder inside the bound is fully
         # sorted out (a late right row reaches lefts still in the buffer)
         frontier = float(allrows["__ts"].max())
-        ready_mask = allrows["__ts"].to_numpy(dtype=float) <= (
-            frontier - reorder_within
+        ts_arr = allrows["__ts"].to_numpy(dtype=float)
+        # null-ts left rows can never pass a <= comparison — release them
+        # immediately (they emit with null values) or they'd sit in the
+        # buffer forever
+        ready_mask = (ts_arr <= (frontier - reorder_within)) | np.isnan(
+            ts_arr
         )
         ready = allrows[ready_mask]
         pending = allrows[~ready_mask]

@@ -520,3 +520,47 @@ def test_streaming_asof_state_ttl_evicts_idle_key(spark, tmp_path):
         assert r3.loc[r3["eid"] == 300, "last_val"].isna().all()
     finally:
         q.stop()
+
+
+def test_streaming_asof_null_event_times_match_nothing(spark, tmp_path):
+    """A null-ts right row must never enter state (float(None) -> NaN
+    would poison the frontier: NaN >= x is False forever) and a null-ts
+    left row must emit with null values, not the block's last right row."""
+    from monotonic_optimal_binning_spark.streaming.sessions import (
+        streaming_asof_enrich,
+    )
+
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    lschema = "k long, ts double, eid long"
+    rschema = "k long, ts double, val double"
+    # batch 1: a null-ts right row, then a real one; a null-ts left row
+    # and a real left after the real right
+    spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1], "ts": [None, 10.0], "val": [99.0, 5.0]}),
+        rschema,
+    ).coalesce(1).write.parquet(rsrc + "/b1")
+    spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1], "ts": [None, 11.0], "eid": [100, 101]}),
+        lschema,
+    ).coalesce(1).write.parquet(lsrc + "/b1")
+    # batch 2: later left — the frontier must have advanced past the null
+    spark.createDataFrame(
+        pd.DataFrame({"k": [1], "ts": [12.0], "eid": [102]}), lschema
+    ).coalesce(1).write.parquet(lsrc + "/b2")
+
+    ls = spark.readStream.schema(lschema).parquet(lsrc + "/*")
+    rs = spark.readStream.schema(rschema).parquet(rsrc + "/*")
+    out = streaming_asof_enrich(
+        ls, rs, on="k", ts="ts", value_cols=["val"], right_prefix="last_"
+    )
+    _run_to_memory(out, "asof_null_ts", "append")
+    got = (
+        spark.sql("select * from asof_null_ts")
+        .toPandas()
+        .sort_values("eid")
+        .reset_index(drop=True)
+    )
+    assert got["eid"].tolist() == [100, 101, 102]
+    assert pd.isna(got.loc[0, "last_val"])       # null-ts left: no match
+    assert got.loc[1, "last_val"] == 5.0         # real match, not 99.0
+    assert got.loc[2, "last_val"] == 5.0         # frontier not poisoned
