@@ -321,3 +321,35 @@ def test_asof_broadcast_guards_large_right(spark):
         asof_join_broadcast(
             left, right, on="k", left_ts="ts", value_cols=["v"], max_rows=50
         )
+
+
+def test_asof_null_event_times_match_nothing_both_directions(spark):
+    """Null event times match NOTHING: a null-ts right row is dropped
+    (NULLS FIRST would otherwise leak it into every backward match) and
+    a null-ts left row gets null values — including in forward mode,
+    where it previously grabbed the earliest right row."""
+    import pandas as pd
+
+    from monotonic_optimal_binning_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1], "ts": [None, 5.0], "eid": [0, 1]}),
+        "k long, ts double, eid long",
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1], "ts": [None, 3.0], "v": [99.0, 7.0]}),
+        "k long, ts double, v double",
+    )
+    for direction, want in (("backward", 7.0), ("forward", None)):
+        got = (
+            asof_join(
+                left, right, on="k", left_ts="ts", value_cols=["v"],
+                right_prefix="r_", direction=direction,
+            )
+            .toPandas().sort_values("eid").reset_index(drop=True)
+        )
+        assert pd.isna(got.loc[0, "r_v"]), direction  # null-ts left
+        if want is None:
+            assert pd.isna(got.loc[1, "r_v"]), direction  # no later right
+        else:
+            assert got.loc[1, "r_v"] == want, direction  # never 99.0
