@@ -806,6 +806,43 @@ def q_dedup_clusters(spark, sf_dir):
     return connected_components(pairs).select("id", "component")
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """Corpus-wide paragraph dedup on planted structure: each composite
+    doc = its own text + '\\n\\n' + the text of doc (id mod 10), so every
+    second paragraph is shared ten ways (and docs 0-9 also collide with
+    their own first paragraph). The operator keeps each paragraph at its
+    first (id, pos) occurrence and reassembles; DuckDB re-derives the
+    exact surviving text per doc."""
+    from monotonic_optimal_binning_spark.operators.dedup import (
+        paragraph_dedup,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+    )
+    partner = docs.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("__pid"), F.col("text").alias("__ptext")
+    )
+    composed = (
+        docs.withColumn("__pid", F.pmod(F.col("doc_id"), F.lit(10)))
+        .join(partner, on="__pid")
+        .select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit("\n\n"), F.col("__ptext")).alias(
+                "text"
+            ),
+        )
+    )
+    out = paragraph_dedup(composed, "text", "doc_id")
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("text_md5"),
+        F.col("n_paras_kept"),
+    )
+
+
 def q_simhash_planted(spark, sf_dir):
     """SimHash made value-checkable (the planted-twin pattern of
     q_minhash_planted): byte-identical planted duplicates (doc_id +
@@ -1319,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_planted": q_simhash_planted,
         "psi_drift_grouped": q_psi_drift_grouped,
         "asof_broadcast": q_asof_broadcast,
+        "paragraph_dedup": q_paragraph_dedup,
         # --- (b) last driver-checked in round 2 ---
         "media_features": q_media_features,
         "tpch_q1": q_tpch_q1,
@@ -2219,6 +2257,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1.0 AS DOUBLE) AS jaccard
             FROM keyed a JOIN keyed b
               ON a.k = b.k AND a.doc_id < b.doc_id
+        """,
+        "paragraph_dedup": """
+            -- composite docs: own text + shared partner paragraph; keep
+            -- each paragraph at its first (doc_id, pos) occurrence, then
+            -- reassemble in original order
+            WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+            composed AS (
+              SELECT d.doc_id,
+                     d.text || chr(10) || chr(10) || p.text AS text
+              FROM d JOIN d p ON p.doc_id = d.doc_id % 10),
+            parts AS (
+              SELECT doc_id,
+                     string_split(text, chr(10) || chr(10)) AS ps
+              FROM composed),
+            p AS (
+              SELECT doc_id,
+                     unnest(ps) AS para,
+                     unnest(range(1, len(ps) + 1)) AS pos
+              FROM parts),
+            ranked AS (
+              SELECT doc_id, pos, para,
+                     row_number() OVER (
+                       PARTITION BY para ORDER BY doc_id, pos) AS rn
+              FROM p),
+            re AS (
+              SELECT doc_id,
+                     string_agg(para, chr(10) || chr(10) ORDER BY pos)
+                       AS text,
+                     count(*) AS n_kept
+              FROM ranked WHERE rn = 1 GROUP BY doc_id)
+            SELECT c.doc_id,
+                   md5(coalesce(re.text, '')) AS text_md5,
+                   CAST(coalesce(re.n_kept, 0) AS BIGINT) AS n_paras_kept
+            FROM composed c LEFT JOIN re ON re.doc_id = c.doc_id
         """,
         "psi_drift_grouped": """
             -- deterministic no-merge grouped fit (see bin_fit_monotone):

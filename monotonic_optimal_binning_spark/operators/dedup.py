@@ -124,6 +124,74 @@ def exact_dedup(
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    sep: str = "\n\n",
+    join_sep: str = "\n\n",
+) -> DataFrame:
+    """Corpus-wide SUB-document dedup (the C4/RefinedWeb-style boilerplate
+    remover): split every document into paragraphs on ``sep`` (a regex),
+    keep each distinct paragraph only at its FIRST occurrence corpus-wide
+    (min ``(id, pos)``), and reassemble documents from their surviving
+    paragraphs in original order (joined with ``join_sep``). Documents
+    whose every paragraph was seen earlier elsewhere come back with empty
+    text and ``n_paras_kept = 0`` — filter on that to drop them.
+
+    Scale shape: ``posexplode`` → ALGEBRAIC ``min(struct(id, pos))`` per
+    paragraph digest — map-side partial aggregation collapses a
+    boilerplate paragraph's billions of occurrences to one row per task
+    before the shuffle, and there is no window over the digest, so no
+    hot-paragraph single task (cf. :func:`exact_dedup`'s ``agg``
+    strategy) — then a digest join back (AQE-splittable) and a per-doc
+    sort+join bounded by document size. Identity is the same 192-bit
+    two-leg digest as :func:`exact_dedup` (xxhash64 + md5).
+
+    Whitespace note: splitting can produce empty paragraphs (leading/
+    doubled separators); they dedup like any other paragraph — normalize
+    whitespace upstream if that matters.
+    """
+    paras = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__para"),
+    )
+    keyed = paras.select(
+        "__id", "__pos", "__para",
+        F.xxhash64("__para").alias("__h"),
+        F.md5("__para").alias("__h2"),
+    )
+    winners = keyed.groupBy("__h", "__h2").agg(
+        F.min(F.struct("__id", "__pos")).alias("__w")
+    )
+    kept = keyed.join(winners, on=["__h", "__h2"]).filter(
+        (F.col("__id") == F.col("__w.__id"))
+        & (F.col("__pos") == F.col("__w.__pos"))
+    )
+    re = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__para"))),
+                lambda s: s["__para"],
+            ),
+            join_sep,
+        ).alias("__text"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    out = df.join(re, on=F.col(id_col) == F.col("__id"), how="left")
+    cols = [
+        F.coalesce("__text", F.lit("")).alias(text_col)
+        if c == text_col
+        else F.col(c)
+        for c in df.columns
+    ]
+    return out.select(
+        *cols,
+        F.coalesce("__n_kept", F.lit(0)).cast("long").alias("n_paras_kept"),
+    )
+
+
 def char_shingles(text: Column, n: int = 5) -> Column:
     """Distinct hashed character n-grams of a string column (array<bigint>)."""
     idx = F.sequence(F.lit(0), F.greatest(F.length(text) - n, F.lit(0)))

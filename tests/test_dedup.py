@@ -391,3 +391,49 @@ def test_release_lsh_caches_rejects_derived_handle(spark):
     with pytest.raises(ValueError, match="original handle"):
         release_lsh_caches(derived)
     release_lsh_caches(out)  # the real handle still releases fine
+
+
+def test_paragraph_dedup_keeps_first_occurrence_corpus_wide(spark):
+    """Sub-document dedup: a paragraph survives only at its first
+    corpus-wide (id, pos) occurrence; docs reassemble in original order;
+    fully-duplicated docs come back empty with n_paras_kept=0."""
+    import pandas as pd
+
+    from monotonic_optimal_binning_spark.operators.dedup import (
+        paragraph_dedup,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "alpha one\n\nshared boiler\n\nbeta two",
+                "shared boiler\n\ngamma three",   # boiler seen in doc 1
+                "alpha one\n\nshared boiler",     # both seen earlier
+                "delta four",
+            ],
+        }
+    )
+    out = (
+        paragraph_dedup(spark.createDataFrame(docs), "text", "doc_id")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["text"].tolist() == [
+        "alpha one\n\nshared boiler\n\nbeta two",
+        "gamma three",
+        "",
+        "delta four",
+    ]
+    assert out["n_paras_kept"].tolist() == [3, 1, 0, 1]
+    assert list(out.columns) == ["doc_id", "text", "n_paras_kept"]
+
+    # partition-invariant (winner is min (id,pos), not arrival order)
+    out2 = (
+        paragraph_dedup(
+            spark.createDataFrame(docs).repartition(7), "text", "doc_id"
+        )
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out2["text"].tolist() == out["text"].tolist()
