@@ -170,7 +170,24 @@ def dedup_job(args) -> None:
         else spark.read.table(args.input)
     )
 
-    from .operators.dedup import exact_dedup, minhash_dedup
+    from .operators.dedup import exact_dedup, minhash_dedup, paragraph_dedup
+
+    if args.paragraph_dedup:
+        from pyspark.sql import functions as F
+
+        para_dir = os.path.join(args.workdir, "stage_paragraph")
+        df = run_stage(
+            spark, para_dir, "paragraph_dedup",
+            # boilerplate removal FIRST: repeated paragraphs are exactly
+            # what inflates doc-level near-dup similarity downstream;
+            # fully-duplicated docs (0 surviving paragraphs) are dropped
+            lambda: paragraph_dedup(
+                df, args.text_col, args.id_col
+            ).filter(F.col("n_paras_kept") > 0).drop("n_paras_kept"),
+            inputs=[args.input],
+            params={"stage": "paragraph"},
+        )
+        run.record(para_dir)
 
     exact_dir = os.path.join(args.workdir, "stage_exact")
     deduped = run_stage(
@@ -456,6 +473,10 @@ def main(argv: Optional[list] = None) -> None:
     dd.add_argument("--id-col", default="doc_id")
     dd.add_argument("--exact-strategy", choices=("window", "agg"),
                     default="window")
+    dd.add_argument("--paragraph-dedup", action="store_true",
+                    help="run corpus-wide paragraph dedup (boilerplate "
+                         "removal) before the document-level passes; docs "
+                         "left with zero paragraphs are dropped")
     dd.add_argument("--near-threshold", type=float, default=None,
                     help="jaccard threshold; omit to skip the LSH pass")
     dd.add_argument("--num-hashes", type=int, default=64)

@@ -246,3 +246,40 @@ def test_quality_filter_job_end_to_end(spark, tmp_path):
     main(["quality-filter", "--input", src, "--workdir", wd])
     assert load_manifest(
         os.path.join(wd, "stage_quality_filter")).completed_at_unix == before
+
+
+def test_dedup_job_with_paragraph_stage(spark, tmp_path):
+    """--paragraph-dedup runs boilerplate removal before the doc-level
+    passes: the shared paragraph survives only in its first doc, and a
+    doc made ENTIRELY of earlier paragraphs is dropped."""
+    import pandas as pd
+
+    from monotonic_optimal_binning_spark.jobs import main
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "unique one\n\nshared boiler",
+                "unique two\n\nshared boiler",   # loses the boiler para
+                "shared boiler",                  # fully duplicated -> drop
+            ],
+        }
+    )
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(docs).write.parquet(src)
+    wd = str(tmp_path / "run")
+    main(["dedup", "--input", src, "--workdir", wd, "--paragraph-dedup"])
+    with open(os.path.join(wd, "_LINEAGE.json")) as f:
+        report = json.load(f)
+    assert [s["stage"] for s in report["stages"]] == [
+        "paragraph_dedup", "exact_dedup"
+    ]
+    assert report["stages"][0]["rows_written"] == 2  # doc 3 dropped
+    para = (
+        spark.read.parquet(os.path.join(wd, "stage_paragraph", "data"))
+        .toPandas().sort_values("doc_id")
+    )
+    assert para["text"].tolist() == [
+        "unique one\n\nshared boiler", "unique two"
+    ]
