@@ -1340,11 +1340,41 @@ def q_psi_drift_grouped(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the driver's CORRECTNESS harness: it checks entries
-    # in dict order and has truncated at 50 of 65 before (r03), so queries
-    # with the LEAST driver-verified history go FIRST — (a) never checked in
-    # any round, (b) last checked in r02, (c) green in r03.
+    # in dict order and truncates at 50 (of now 69+), so queries with the
+    # LEAST driver-verified history go FIRST — (a) the 19 entries the r4
+    # harness never reached (last driver rows are r3-era), plus anything
+    # new/changed this round; (b) green in r4 (least recently re-verified
+    # families first). The union of consecutive CORRECTNESS files then
+    # covers all entries.
     return {
-        # --- (a) never driver-checked (added round 3) ---
+        # --- (a) r4-unchecked tail (r3-era rows) + round-5 additions ---
+        "fingerprint_dedup": q_fingerprint_dedup,
+        "lang_id": q_lang_id,
+        "minhash_pairs": q_minhash_pairs,
+        "minhash_pairs_planted": q_minhash_planted,
+        "embedding_neardup_planted": q_embedding_neardup_planted,
+        "lsh_bucket_audit": q_lsh_bucket_audit,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ngram_containment": q_ngram_containment,
+        "ngram_jaccard_maxdf": q_ngram_jaccard_maxdf,
+        "dedup_clusters": q_dedup_clusters,
+        "tfidf_topk": q_tfidf_topk,
+        "simhash_dedup": q_simhash_dedup,
+        "simhash_neardup": q_simhash_neardup,
+        "cosine_topk": q_cosine_topk,
+        "lsh_topk": q_lsh_topk,
+        "lsh_topk_planted": q_lsh_topk_planted,
+        "ivf_topk": q_ivf_topk,
+        "ivf_topk_planted": q_ivf_topk_planted,
+        "embedding_neardup": q_embedding_neardup,
+        # --- (b) green in r4, oldest prior verification first ---
+        "media_features": q_media_features,
+        "tpch_q1": q_tpch_q1,
+        "join_topk": q_join_topk,
+        "rollup": q_rollup,
+        "cube_agg": q_cube_agg,
+        "percentiles": q_percentiles,
+        "per_source_fit": q_per_source_fit,
         "pack_chunks": q_pack_chunks,
         "repetition": q_repetition,
         "pii_scrub": q_pii_scrub,
@@ -1357,15 +1387,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift_grouped": q_psi_drift_grouped,
         "asof_broadcast": q_asof_broadcast,
         "paragraph_dedup": q_paragraph_dedup,
-        # --- (b) last driver-checked in round 2 ---
-        "media_features": q_media_features,
-        "tpch_q1": q_tpch_q1,
-        "join_topk": q_join_topk,
-        "rollup": q_rollup,
-        "cube_agg": q_cube_agg,
-        "percentiles": q_percentiles,
-        "per_source_fit": q_per_source_fit,
-        # --- (c) green in round 3 ---
         "group_stats": q_group_stats,
         "cumulative_stats": q_cumulative_stats,
         "sign_correlation": q_sign_correlation,
@@ -1397,25 +1418,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "bpe_token_count": q_bpe_token_count,
         "quality": q_quality,
-        "fingerprint_dedup": q_fingerprint_dedup,
-        "lang_id": q_lang_id,
-        "minhash_pairs": q_minhash_pairs,
-        "minhash_pairs_planted": q_minhash_planted,
-        "embedding_neardup_planted": q_embedding_neardup_planted,
-        "lsh_bucket_audit": q_lsh_bucket_audit,
-        "ngram_jaccard": q_ngram_jaccard,
-        "ngram_containment": q_ngram_containment,
-        "ngram_jaccard_maxdf": q_ngram_jaccard_maxdf,
-        "dedup_clusters": q_dedup_clusters,
-        "tfidf_topk": q_tfidf_topk,
-        "simhash_dedup": q_simhash_dedup,
-        "simhash_neardup": q_simhash_neardup,
-        "cosine_topk": q_cosine_topk,
-        "lsh_topk": q_lsh_topk,
-        "lsh_topk_planted": q_lsh_topk_planted,
-        "ivf_topk": q_ivf_topk,
-        "ivf_topk_planted": q_ivf_topk_planted,
-        "embedding_neardup": q_embedding_neardup,
     }
 
 

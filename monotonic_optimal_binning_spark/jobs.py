@@ -302,8 +302,15 @@ def quality_filter_job(args) -> None:
             keep = keep & ~cond
         return feats, fails, keep
 
+    out_dir = os.path.join(args.workdir, "stage_quality_filter")
+
     extra = {}
-    if args.audit:
+    # gate the audit on the stage manifest being ABSENT (dedup_job pattern):
+    # on a resumed run run_stage skips the write, and spending a full input
+    # scan on metrics that can't reach the existing manifest is pure waste
+    from .plans.checkpoint import load_manifest
+
+    if args.audit and load_manifest(out_dir) is None:
         feats, fails, keep = featured()
         row = feats.agg(
             F.count(F.lit(1)).alias("total"),
@@ -314,8 +321,6 @@ def quality_filter_job(args) -> None:
             ],
         ).first()
         extra = {"audit_" + k: int(row[k] or 0) for k in row.asDict()}
-
-    out_dir = os.path.join(args.workdir, "stage_quality_filter")
 
     def build():
         feats, _, keep = featured()
@@ -364,9 +369,12 @@ def drift_job(args) -> None:
     grouped = "models" in payload
     if grouped:
         artifact = GroupedBins.load_json(args.model)
+        # the override renames grouped_model_psi's OUTPUT group column too —
+        # resolve once and use the same name for the manifest totals below
+        gcol = args.group_col or artifact.group_col
         build = lambda: grouped_model_psi(  # noqa: E731
             artifact, df,
-            input_col=args.input_col, group_col=args.group_col,
+            input_col=args.input_col, group_col=gcol,
             smoothing=args.smoothing,
         )
     else:
@@ -381,9 +389,9 @@ def drift_job(args) -> None:
     # of the input worth checkpoint plumbing
     if grouped:
         totals = {
-            r[artifact.group_col]: float(r["psi"])
+            r[gcol]: float(r["psi"])
             for r in build()
-            .groupBy(artifact.group_col)
+            .groupBy(gcol)
             .agg(F.sum("psi_term").alias("psi"))
             .collect()
         }

@@ -199,6 +199,7 @@ def asof_join_broadcast(
     allow_exact_matches: bool = True,
     right_prefix: str = "",
     max_rows: int = 5_000_000,
+    max_bytes: int = 256 * 1024 * 1024,
 ) -> DataFrame:
     """Backward as-of join for a SMALL right side — the dimension-table
     path :func:`asof_join` deliberately doesn't take.
@@ -206,21 +207,34 @@ def asof_join_broadcast(
     The union-and-window plan shuffles |L|+|R| rows; when the right side
     is dimension-sized (model releases, config changes, price updates)
     that shuffles a 100 TB left to join against kilobytes. Here the
-    whole right side is collected once (guarded by ``max_rows``),
-    organized into per-key sorted timestamp/value arrays, shipped with
-    the task closure, and each Arrow batch of left rows resolves its
-    matches with one ``np.searchsorted`` per key group — the left is
-    never shuffled, never sorted: scan → ArrowEval → project.
+    whole right side is collected once (guarded), organized into per-key
+    sorted timestamp/value arrays, shipped to executors as an EXPLICIT
+    ``sc.broadcast`` (fetched once per executor, not per task), and each
+    Arrow batch of left rows resolves its matches with one
+    ``np.searchsorted`` per key group — the left is never shuffled,
+    never sorted: scan → ArrowEval → project.
+
+    Memory contract: the lookup lives in the DRIVER heap once and in
+    EVERY executor's Python-worker heap for the query's lifetime. Both
+    guards are measured on the ONE collected Arrow table itself (no
+    separate count action a nondeterministic right side could bypass):
+    ``max_rows`` bounds rows, ``max_bytes`` bounds the Arrow-buffer
+    payload size (default 256 MB — wide value columns hit this long
+    before 5M rows). Over either limit → use :func:`asof_join`.
 
     Semantics match :func:`asof_join(direction="backward")`: most recent
     right value at-or-before (or strictly-before with
     ``allow_exact_matches=False``) each left timestamp, null when none;
     null left timestamps match nothing. As with the window plan, ties in
     right (key, ts) have no deterministic winner — keep them unique.
-    Native right-side value types are preserved.
+    Native right-side value types are preserved — including 64-bit
+    integers above 2^53 in NULLABLE columns, which a plain ``toPandas``
+    would silently round through float64 (they are kept as exact Python
+    ints in object arrays instead).
     """
     import numpy as np
     import pandas as pd
+    import pyarrow as pa
     from pyspark.sql import types as T
 
     keys = [on] if isinstance(on, str) else list(on)
@@ -237,20 +251,32 @@ def asof_join_broadcast(
                 f"right_prefix"
             )
 
-    probe = right.limit(max_rows + 1).count()
-    if probe > max_rows:
+    tbl = right.select(
+        *[F.col(k).alias(f"__k{i}") for i, k in enumerate(keys)],
+        _ts_expr(right, right_ts).alias("__ts"),
+        *[F.col(c) for c in value_cols],
+    ).toArrow()
+    if tbl.num_rows > max_rows:
         raise ValueError(
-            f"right side exceeds max_rows={max_rows}; use asof_join (the "
-            f"shuffle plan) for large build sides"
+            f"right side has {tbl.num_rows} rows > max_rows={max_rows}; "
+            f"use asof_join (the shuffle plan) for large build sides"
         )
-    rpdf = (
-        right.select(
-            *[F.col(k).alias(f"__k{i}") for i, k in enumerate(keys)],
-            _ts_expr(right, right_ts).alias("__ts"),
-            *[F.col(c) for c in value_cols],
+    if tbl.nbytes > max_bytes:
+        raise ValueError(
+            f"right side is {tbl.nbytes} Arrow bytes > max_bytes="
+            f"{max_bytes}; broadcasting it would hold that much in every "
+            f"executor's Python heap — use asof_join (the shuffle plan)"
         )
-        .toPandas()
-    )
+    rpdf = tbl.to_pandas()
+    for c in value_cols:
+        col = tbl.column(c)
+        if pa.types.is_integer(tbl.schema.field(c).type) and col.null_count:
+            # Arrow->pandas widens a nullable int column to float64, which
+            # silently rounds int64 values above 2^53 — keep exact Python
+            # ints (and None) in an object array instead
+            rpdf[c] = pd.Series(
+                np.asarray(col.to_pylist(), dtype=object), index=rpdf.index
+            )
     rpdf = rpdf[rpdf["__ts"].notna()]
     kcols = [f"__k{i}" for i in range(len(keys))]
     # pandas yields 1-tuples when ITERATING a list grouper but scalars
@@ -265,6 +291,9 @@ def asof_join_broadcast(
             g["__ts"].to_numpy(dtype=np.float64),
             [g[c].to_numpy() for c in value_cols],
         )
+    # explicit broadcast (not closure capture): one fetch per executor, a
+    # visible handle for the memory the guard above just bounded
+    bc_lookup = left.sparkSession.sparkContext.broadcast(lookup)
 
     side = "right" if allow_exact_matches else "left"
     struct_t = T.StructType(
@@ -277,6 +306,7 @@ def asof_join_broadcast(
 
     @F.pandas_udf(struct_t)
     def _lookup(*cols):
+        lookup_v = bc_lookup.value
         kseries, ts = list(cols[:-1]), cols[-1]
         n = len(ts)
         outs = [np.full(n, None, dtype=object) for _ in range(n_vals)]
@@ -285,7 +315,7 @@ def asof_join_broadcast(
         for key, grp_idx in kframe.groupby(
             list(range(len(kseries))), sort=False, dropna=False
         ).groups.items():
-            entry = lookup.get(_tup(key))
+            entry = lookup_v.get(_tup(key))
             if entry is None:
                 continue
             rts, rvals = entry

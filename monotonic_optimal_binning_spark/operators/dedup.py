@@ -95,15 +95,17 @@ def exact_dedup(
     else:
         # md5 over to_json(struct) is an unambiguous multi-column encoding
         # (ignoreNullFields=false keeps null vs absent distinct); concat_ws
-        # would alias ("a\x00b") with ("a","b"). timestampFormat keeps
-        # MICROSECONDS — the default truncates to millis, which would merge
-        # microsecond-differing timestamps into one digest
+        # would alias ("a\x00b") with ("a","b"). timestampFormat AND
+        # timestampNTZFormat keep MICROSECONDS — both defaults truncate to
+        # millis, which would merge microsecond-differing timestamps into
+        # one digest (TIMESTAMP and TIMESTAMP_NTZ read separate options)
         h2 = F.md5(
             F.to_json(
                 F.struct(*[_norm(c) for c in content_cols]),
                 {
                     "ignoreNullFields": "false",
                     "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+                    "timestampNTZFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
                 },
             )
         )

@@ -321,6 +321,38 @@ def test_asof_broadcast_guards_large_right(spark):
         asof_join_broadcast(
             left, right, on="k", left_ts="ts", value_cols=["v"], max_rows=50
         )
+    with pytest.raises(ValueError, match="max_bytes"):
+        asof_join_broadcast(
+            left, right, on="k", left_ts="ts", value_cols=["v"],
+            max_bytes=100,
+        )
+
+
+def test_asof_broadcast_preserves_big_int64_with_nulls(spark):
+    """A NULLABLE bigint value column above 2^53 must come through exactly:
+    plain toPandas would widen it to float64 and silently round it."""
+    from monotonic_optimal_binning_spark.operators.asof import (
+        asof_join_broadcast,
+    )
+
+    big = (1 << 60) + 12345  # not representable in float64
+    left = spark.createDataFrame(
+        [(1, 10.0, 0), (1, 20.0, 1), (2, 10.0, 2)], "k long, ts double, eid long"
+    )
+    right = spark.createDataFrame(
+        [(1, 5.0, big), (1, 15.0, None), (2, 50.0, big + 1)],
+        "k long, ts double, v long",
+    )
+    out = {
+        r["eid"]: r["r_v"]
+        for r in asof_join_broadcast(
+            left, right, on="k", left_ts="ts", value_cols=["v"],
+            right_prefix="r_",
+        ).collect()
+    }
+    assert out[0] == big          # exact, not float-rounded
+    assert out[1] is None         # null right value carried through
+    assert out[2] is None         # right ts after left ts -> no match
 
 
 def test_asof_null_event_times_match_nothing_both_directions(spark):
