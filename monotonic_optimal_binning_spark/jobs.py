@@ -451,6 +451,93 @@ def pack_job(args) -> None:
     print(run.save())
 
 
+def mix_job(args) -> None:
+    """The production training-mix loop the samplers exist for:
+    per-source available tokens (one algebraic aggregate) -> temperature
+    mixture budgets (driver water-fill arithmetic) -> deterministic
+    token-budget sampling (grouped prefix sum) -> optional concat-then-
+    chunk packing — chained as idempotent checkpoint stages. The sampling
+    stage manifest carries available/budgeted/realized tokens per source,
+    so the lineage shows exactly what mix was asked for and what was
+    actually drawn; resume replays only missing stages (the availability
+    scan is skipped entirely when the sample stage already exists)."""
+    from .operators.sampling import (
+        sample_to_token_budget,
+        source_token_counts,
+        temperature_mixture_budgets,
+    )
+    from .plans.checkpoint import load_manifest, write_manifest
+
+    spark = _spark("mob-mix")
+    run = PipelineRun(root=args.workdir)
+    df = (
+        spark.read.parquet(args.input)
+        if "/" in args.input
+        else spark.read.table(args.input)
+    )
+
+    sample_dir = os.path.join(args.workdir, "stage_mix_sample")
+    budgets = {}
+    extra = {}
+    # availability scan + budget arithmetic only when the stage will
+    # actually (re)build — a resumed run reads budgets from the existing
+    # manifest instead of re-scanning the input (quality_filter_job
+    # audit-gating pattern)
+    if load_manifest(sample_dir) is None:
+        available = source_token_counts(df, args.group_col, args.n_tok_col)
+        budgets = temperature_mixture_budgets(
+            available, args.total_budget, alpha=args.alpha
+        )
+        extra = {
+            "available_tokens": available,
+            "budgets": budgets,
+            "budget_total": sum(budgets.values()),
+        }
+    sampled = run_stage(
+        spark, sample_dir, "token_budget_sample",
+        lambda: sample_to_token_budget(
+            df, args.group_col, args.id_col, args.n_tok_col, budgets,
+            salt=args.salt,
+        ),
+        inputs=[args.input],
+        params={
+            "group_col": args.group_col,
+            "n_tok_col": args.n_tok_col,
+            "total_budget": args.total_budget,
+            "alpha": args.alpha,
+            "salt": args.salt,
+        },
+        extra_metrics=extra,
+    )
+    # realized tokens are only known after the write: amend the manifest
+    # once (idempotent — a resumed run sees the key and skips the scan of
+    # the sampled output)
+    m = load_manifest(sample_dir)
+    if m is not None and "realized_tokens" not in m.extra_metrics:
+        m.extra_metrics["realized_tokens"] = source_token_counts(
+            sampled, args.group_col, args.n_tok_col
+        )
+        write_manifest(sample_dir, m)
+    run.record(sample_dir)
+
+    if args.pack_budget is not None:
+        from .operators.packing import pack_sequences
+
+        pack_dir = os.path.join(args.workdir, "stage_pack")
+        run_stage(
+            spark, pack_dir, "pack_sequences",
+            lambda: pack_sequences(
+                sampled, args.n_tok_col, args.id_col, args.pack_budget,
+                order_col=args.order_col,
+                tokens_col=args.tokens_col,
+            ),
+            inputs=[sample_dir],
+            params={"budget": args.pack_budget, "order_col": args.order_col},
+        )
+        run.record(pack_dir)
+    print(run.save())
+
+
 def main(argv: Optional[list] = None) -> None:
     p = argparse.ArgumentParser(prog="mob-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -479,8 +566,11 @@ def main(argv: Optional[list] = None) -> None:
     dd.add_argument("--workdir", required=True)
     dd.add_argument("--text-col", default="text")
     dd.add_argument("--id-col", default="doc_id")
-    dd.add_argument("--exact-strategy", choices=("window", "agg"),
-                    default="window")
+    dd.add_argument("--exact-strategy", choices=("auto", "window", "agg"),
+                    default="auto",
+                    help="'auto' probes the duplication ratio (bounded "
+                         "limit scan) and picks agg for heavy duplication, "
+                         "window otherwise; agg assumes unique ids")
     dd.add_argument("--paragraph-dedup", action="store_true",
                     help="run corpus-wide paragraph dedup (boilerplate "
                          "removal) before the document-level passes; docs "
@@ -547,6 +637,32 @@ def main(argv: Optional[list] = None) -> None:
     pk.add_argument("--tokens-col", default=None,
                     help="token-array column to slice into chunks")
     pk.set_defaults(func=pack_job)
+
+    mx = sub.add_parser(
+        "mix",
+        help="temperature-mixture token sampling (+ optional packing)",
+    )
+    mx.add_argument("--input", required=True, help="parquet path or table id")
+    mx.add_argument("--workdir", required=True)
+    mx.add_argument("--group-col", default="source")
+    mx.add_argument("--id-col", default="doc_id")
+    mx.add_argument("--n-tok-col", default="n_tok")
+    mx.add_argument("--total-budget", type=int, required=True,
+                    help="total tokens in the mix (split per source by "
+                         "n_i^alpha weights, water-filled to availability)")
+    mx.add_argument("--alpha", type=float, default=0.7,
+                    help="temperature exponent (1=proportional, 0=uniform)")
+    mx.add_argument("--salt", default="mix",
+                    help="hash salt: the sample is a pure function of "
+                         "(group, id, salt)")
+    mx.add_argument("--pack-budget", type=int, default=None,
+                    help="tokens per packed chunk; omit to skip packing")
+    mx.add_argument("--order-col", default=None,
+                    help="unique numeric layout order for packing "
+                         "(default: the id col, which must then be numeric)")
+    mx.add_argument("--tokens-col", default=None,
+                    help="token-array column to slice when packing")
+    mx.set_defaults(func=mix_job)
 
     args = p.parse_args(argv)
     args.func(args)

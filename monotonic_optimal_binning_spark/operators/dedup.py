@@ -30,17 +30,60 @@ from pyspark.sql import functions as F
 _MERSENNE_P = (1 << 31) - 1
 
 
+def _probe_frame(df: DataFrame, digest: Column, probe_rows: int) -> DataFrame:
+    """The (1-row) duplication-probe aggregate, as a plan so tests can pin
+    that the Limit bounds the scan."""
+    return (
+        df.select(digest.alias("__d"))
+        .limit(int(probe_rows))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct("__d").alias("d"),
+        )
+    )
+
+
+def _probe_duplication_ratio(
+    df: DataFrame, digest: Column, probe_rows: int
+) -> float:
+    """Duplicate fraction (1 - distinct/total) of the content digest over at
+    most ``probe_rows`` rows. The ``limit`` is the scan bound: Spark plans it
+    as CollectLimit/LocalLimit, which reads input partitions incrementally
+    and stops at ``probe_rows`` — the probe NEVER does a full table scan
+    (pinned by tests/test_plans.py). One small job; biased toward the
+    leading partitions, which is fine for a strategy pick (a corpus whose
+    duplication lives only in its tail gets the window plan, which is
+    correct, just not the cheapest)."""
+    row = _probe_frame(df, digest, probe_rows).first()
+    n = int(row["n"] or 0)
+    if n == 0:
+        return 0.0
+    # approx_count_distinct can overshoot n slightly; clamp at 0
+    return max(0.0, 1.0 - int(row["d"]) / n)
+
+
 def exact_dedup(
     df: DataFrame,
     content_cols: Sequence[str],
     id_col: str,
     *,
     keep: str = "min",
-    strategy: str = "window",
+    strategy: str = "auto",
+    probe_rows: int = 100_000,
+    dup_ratio_cutoff: float = 0.10,
 ) -> DataFrame:
     """Keep one row per distinct content; winner = min/max id (deterministic).
 
-    Two physical strategies (identical results):
+    ``strategy="auto"`` (default) picks between the two physical plans from
+    a cheap bounded probe: the duplicate fraction of the digest over the
+    first ``probe_rows`` rows (limit-bounded — never a full scan). Heavy
+    duplication (> ``dup_ratio_cutoff``) selects ``"agg"``, whose map-side
+    combine collapses duplicate clusters before the shuffle; light
+    duplication selects ``"window"``, which needs only ONE shuffle of df.
+    Auto assumes ``id_col`` is unique per row (the ``agg`` contract below);
+    pass ``strategy="window"`` explicitly when ids can repeat.
+
+    Two explicit physical strategies (identical results):
 
     ``"window"`` (default): a 192-bit content digest (xxhash64 + md5 of the
     JSON-encoded column struct) is the shuffle/grouping key — the raw
@@ -69,8 +112,8 @@ def exact_dedup(
     """
     if keep not in ("min", "max"):
         raise ValueError("keep must be 'min' or 'max'")
-    if strategy not in ("window", "agg"):
-        raise ValueError("strategy must be 'window' or 'agg'")
+    if strategy not in ("window", "agg", "auto"):
+        raise ValueError("strategy must be 'window', 'agg', or 'auto'")
     dtypes = dict(df.dtypes)
 
     def _norm(c):
@@ -109,6 +152,9 @@ def exact_dedup(
                 },
             )
         )
+    if strategy == "auto":
+        ratio = _probe_duplication_ratio(df, h2, probe_rows)
+        strategy = "agg" if ratio > dup_ratio_cutoff else "window"
     if strategy == "agg":
         pick = F.min(F.col(id_col)) if keep == "min" else F.max(F.col(id_col))
         winners = (
@@ -763,31 +809,44 @@ def simhash_dedup(
     same 64-bit simhash collapse to one (deterministic winner)."""
     toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
     out = df.withColumn("__simhash", simhash(toks))
-    return exact_dedup(out, ["__simhash"], id_col, keep=keep).drop("__simhash")
+    # pinned "window": it tolerates duplicate ids (simhash_dedup makes no
+    # id-uniqueness promise) and skips the auto probe, which would evaluate
+    # the simhash UDF on the probe rows just to pick a plan
+    return exact_dedup(
+        out, ["__simhash"], id_col, keep=keep, strategy="window"
+    ).drop("__simhash")
 
 
-def simhash_neardup_pairs(
+def simhash_banded_pairs(
     df: DataFrame,
-    text_col: str,
+    fp_col: str,
     id_col: str,
     *,
     max_hamming: int = 3,
     n_blocks: Optional[int] = None,
     max_bucket_size: Optional[int] = 5000,
     checkpoint_dir: Optional[str] = None,
+    include_fp: bool = False,
 ) -> DataFrame:
-    """All pairs whose 64-bit SimHash fingerprints differ by at most
-    ``max_hamming`` bits — EXACT by pigeonhole, not probabilistic.
+    """All pairs of rows whose 64-bit bigint fingerprints (``fp_col``)
+    differ by at most ``max_hamming`` bits — EXACT by pigeonhole, not
+    probabilistic. This is the banding + Hamming-verify half of
+    :func:`simhash_neardup_pairs`, factored out so it runs over ANY
+    precomputed fingerprint column: with a SQL-expressible fingerprint the
+    whole operator is reproducible in ANSI SQL (``bit_count(xor(...))``
+    over the all-pairs set), which is how the driver oracle value-checks
+    the distance/banding math end-to-end.
 
     The fingerprint splits into ``n_blocks`` (default max_hamming+1)
     contiguous bit blocks; two fingerprints within ``max_hamming`` bits
     MUST agree on at least one block, so candidates meet through an
     equi-join on (block index, block value) and the exact popcount(xor)
-    verify runs only on co-bucketed pairs. Null fingerprints (null text)
-    never pair. ``max_bucket_size`` drops degenerate blocks (run
-    :func:`exact_dedup` first — identical fingerprints are cheaper exact).
+    verify runs only on co-bucketed pairs. Null fingerprints never pair.
+    ``max_bucket_size`` drops degenerate blocks (run :func:`exact_dedup`
+    first — identical fingerprints are cheaper exact).
 
-    Output: (id_a, id_b, hamming) with id_a < id_b.
+    Output: (id_a, id_b, hamming), plus (fp_a, fp_b) when ``include_fp``,
+    with id_a < id_b.
     """
     n_blocks = n_blocks if n_blocks is not None else max_hamming + 1
     if n_blocks < max_hamming + 1:
@@ -798,9 +857,8 @@ def simhash_neardup_pairs(
     if n_blocks > 64:
         raise ValueError("n_blocks must be <= 64")
 
-    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
     base = df.select(
-        F.col(id_col).alias("id"), simhash(toks).alias("__fp")
+        F.col(id_col).alias("id"), F.col(fp_col).cast("long").alias("__fp")
     ).filter(F.col("__fp").isNotNull()).persist()
 
     width = 64 // n_blocks
@@ -834,6 +892,11 @@ def simhash_neardup_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    fp_cols = (
+        [F.col("__fa").alias("fp_a"), F.col("__fb").alias("fp_b")]
+        if include_fp
+        else []
+    )
     scored = (
         pairs.join(base.select(F.col("id").alias("id_a"), F.col("__fp").alias("__fa")),
                    on="id_a")
@@ -842,6 +905,7 @@ def simhash_neardup_pairs(
         .select(
             "id_a",
             "id_b",
+            *fp_cols,
             hamming_distance(F.col("__fa"), F.col("__fb")).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
@@ -851,6 +915,37 @@ def simhash_neardup_pairs(
     out = truncate_lineage(scored, checkpoint_dir, eager=True)
     base.unpersist()
     return out
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    max_hamming: int = 3,
+    n_blocks: Optional[int] = None,
+    max_bucket_size: Optional[int] = 5000,
+    checkpoint_dir: Optional[str] = None,
+    include_fp: bool = False,
+) -> DataFrame:
+    """All pairs whose 64-bit SimHash fingerprints (over whitespace tokens
+    of ``text_col``) differ by at most ``max_hamming`` bits — the
+    :func:`simhash` fingerprint feeding :func:`simhash_banded_pairs`; see
+    there for the pigeonhole-exactness and bucket-cap contract.
+
+    Output: (id_a, id_b, hamming), plus the fingerprints (fp_a, fp_b) when
+    ``include_fp``, with id_a < id_b.
+    """
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+    with_fp = df.select(
+        F.col(id_col).alias("__sid"), simhash(toks).alias("__simfp")
+    )
+    return simhash_banded_pairs(
+        with_fp, "__simfp", "__sid",
+        max_hamming=max_hamming, n_blocks=n_blocks,
+        max_bucket_size=max_bucket_size, checkpoint_dir=checkpoint_dir,
+        include_fp=include_fp,
+    )
 
 
 def embedding_neardup_pairs(

@@ -12,7 +12,8 @@ Two tiers (as a 100 TB pipeline needs both):
 
 from __future__ import annotations
 
-from typing import Optional
+from dataclasses import dataclass
+from typing import List, Optional
 
 import numpy as np
 import pandas as pd
@@ -156,6 +157,91 @@ def nearest_cells_udf(spark, centroids: np.ndarray, n_probe: int):
     return _route
 
 
+@dataclass
+class IVFCodebook:
+    """The fitted coarse quantizer of :func:`ivf_topk` as a persistable
+    artifact (mirrors ``FittedBins``): production amortizes the KMeans
+    training pass across many query batches by fitting ONCE
+    (:func:`fit_ivf_codebook`), saving the centroid matrix, and routing
+    every later ``ivf_topk`` call against the loaded codebook — no
+    training scan on the query path (PLANS.md §10 crossover table).
+
+    JSON floats round-trip exactly in Python, so a loaded codebook routes
+    identically to the freshly fitted one (pinned by test)."""
+
+    centroids: List[List[float]]  # n_cells x dim, row-major
+    seed: int = 42
+
+    @property
+    def n_cells(self) -> int:
+        return len(self.centroids)
+
+    @property
+    def dim(self) -> int:
+        return len(self.centroids[0]) if self.centroids else 0
+
+    def matrix(self) -> np.ndarray:
+        return np.ascontiguousarray(self.centroids, dtype=np.float64)
+
+    def to_dict(self) -> dict:
+        return {
+            "kind": "ivf_codebook",
+            "n_cells": self.n_cells,
+            "dim": self.dim,
+            "seed": self.seed,
+            "centroids": [[float(v) for v in row] for row in self.centroids],
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "IVFCodebook":
+        return cls(centroids=d["centroids"], seed=d.get("seed", 42))
+
+    def save_json(self, path: str) -> None:
+        import json
+
+        with open(path, "w") as f:
+            # centroids are finite k-means means of finite vectors;
+            # allow_nan=False asserts strict JSON at write time
+            json.dump(self.to_dict(), f, allow_nan=False)
+
+    @classmethod
+    def load_json(cls, path: str) -> "IVFCodebook":
+        import json
+
+        with open(path) as f:
+            return cls.from_dict(json.load(f))
+
+
+def fit_ivf_codebook(
+    corpus: DataFrame,
+    *,
+    corpus_vec: str = "embedding",
+    n_cells: int = 64,
+    seed: int = 42,
+    train_fraction: Optional[float] = None,
+) -> IVFCodebook:
+    """Fit the IVF coarse quantizer (distributed JVM KMeans over the —
+    optionally sampled — corpus vectors) and return the centroid codebook.
+    Save with :meth:`IVFCodebook.save_json` and pass to :func:`ivf_topk`
+    ``codebook=`` to skip the training pass on later calls."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    # null filter BELOW array_to_vector: the conversion UDF NPEs on null
+    train = (
+        corpus.select(F.col(corpus_vec).cast("array<double>").alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .select(array_to_vector(F.col("__v")).alias("features"))
+    )
+    if train_fraction is not None:
+        train = train.sample(fraction=train_fraction, seed=seed)
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
+    return IVFCodebook(
+        centroids=[list(map(float, ct)) for ct in model.clusterCenters()],
+        seed=seed,
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -169,6 +255,7 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 42,
     train_fraction: Optional[float] = None,
+    codebook: Optional[IVFCodebook] = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: k-means coarse quantizer,
     corpus rows live in their nearest-centroid cell, each query probes its
@@ -176,40 +263,35 @@ def ivf_topk(
 
     The second ANN tier next to :func:`lsh_topk`: IVF adapts to the data
     distribution (cells follow density; LSH planes are data-oblivious), at
-    the cost of a training pass. Plan shape: KMeans fit on (optionally
-    sampled) corpus vectors (JVM, distributed); corpus cell assignment is
-    one model.transform scan; query-side probe lists come from the
-    driver-broadcast centroid table (n_cells × dim doubles — kilobytes);
-    candidates meet through a plain equi-join on the cell id; exact cosine
-    (double, norms precomputed per row) + window rank. Recall grows with
-    n_probe; cost with n_probe/|cell|.
+    the cost of a training pass — pass a saved ``codebook``
+    (:func:`fit_ivf_codebook` + ``save_json``/``load_json``) to skip it
+    (``n_cells``/``seed``/``train_fraction`` are then ignored). Plan
+    shape: corpus cell assignment and query probe lists both come from the
+    driver-broadcast centroid matrix (n_cells × dim doubles — kilobytes)
+    through the same vectorized matmul router, so a loaded codebook
+    reproduces the fit-fresh result bit-for-bit; candidates meet through a
+    plain equi-join on the cell id; exact cosine (double, norms
+    precomputed per row) + window rank. Recall grows with n_probe; cost
+    with n_probe/|cell|.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    # null filter BELOW array_to_vector: the conversion UDF NPEs on null
-    train = (
-        corpus.select(F.col(corpus_vec).cast("array<double>").alias("__v"))
-        .filter(F.col("__v").isNotNull())
-        .select(array_to_vector(F.col("__v")).alias("features"))
-    )
-    if train_fraction is not None:
-        train = train.sample(fraction=train_fraction, seed=seed)
-    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
+    if codebook is None:
+        codebook = fit_ivf_codebook(
+            corpus, corpus_vec=corpus_vec, n_cells=n_cells, seed=seed,
+            train_fraction=train_fraction,
+        )
+    centroids = codebook.matrix()
 
     # null vectors can neither be assigned to a cell nor routed (the
-    # vectorized router stacks the batch) — they produce no neighbors
+    # vectorized router stacks the batch) — they produce no neighbors.
+    # Corpus assignment = router with n_probe=1: same broadcast + matmul
+    # as the query side (no JVM model object needed — the codebook alone
+    # reconstructs the whole operator)
+    assign = nearest_cells_udf(corpus.sparkSession, centroids, 1)
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(corpus_vec).cast("array<double>").alias("__cv"),
     ).filter(F.col("__cv").isNotNull()).withColumn("__cn", l2_norm(F.col("__cv")))
-    c = model.transform(
-        c.withColumn("features", array_to_vector(F.col("__cv")))
-    ).select("neighbor_id", "__cv", "__cn", F.col(model.getPredictionCol()).alias("cell"))
-
-    centroids = np.asarray(
-        [np.asarray(ct, dtype=float) for ct in model.clusterCenters()]
-    )
+    c = c.withColumn("cell", assign(F.col("__cv"))[0])
 
     q = queries.select(
         F.col(query_id).alias("query_id"),

@@ -248,6 +248,75 @@ def test_quality_filter_job_end_to_end(spark, tmp_path):
         os.path.join(wd, "stage_quality_filter")).completed_at_unix == before
 
 
+def test_mix_job_end_to_end(spark, tmp_path):
+    """Training-mix job: availability scan -> temperature budgets ->
+    deterministic token-budget sample -> packing, as checkpoint stages.
+    The manifest carries available/budgeted/realized tokens per source;
+    resume replays without recomputing; the sample is reproducible."""
+    import pandas as pd
+
+    from monotonic_optimal_binning_spark.jobs import main
+    from monotonic_optimal_binning_spark.operators.sampling import (
+        temperature_mixture_budgets,
+    )
+
+    rows = (
+        [(i, 10, "web") for i in range(60)]
+        + [(100 + i, 10, "code") for i in range(20)]
+        + [(200 + i, 10, "wiki") for i in range(10)]
+    )
+    pdf = pd.DataFrame(rows, columns=["doc_id", "n_tok", "source"])
+    src = str(tmp_path / "toks.parquet")
+    spark.createDataFrame(pdf).write.parquet(src)
+
+    wd = str(tmp_path / "mixrun")
+    main(["mix", "--input", src, "--workdir", wd,
+          "--total-budget", "300", "--alpha", "0.5",
+          "--pack-budget", "50"])
+
+    m = load_manifest(os.path.join(wd, "stage_mix_sample"))
+    avail = {"web": 600, "code": 200, "wiki": 100}
+    assert m.extra_metrics["available_tokens"] == avail
+    expected = temperature_mixture_budgets(avail, 300, alpha=0.5)
+    assert m.extra_metrics["budgets"] == expected
+    assert sum(expected.values()) == 300
+    # every source respects its budget up to the < one-doc overshoot
+    realized = m.extra_metrics["realized_tokens"]
+    for s, b in expected.items():
+        assert realized[s] < b + 10  # docs are 10 tokens
+        assert realized[s] >= min(b, avail[s]) - 10
+    # realized matches the written sample exactly
+    sampled = spark.read.parquet(os.path.join(wd, "stage_mix_sample", "data"))
+    got = {
+        r["source"]: r["s"]
+        for r in sampled.groupBy("source").agg(F.sum("n_tok").alias("s")).collect()
+    }
+    assert got == {k: v for k, v in realized.items() if v}
+
+    with open(os.path.join(wd, "_LINEAGE.json")) as f:
+        report = json.load(f)
+    assert [s["stage"] for s in report["stages"]] == [
+        "token_budget_sample", "pack_sequences"
+    ]
+
+    # resume: identical invocation replays both stages without recomputing
+    before = m.completed_at_unix
+    main(["mix", "--input", src, "--workdir", wd,
+          "--total-budget", "300", "--alpha", "0.5", "--pack-budget", "50"])
+    m2 = load_manifest(os.path.join(wd, "stage_mix_sample"))
+    assert m2.completed_at_unix == before
+    assert m2.extra_metrics["realized_tokens"] == realized
+
+    # determinism: a fresh workdir draws the identical sample
+    wd2 = str(tmp_path / "mixrun2")
+    main(["mix", "--input", src, "--workdir", wd2,
+          "--total-budget", "300", "--alpha", "0.5"])
+    s2 = spark.read.parquet(os.path.join(wd2, "stage_mix_sample", "data"))
+    assert sorted(r["doc_id"] for r in s2.collect()) == sorted(
+        r["doc_id"] for r in sampled.collect()
+    )
+
+
 def test_dedup_job_with_paragraph_stage(spark, tmp_path):
     """--paragraph-dedup runs boilerplate removal before the doc-level
     passes: the shared paragraph survives only in its first doc, and a

@@ -169,6 +169,95 @@ def test_exact_dedup_agg_strategy_equals_window(spark):
         assert len(a) == 17
 
 
+def test_exact_dedup_auto_strategy(spark):
+    """auto probes the duplication ratio and picks agg for heavy
+    duplication, window for unique content — same result either way."""
+    from monotonic_optimal_binning_spark.operators.dedup import (
+        _probe_duplication_ratio,
+    )
+
+    heavy = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": range(200), "text": [f"doc {i % 9}" for i in range(200)]}
+    ))
+    unique = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": range(200), "text": [f"doc number {i}" for i in range(200)]}
+    ))
+    assert _probe_duplication_ratio(heavy, F.md5("text"), 100_000) > 0.5
+    assert _probe_duplication_ratio(unique, F.md5("text"), 100_000) < 0.1
+    for df, n in ((heavy, 9), (unique, 200)):
+        auto = exact_dedup(df, ["text"], "doc_id", strategy="auto").toPandas()
+        win = exact_dedup(df, ["text"], "doc_id", strategy="window").toPandas()
+        assert sorted(auto["doc_id"]) == sorted(win["doc_id"])
+        assert len(auto) == n
+    # empty input: probe ratio 0.0, window path, empty result
+    empty = unique.filter(F.col("doc_id") < 0)
+    assert exact_dedup(empty, ["text"], "doc_id").count() == 0
+
+
+def test_exact_dedup_auto_probe_is_limit_bounded(spark):
+    """The auto probe must never full-scan: its plan is Limit-bounded
+    (CollectLimit/GlobalLimit reads partitions incrementally and stops at
+    probe_rows) — the 'no extra full scan' contract."""
+    from monotonic_optimal_binning_spark.operators.dedup import _probe_frame
+    from tests.test_plans import plan_of
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("d"), "id").alias("text")
+    )
+    plan = plan_of(_probe_frame(df, F.md5("text"), 100), "simple")
+    assert "Limit" in plan, plan
+
+
+def test_simhash_banded_pairs_on_precomputed_fp(spark):
+    """The banding/Hamming half over an arbitrary fingerprint column must
+    equal the brute-force pair set (pigeonhole), and include_fp emits the
+    fingerprints the hamming was computed from."""
+    from monotonic_optimal_binning_spark.operators.dedup import (
+        simhash_banded_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    # clustered fingerprints: shared 48-bit prefix per cluster, few low bits
+    fps = {}
+    for i in range(60):
+        hi = int(rng.integers(0, 6)) << 40
+        lo = int(rng.integers(0, 16))
+        fps[i] = hi | lo
+    df = spark.createDataFrame(
+        pd.DataFrame({"vid": list(fps), "fp": list(fps.values())})
+    )
+    for k in (1, 2, 3):
+        out = simhash_banded_pairs(
+            df, "fp", "vid", max_hamming=k, include_fp=True
+        ).toPandas()
+        expected = sorted(
+            (a, b)
+            for a in fps
+            for b in fps
+            if a < b and bin(fps[a] ^ fps[b]).count("1") <= k
+        )
+        got = sorted(map(tuple, out[["id_a", "id_b"]].to_numpy()))
+        assert got == expected, f"max_hamming={k}"
+        # emitted fingerprints are the inputs; hamming matches popcount
+        for r in out.itertuples():
+            assert r.fp_a == fps[r.id_a] and r.fp_b == fps[r.id_b]
+            assert r.hamming == bin(r.fp_a ^ r.fp_b).count("1")
+
+
+def test_simhash_neardup_include_fp(spark):
+    """include_fp on the text-level API: fp columns appear and agree with
+    the standalone simhash fingerprints."""
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["alpha beta gamma", "alpha beta gamma"]}
+    )
+    df = spark.createDataFrame(pdf)
+    out = simhash_neardup_pairs(
+        df, "text", "doc_id", max_hamming=0, include_fp=True
+    ).toPandas()
+    assert list(out.columns) == ["id_a", "id_b", "fp_a", "fp_b", "hamming"]
+    assert len(out) == 1 and out["fp_a"][0] == out["fp_b"][0]
+
+
 def test_simhash_neardup_pairs_exact_by_pigeonhole(spark):
     """Banded Hamming join must return EXACTLY the brute-force set of pairs
     within max_hamming bits (pigeonhole guarantee with n_blocks = k+1)."""

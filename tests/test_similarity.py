@@ -105,6 +105,42 @@ def test_ivf_topk_full_probe_equals_brute_force(spark):
     pd.testing.assert_frame_equal(ivf, exact, check_dtype=False)
 
 
+def test_ivf_codebook_round_trip_and_loaded_query(spark, tmp_path):
+    """fit once / reuse: a save_json -> load_json codebook must route a
+    later ivf_topk call to EXACTLY the fit-fresh result (JSON floats
+    round-trip exactly in Python), with no KMeans fit on the query path."""
+    from monotonic_optimal_binning_spark.operators.similarity import (
+        IVFCodebook,
+        fit_ivf_codebook,
+        ivf_topk,
+    )
+
+    rng = np.random.default_rng(23)
+    vecs = rng.standard_normal((90, 8))
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(90), "embedding": [v.tolist() for v in vecs]})
+    )
+    queries = corpus.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    cb = fit_ivf_codebook(corpus, n_cells=5, seed=9)
+    assert cb.n_cells == 5 and cb.dim == 8
+    path = str(tmp_path / "codebook.json")
+    cb.save_json(path)
+    loaded = IVFCodebook.load_json(path)
+    assert loaded.centroids == cb.centroids  # exact float round-trip
+    assert loaded.seed == 9
+
+    fresh = ivf_topk(
+        corpus, queries, k=4, n_cells=5, n_probe=2, seed=9
+    ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    served = ivf_topk(
+        corpus, queries, k=4, n_probe=2, codebook=loaded
+    ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(served, fresh)
+
+
 def test_ivf_topk_recall_on_clustered_data(spark):
     """On well-separated clusters, probing 1 cell already finds the true
     neighbors (they share the query's cluster)."""
