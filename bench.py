@@ -110,10 +110,25 @@ def main():
             return
         _registry.append((name, fn))
 
+    # small per-round CPU probe (~1/10 of the headline calibration): one
+    # value per round-robin round, so a throttle episode inside a single
+    # round is self-identifying PER QUERY — each query's reported calib is
+    # the probe of the round its min rep came from
+    def mini_calib():
+        t0 = time.time()
+        spark.range(0, 100_000_000, 1, CPUS).select(
+            F.sum(F.shiftright(F.xxhash64("id", F.lit(int(t0 * 1e3) % 97)), 32))
+        ).collect()
+        return time.time() - t0
+
+    queries_calib = {}
+    calib_rounds = []
+
     def run_registered():
-        reps = {name: [] for name, _ in _registry}
+        reps = {name: [] for name, _ in _registry}  # (seconds, round) pairs
         stale = {name: 0 for name, _ in _registry}
         for rnd in range(5):
+            calib_rounds.append(round(mini_calib(), 3))
             for name, fn in _registry:
                 r = reps[name]
                 if len(r) >= 5 or (len(r) >= 3 and stale[name] >= 2):
@@ -122,11 +137,15 @@ def main():
                 fn()
                 t = time.time() - t0
                 stale[name] = (
-                    stale[name] + 1 if r and t > min(r) * 0.95 else 0
+                    stale[name] + 1
+                    if r and t > min(v for v, _ in r) * 0.95
+                    else 0
                 )
-                r.append(t)
+                r.append((t, rnd))
         for name, r in reps.items():
-            timings[name] = round(min(r), 3)
+            best, best_rnd = min(r)
+            timings[name] = round(best, 3)
+            queries_calib[name] = calib_rounds[best_rnd]
 
     # --- headline operator queries on the driver-provided testdata ---
     bench("tpch_q1", lambda: materialize(
@@ -254,13 +273,20 @@ def main():
     # >5% for two consecutive reps — the min measures the engine, not the
     # neighbors
     run_flagship(max(n_docs // 10, 10_000))
+    fcalibs = [round(mini_calib(), 3)] if not flagship_only else []
     reps = [run_flagship(n_docs)]
     stale = 0
     while len(reps) < 6 and (len(reps) < 3 or stale < 2):
+        if not flagship_only:
+            fcalibs.append(round(mini_calib(), 3))
         t = run_flagship(n_docs)
         stale = stale + 1 if t > min(reps) * 0.95 else 0
         reps.append(t)
     flagship_sec = min(reps)
+    if not flagship_only:
+        queries_calib["flagship_pipeline"] = fcalibs[
+            min(range(len(reps)), key=reps.__getitem__)
+        ]
     feature_rows = n_docs
     timings["flagship_pipeline"] = round(flagship_sec, 3)
 
@@ -295,6 +321,12 @@ def main():
         "cpus": CPUS,
     }
     result["cpu_calib_sec"] = cpu_calib_sec
+    # per-query calibration: the mini-probe (~1/10 the headline calib
+    # work) of the round each query's min rep came from — a throttle
+    # episode inside one query's winning round is visible right next to
+    # its number instead of hiding behind the session-level calib
+    result["queries_calib_sec"] = queries_calib
+    result["calib_rounds_sec"] = calib_rounds
     print(json.dumps(result))
     spark.stop()
 
