@@ -117,10 +117,11 @@ def test_minhash_lazy_mode_releases_via_helper(spark):
     out = minhash_lsh_candidates(df, "text", "doc_id", num_hashes=16, n_bands=4)
     out.count()
     pinned = out._mob_pinned_caches
-    assert len(pinned) == 2
+    # capped banded index + raw pair set + candidate shingle sets
+    assert len(pinned) == 3
     assert all(c.storageLevel.useMemory or c.storageLevel.useDisk for c in pinned)
     release_lsh_caches(out)
-    # both intermediate caches dropped to StorageLevel.NONE
+    # all intermediate caches dropped to StorageLevel.NONE
     assert all(
         not (c.storageLevel.useMemory or c.storageLevel.useDisk) for c in pinned
     )
