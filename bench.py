@@ -127,6 +127,13 @@ def main():
     def run_registered():
         reps = {name: [] for name, _ in _registry}  # (seconds, round) pairs
         stale = {name: 0 for name, _ in _registry}
+        # one untimed warmup round (the flagship gets the same treatment):
+        # codegen/JIT + python-worker forks are session costs, and letting
+        # rep 1 absorb them means ONE throttle burst in rounds 2-3 can
+        # trip the stale-stop with no clean warm rep ever recorded
+        # (observed: minhash 4.2 s recorded vs 1.9 s warm)
+        for name, fn in _registry:
+            fn()
         for rnd in range(5):
             calib_rounds.append(round(mini_calib(), 3))
             for name, fn in _registry:
