@@ -538,6 +538,57 @@ def mix_job(args) -> None:
     print(run.save())
 
 
+def ann_job(args) -> None:
+    """IVF ANN serving pipeline (the fit-once codebook contract made
+    operational): the coarse-quantizer codebook is fitted ONCE and saved
+    as ``workdir/ivf_codebook.json`` — re-runs and later query batches
+    load it instead of re-training (mirrors ``fit-woe``'s model.json) —
+    then the top-k answers for a query batch are written as an idempotent
+    checkpoint stage routed entirely from the loaded codebook."""
+    from .operators.similarity import IVFCodebook, fit_ivf_codebook, ivf_topk
+
+    spark = _spark("mob-ann")
+    run = PipelineRun(root=args.workdir)
+
+    def _read(path):
+        return (
+            spark.read.parquet(path) if "/" in path else spark.read.table(path)
+        )
+
+    corpus = _read(args.input)
+    queries = _read(args.queries)
+
+    os.makedirs(args.workdir, exist_ok=True)
+    cb_path = os.path.join(args.workdir, "ivf_codebook.json")
+    if not os.path.exists(cb_path):
+        cb = fit_ivf_codebook(
+            corpus, corpus_vec=args.vec_col, n_cells=args.n_cells,
+            seed=args.seed, train_fraction=args.train_fraction,
+        )
+        # atomic publish (write_manifest pattern): a killed job never
+        # leaves a half-written codebook to poison the resume path
+        cb.save_json(cb_path + ".tmp")
+        os.replace(cb_path + ".tmp", cb_path)
+    codebook = IVFCodebook.load_json(cb_path)
+
+    out_dir = os.path.join(args.workdir, "stage_topk")
+    run_stage(
+        spark, out_dir, "ivf_topk",
+        lambda: ivf_topk(
+            corpus, queries, args.k,
+            corpus_id=args.id_col, corpus_vec=args.vec_col,
+            query_id=args.query_id_col, query_vec=args.query_vec_col,
+            n_probe=args.n_probe, codebook=codebook,
+        ),
+        inputs=[args.input, args.queries, cb_path],
+        params={"k": args.k, "n_probe": args.n_probe,
+                "n_cells": codebook.n_cells},
+        extra_metrics={"codebook": cb_path, "dim": codebook.dim},
+    )
+    run.record(out_dir)
+    print(run.save())
+
+
 def main(argv: Optional[list] = None) -> None:
     p = argparse.ArgumentParser(prog="mob-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -663,6 +714,27 @@ def main(argv: Optional[list] = None) -> None:
     mx.add_argument("--tokens-col", default=None,
                     help="token-array column to slice when packing")
     mx.set_defaults(func=mix_job)
+
+    an = sub.add_parser(
+        "ann", help="IVF top-k with a fit-once saved codebook artifact"
+    )
+    an.add_argument("--input", required=True,
+                    help="corpus parquet path or table id")
+    an.add_argument("--queries", required=True,
+                    help="query-batch parquet path or table id")
+    an.add_argument("--workdir", required=True)
+    an.add_argument("--k", type=int, default=10)
+    an.add_argument("--vec-col", default="embedding")
+    an.add_argument("--id-col", default="vec_id")
+    an.add_argument("--query-id-col", default="query_id")
+    an.add_argument("--query-vec-col", default="embedding")
+    an.add_argument("--n-cells", type=int, default=64,
+                    help="KMeans cells (codebook fit only; reloads ignore)")
+    an.add_argument("--n-probe", type=int, default=4)
+    an.add_argument("--seed", type=int, default=42)
+    an.add_argument("--train-fraction", type=float, default=None,
+                    help="sample fraction for the codebook fit")
+    an.set_defaults(func=ann_job)
 
     args = p.parse_args(argv)
     args.func(args)

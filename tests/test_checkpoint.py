@@ -317,6 +317,50 @@ def test_mix_job_end_to_end(spark, tmp_path):
     )
 
 
+def test_ann_job_fit_once_codebook(spark, tmp_path):
+    """ann job: first run fits + saves the IVF codebook and writes the
+    top-k stage; re-run loads the artifact (no refit — file untouched)
+    and replays the stage from its manifest."""
+    import numpy as np
+    import pandas as pd
+
+    from monotonic_optimal_binning_spark.jobs import main
+
+    rng = np.random.default_rng(31)
+    vecs = rng.standard_normal((80, 6))
+    corpus_pdf = pd.DataFrame(
+        {"vec_id": range(80), "embedding": [v.tolist() for v in vecs]}
+    )
+    corpus = str(tmp_path / "corpus.parquet")
+    spark.createDataFrame(corpus_pdf).write.parquet(corpus)
+    queries = str(tmp_path / "queries.parquet")
+    spark.createDataFrame(
+        corpus_pdf.head(5).rename(columns={"vec_id": "query_id"})
+    ).write.parquet(queries)
+
+    wd = str(tmp_path / "annrun")
+    main(["ann", "--input", corpus, "--queries", queries, "--workdir", wd,
+          "--k", "3", "--n-cells", "4", "--n-probe", "4"])
+    cb_path = os.path.join(wd, "ivf_codebook.json")
+    assert os.path.exists(cb_path)
+    with open(cb_path) as f:
+        cb = json.load(f)
+    assert cb["n_cells"] == 4 and cb["dim"] == 6
+    out = spark.read.parquet(os.path.join(wd, "stage_topk", "data"))
+    assert out.count() == 15  # 5 queries x k=3
+    m = load_manifest(os.path.join(wd, "stage_topk"))
+    assert m.extra_metrics["codebook"] == cb_path
+
+    # resume: codebook not refitted, stage not recomputed
+    mtime = os.path.getmtime(cb_path)
+    before = m.completed_at_unix
+    main(["ann", "--input", corpus, "--queries", queries, "--workdir", wd,
+          "--k", "3", "--n-cells", "4", "--n-probe", "4"])
+    assert os.path.getmtime(cb_path) == mtime
+    assert load_manifest(
+        os.path.join(wd, "stage_topk")).completed_at_unix == before
+
+
 def test_dedup_job_with_paragraph_stage(spark, tmp_path):
     """--paragraph-dedup runs boilerplate removal before the doc-level
     passes: the shared paragraph survives only in its first doc, and a
