@@ -34,6 +34,51 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def save_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols,
+    n_buckets: int,
+    *,
+    sort_cols=None,
+    path: str = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Write a bucketed (and optionally per-bucket sorted) table — the
+    co-located layout for repeated joins/aggregations on the same key at
+    100 TB: every join or groupBy keyed on ``bucket_cols`` between tables
+    bucketed the same way (same cols, same ``n_buckets``) runs with ZERO
+    shuffle Exchange (pinned by tests/test_plans.py), and ``sort_cols``
+    additionally removes the sort before a merge join or window. This is
+    the parquet/catalog analog of Iceberg's bucket partition transform;
+    the one-time bucketed write amortizes across every downstream
+    consumer (per-source fits, as-of probes, dedup passes keyed by id).
+
+    Bucketing metadata lives in the catalog, so the target is a TABLE
+    NAME (``saveAsTable``), not a bare path; pass ``path`` to make it an
+    external table at that location (keeps test warehouses out of the
+    repo). Bucket pruning/bucketed scans require
+    ``spark.sql.sources.bucketing.enabled`` (default true).
+    """
+    bucket_cols = (
+        [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    )
+    writer = (
+        df.write.mode(mode)
+        .format(fmt)
+        .bucketBy(int(n_buckets), bucket_cols[0], *bucket_cols[1:])
+    )
+    if sort_cols:
+        sort_cols = (
+            [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        )
+        writer = writer.sortBy(sort_cols[0], *sort_cols[1:])
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
+
+
 def write_iceberg_or_parquet(
     df: DataFrame, target: str, *, partition_by=None, mode: str = "overwrite"
 ) -> None:

@@ -196,3 +196,40 @@ def test_topk_windows_get_rank_limit_pushdown(spark):
     )
     plan = plan_of(brute_force_topk(corpus, q, 5), "simple")
     assert plan.count("WindowGroupLimit") == 2, plan  # Partial + Final
+
+
+def test_bucketed_tables_join_and_agg_without_shuffle(spark, tmp_path):
+    """save_bucketed's co-location contract: two tables bucketed the same
+    way (same cols, same n_buckets) merge-join with ZERO shuffle Exchange,
+    and a groupBy on the bucket column aggregates without one either —
+    the layout that amortizes a single bucketed write across every
+    downstream key-joined consumer at 100 TB."""
+    from monotonic_optimal_binning_spark.sources.tables import save_bucketed
+
+    left = spark.range(10_000).select(
+        (F.col("id") % 500).alias("user_id"), F.col("id").alias("event_id")
+    )
+    right = spark.range(2_000).select(
+        (F.col("id") % 500).alias("user_id"), (F.col("id") * 2).alias("value")
+    )
+    save_bucketed(left, "bkt_left", "user_id", 8,
+                  sort_cols="user_id", path=str(tmp_path / "l"))
+    save_bucketed(right, "bkt_right", "user_id", 8,
+                  sort_cols="user_id", path=str(tmp_path / "r"))
+    try:
+        lt = spark.table("bkt_left")
+        rt = spark.table("bkt_right")
+        joined = lt.hint("merge").join(rt, on="user_id")
+        plan = plan_of(joined, "simple")
+        assert count_exchanges(joined) == 0, plan
+        assert "SortMergeJoin" in plan, plan
+        # counts agree with the unbucketed plan (1000 right rows per 250
+        # user ids x 20 left rows ... just compare against a plain join)
+        assert joined.count() == left.join(right, on="user_id").count()
+
+        agg = lt.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+        assert count_exchanges(agg) == 0, plan_of(agg, "simple")
+        assert agg.count() == 500
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
