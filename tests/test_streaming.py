@@ -564,3 +564,53 @@ def test_streaming_asof_null_event_times_match_nothing(spark, tmp_path):
     assert pd.isna(got.loc[0, "last_val"])       # null-ts left: no match
     assert got.loc[1, "last_val"] == 5.0         # real match, not 99.0
     assert got.loc[2, "last_val"] == 5.0         # frontier not poisoned
+
+
+def test_streaming_stateless_corpus_operators(spark, tmp_path):
+    """The stateless corpus operators (quality/repetition features, PII
+    scrub, token counts) are plain column expressions, so the SAME code
+    runs unchanged on a readStream — streaming output must equal the
+    batch result row-for-row (the batch paths are DuckDB-value-checked,
+    so this transitively value-checks the streaming path)."""
+    from monotonic_optimal_binning_spark.operators.textstats import (
+        pii_scrub,
+        quality_features,
+        repetition_features,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": [
+                "the quick brown fox jumps over the lazy dog near the bank",
+                "call me at 555-123-4567 or mail bob@example.com today",
+                "short",
+                "same line\nsame line\nsame line\nunique line here",
+                "!!! ??? *** ((( )))",
+                "a perfectly ordinary sentence about training data quality",
+            ],
+        }
+    )
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(pdf).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def featurize(df):
+        out = repetition_features(quality_features(df), "text")
+        out = pii_scrub(out, "text")
+        return out.select(
+            "doc_id", "quality_score", "n_tokens", "dup_line_frac",
+            "top_token_frac", "n_email", "n_digit_run", "text_scrubbed",
+        )
+
+    batch = featurize(spark.read.parquet(src)).toPandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    stream = featurize(spark.readStream.schema(schema).parquet(src))
+    q = (
+        stream.writeStream.format("memory").queryName("qf_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.sql("select * from qf_stream").toPandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(streamed, batch)
