@@ -315,6 +315,12 @@ def minhash_signature(
     b_arr = np.array([b for _, b in params], dtype=np.int64)
     p = _MERSENNE_P
 
+    # cap the flattened-shingle working set per chunk (~3 int64 temporaries
+    # of this length live at once): an Arrow batch of long documents can
+    # carry tens of millions of shingles, and the per-worker heap must stay
+    # bounded regardless of document length
+    chunk_shingles = 4_000_000
+
     @F.pandas_udf("array<bigint>")
     def _fold(sets: pd.Series) -> pd.Series:
         n = len(sets)
@@ -323,13 +329,22 @@ def minhash_signature(
         )
         out = np.empty(n, dtype=object)  # default None: null OR empty set ->
         out[:] = None                    # null signature (SQL-fold parity)
-        nz = lens > 0
-        if nz.any():
+        nz_rows = np.nonzero(lens > 0)[0]
+        start = 0
+        while start < len(nz_rows):
+            stop = start
+            total = 0
+            while stop < len(nz_rows) and (
+                stop == start or total + lens[nz_rows[stop]] <= chunk_shingles
+            ):
+                total += lens[nz_rows[stop]]
+                stop += 1
+            rows = nz_rows[start:stop]
             flat = np.concatenate(
-                [np.asarray(s, dtype=np.int64) for s in sets[nz]]
+                [np.asarray(sets.iloc[r], dtype=np.int64) for r in rows]
             )
             pos = flat % p  # non-negative (pmod semantics), < 2^31
-            nzlens = lens[nz]
+            nzlens = lens[rows]
             offsets = np.zeros(len(nzlens), dtype=np.int64)
             np.cumsum(nzlens[:-1], out=offsets[1:])
             # one vectorized pass per hash function: a*pos stays < 2^62, no
@@ -338,9 +353,9 @@ def minhash_signature(
             for j in range(num_hashes):
                 hj = (pos * a_arr[j] + b_arr[j]) % p
                 mins[:, j] = np.minimum.reduceat(hj, offsets)
-            rows = np.nonzero(nz)[0]
             for i, r in enumerate(rows):
                 out[r] = mins[i].tolist()
+            start = stop
         return pd.Series(out)
 
     return _fold(shingles)
