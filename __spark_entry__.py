@@ -985,13 +985,27 @@ def q_simhash_banded_fp(spark, sf_dir):
     Converts the distance/banding logic from rows-only to value-checked
     (fingerprint *generation* stays covered by simhash_planted)."""
     docs = load_table(spark, sf_dir, "documents")
+    # fp layout (64 bits, 4 blocks of 16 at max_hamming=2... n_blocks=3
+    # would also work; the default is max_hamming+1=3 blocks of 21/21/22):
+    # a 6-bit group id g = doc_id % 40 REPLICATED at bits 16, 32, and 48,
+    # plus a single perturbation bit (doc_id % 5) in the low block. Every
+    # block therefore carries real entropy — no constant block whose band
+    # bucket would hold the whole corpus and turn the band self-join
+    # quadratic — and pairs land at hamming 0/2 within a group (same vs
+    # different perturbation bit) and >= 3 across groups (the replicated g
+    # differs in every one of the three high blocks), so max_hamming=2
+    # selects exactly the within-group pairs at any scale
+    g = F.col("doc_id") % 40
     fp = (
-        (F.col("doc_id") % 40) * F.lit(1 << 40)
+        g * F.lit((1 << 16) + (1 << 32) + (1 << 48))
         + F.pow(F.lit(2.0), (F.col("doc_id") % 5).cast("double")).cast("long")
     )
     base = docs.select("doc_id", fp.alias("fp"))
+    # cap disabled: the oracle is the EXACT all-pairs set; bucket sizes
+    # are bounded by design (n/40 per high-block bucket, n/5 low)
     out = simhash_banded_pairs(
-        base, "fp", "doc_id", max_hamming=2, include_fp=True
+        base, "fp", "doc_id", max_hamming=2, include_fp=True,
+        max_bucket_size=None,
     )
     return out.select(
         "id_a", "id_b", "fp_a", "fp_b",
@@ -2456,10 +2470,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_banded_fp": """
             -- pigeonhole-exact banded join == all-pairs hamming filter;
-            -- identical fingerprint arithmetic on both engines
+            -- identical fingerprint arithmetic on both engines (group id
+            -- replicated at bits 16/32/48 + one low perturbation bit)
             WITH fps AS (
               SELECT doc_id,
-                     (doc_id % 40) * 1099511627776
+                     (doc_id % 40) * 281479271743488
                        + CAST(power(2, doc_id % 5) AS BIGINT) AS fp
               FROM documents)
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -40,6 +40,17 @@ def _spark(app: str) -> SparkSession:
     return SparkSession.builder.appName(app).getOrCreate()
 
 
+def _read_input(spark: SparkSession, target: str):
+    """Parquet path (contains a '/') or catalog table identifier. Note the
+    heuristic's one quirk in one place: a bare relative filename with no
+    separator reads as a TABLE name — pass paths absolute."""
+    return (
+        spark.read.parquet(target)
+        if "/" in target
+        else spark.read.table(target)
+    )
+
+
 def _parse_prebins(v: str):
     return v if v in ("auto", "exact") else int(v)
 
@@ -51,11 +62,7 @@ def fit_woe_job(args) -> None:
     pin_utc(spark)
     run = PipelineRun(root=args.workdir)
 
-    df = (
-        spark.read.parquet(args.input)
-        if "/" in args.input
-        else spark.read.table(args.input)
-    )
+    df = _read_input(spark, args.input)
 
     constraints = BinningConstraints(
         max_bins=args.max_bins, min_bins=args.min_bins,
@@ -63,11 +70,7 @@ def fit_woe_job(args) -> None:
     )
 
     if args.asof_right:
-        right = (
-            spark.read.parquet(args.asof_right)
-            if "/" in args.asof_right
-            else spark.read.table(args.asof_right)
-        )
+        right = _read_input(spark, args.asof_right)
         feat_dir = os.path.join(args.workdir, "stage_asof")
         df = run_stage(
             spark, feat_dir, "asof_features",
@@ -164,11 +167,7 @@ def dedup_job(args) -> None:
     up LSH buckets (operators/dedup.py bucket cap notes)."""
     spark = _spark("mob-dedup")
     run = PipelineRun(root=args.workdir)
-    df = (
-        spark.read.parquet(args.input)
-        if "/" in args.input
-        else spark.read.table(args.input)
-    )
+    df = _read_input(spark, args.input)
 
     from .operators.dedup import exact_dedup, minhash_dedup, paragraph_dedup
 
@@ -276,11 +275,7 @@ def quality_filter_job(args) -> None:
 
     spark = _spark("mob-quality-filter")
     run = PipelineRun(root=args.workdir)
-    df = (
-        spark.read.parquet(args.input)
-        if "/" in args.input
-        else spark.read.table(args.input)
-    )
+    df = _read_input(spark, args.input)
 
     def featured():
         feats = repetition_features(
@@ -359,11 +354,7 @@ def drift_job(args) -> None:
 
     spark = _spark("mob-drift")
     run = PipelineRun(root=args.workdir)
-    df = (
-        spark.read.parquet(args.input)
-        if "/" in args.input
-        else spark.read.table(args.input)
-    )
+    df = _read_input(spark, args.input)
     with open(args.model) as f:
         payload = _json.load(f)
     grouped = "models" in payload
@@ -428,11 +419,7 @@ def pack_job(args) -> None:
     checkpoint stage (resume skips completed stages)."""
     spark = _spark("mob-pack")
     run = PipelineRun(root=args.workdir)
-    df = (
-        spark.read.parquet(args.input)
-        if "/" in args.input
-        else spark.read.table(args.input)
-    )
+    df = _read_input(spark, args.input)
 
     from .operators.packing import pack_sequences
 
@@ -470,11 +457,7 @@ def mix_job(args) -> None:
 
     spark = _spark("mob-mix")
     run = PipelineRun(root=args.workdir)
-    df = (
-        spark.read.parquet(args.input)
-        if "/" in args.input
-        else spark.read.table(args.input)
-    )
+    df = _read_input(spark, args.input)
 
     sample_dir = os.path.join(args.workdir, "stage_mix_sample")
     budgets = {}
@@ -550,13 +533,8 @@ def ann_job(args) -> None:
     spark = _spark("mob-ann")
     run = PipelineRun(root=args.workdir)
 
-    def _read(path):
-        return (
-            spark.read.parquet(path) if "/" in path else spark.read.table(path)
-        )
-
-    corpus = _read(args.input)
-    queries = _read(args.queries)
+    corpus = _read_input(spark, args.input)
+    queries = _read_input(spark, args.queries)
 
     os.makedirs(args.workdir, exist_ok=True)
     cb_path = os.path.join(args.workdir, "ivf_codebook.json")

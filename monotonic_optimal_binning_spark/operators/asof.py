@@ -217,10 +217,13 @@ def asof_join_broadcast(
     Memory contract: the lookup lives in the DRIVER heap once and in
     EVERY executor's Python-worker heap for the query's lifetime. Both
     guards are measured on the ONE collected Arrow table itself (no
-    separate count action a nondeterministic right side could bypass):
-    ``max_rows`` bounds rows, ``max_bytes`` bounds the Arrow-buffer
-    payload size (default 256 MB — wide value columns hit this long
-    before 5M rows). Over either limit → use :func:`asof_join`.
+    separate count action a nondeterministic right side could bypass),
+    and the collect is limit-bounded to ``max_rows + 1`` rows so an
+    oversized right side can never materialize whole on the driver
+    before the guard fires: ``max_rows`` bounds rows, ``max_bytes``
+    bounds the Arrow-buffer payload size (default 256 MB — wide value
+    columns hit this long before 5M rows). Over either limit → use
+    :func:`asof_join`.
 
     Semantics match :func:`asof_join(direction="backward")`: most recent
     right value at-or-before (or strictly-before with
@@ -251,14 +254,20 @@ def asof_join_broadcast(
                 f"right_prefix"
             )
 
+    # the collect itself is BOUNDED by limit(max_rows + 1): a runaway
+    # right side materializes at most max_rows+1 rows on the driver before
+    # the guard fires, instead of the whole table (which would be the very
+    # driver OOM the guard exists to prevent); the row guard still reads
+    # off the one collected table, so a nondeterministic right side can't
+    # slip between a separate count and the collect
     tbl = right.select(
         *[F.col(k).alias(f"__k{i}") for i, k in enumerate(keys)],
         _ts_expr(right, right_ts).alias("__ts"),
         *[F.col(c) for c in value_cols],
-    ).toArrow()
+    ).limit(int(max_rows) + 1).toArrow()
     if tbl.num_rows > max_rows:
         raise ValueError(
-            f"right side has {tbl.num_rows} rows > max_rows={max_rows}; "
+            f"right side has more than max_rows={max_rows} rows; "
             f"use asof_join (the shuffle plan) for large build sides"
         )
     if tbl.nbytes > max_bytes:

@@ -12,8 +12,12 @@ All four tiers a 100 TB corpus needs, each with an explicit cost model:
                      fingerprints (or low Hamming distance) — groupable.
   ngram_jaccard      exact n-gram Jaccard on LSH-candidate pairs.
 
-Everything is Spark SQL higher-order functions (transform / aggregate /
-array_*) — zero Python UDFs; the whole family stays in codegen.
+Shingling, banding, joins, and verification are Spark SQL expressions
+(transform / array_* / joins); the two signature folds that a SQL
+formulation would evaluate as per-element interpreted HOF lambdas —
+the MinHash min-fold and the SimHash bit-vote — run as vectorized
+Arrow/numpy pandas UDFs instead (bit-identical results, measured
+multiples faster; see minhash_signature / simhash notes).
 """
 
 from __future__ import annotations
@@ -30,36 +34,39 @@ from pyspark.sql import functions as F
 _MERSENNE_P = (1 << 31) - 1
 
 
-def _probe_frame(df: DataFrame, digest: Column, probe_rows: int) -> DataFrame:
-    """The (1-row) duplication-probe aggregate, as a plan so tests can pin
-    that the Limit bounds the scan."""
-    return (
-        df.select(digest.alias("__d"))
-        .limit(int(probe_rows))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.approx_count_distinct("__d").alias("d"),
-        )
-    )
+def _probe_frame(
+    df: DataFrame, digest: Column, id_col: str, probe_rows: int
+) -> DataFrame:
+    """The duplication-probe plan: two 64-bit hashes per row under a
+    TERMINAL limit. The limit must stay terminal (no aggregate above it):
+    ``limit().collect()`` plans as CollectLimitExec, which fetches input
+    partitions incrementally and stops at ``probe_rows`` rows total —
+    putting an agg above the limit instead plans LocalLimit → Exchange
+    SinglePartition → GlobalLimit, which launches EVERY partition and
+    digests up to probe_rows rows in each (a full-scan-shaped probe at
+    corpus scale). Pinned by tests/test_plans.py (CollectLimit node)."""
+    return df.select(
+        digest.alias("__c"), F.xxhash64(F.col(id_col)).alias("__i")
+    ).limit(int(probe_rows))
 
 
-def _probe_duplication_ratio(
-    df: DataFrame, digest: Column, probe_rows: int
-) -> float:
-    """Duplicate fraction (1 - distinct/total) of the content digest over at
-    most ``probe_rows`` rows. The ``limit`` is the scan bound: Spark plans it
-    as CollectLimit/LocalLimit, which reads input partitions incrementally
-    and stops at ``probe_rows`` — the probe NEVER does a full table scan
-    (pinned by tests/test_plans.py). One small job; biased toward the
-    leading partitions, which is fine for a strategy pick (a corpus whose
-    duplication lives only in its tail gets the window plan, which is
-    correct, just not the cheapest)."""
-    row = _probe_frame(df, digest, probe_rows).first()
-    n = int(row["n"] or 0)
+def _probe_duplication(
+    df: DataFrame, digest: Column, id_col: str, probe_rows: int
+) -> tuple:
+    """(content duplicate fraction, ids-look-unique) over at most
+    ``probe_rows`` rows, computed on the driver from two collected
+    64-bit hashes per row (~1.6 MB at the default 100k). One small
+    incremental job; biased toward the leading partitions, which is fine
+    for a strategy pick (a corpus whose duplication lives only in its
+    tail gets the window plan, which is correct, just not the
+    cheapest)."""
+    rows = _probe_frame(df, digest, id_col, probe_rows).collect()
+    n = len(rows)
     if n == 0:
-        return 0.0
-    # approx_count_distinct can overshoot n slightly; clamp at 0
-    return max(0.0, 1.0 - int(row["d"]) / n)
+        return 0.0, True
+    ratio = 1.0 - len({r["__c"] for r in rows}) / n
+    ids_unique = len({r["__i"] for r in rows}) == n
+    return ratio, ids_unique
 
 
 def exact_dedup(
@@ -74,16 +81,23 @@ def exact_dedup(
 ) -> DataFrame:
     """Keep one row per distinct content; winner = min/max id (deterministic).
 
-    ``strategy="auto"`` (default) picks between the two physical plans from
-    a cheap bounded probe: the duplicate fraction of the digest over the
-    first ``probe_rows`` rows (limit-bounded — never a full scan). Heavy
-    duplication (> ``dup_ratio_cutoff``) selects ``"agg"``, whose map-side
-    combine collapses duplicate clusters before the shuffle; light
-    duplication selects ``"window"``, which needs only ONE shuffle of df.
-    Auto assumes ``id_col`` is unique per row (the ``agg`` contract below);
-    pass ``strategy="window"`` explicitly when ids can repeat.
+    ``strategy="auto"`` (default) picks between the two physical plans
+    from a cheap bounded probe (a TERMINAL limit over ``probe_rows``
+    rows, fetched incrementally — never a full scan; one eager Spark
+    action at call time, so pin a strategy for plan-only construction or
+    streaming inputs). Heavy content duplication (> ``dup_ratio_cutoff``)
+    selects ``"agg"``, whose map-side combine collapses duplicate
+    clusters before the shuffle; light duplication — or ANY id
+    duplication observed in the probe — selects ``"window"``, which
+    needs only ONE shuffle of df and is id-agnostic. The probe is a
+    sample: ids that repeat only outside the probed rows can still route
+    to ``agg``, whose divergence is bounded to literal full-duplicate
+    rows (see below) — callers that knowingly carry duplicate ids should
+    pass ``strategy="window"`` explicitly.
 
-    Two explicit physical strategies (identical results):
+    Two explicit physical strategies (identical results for unique ids;
+    under duplicate ids ``"agg"`` keeps every copy of a winning
+    (content, id) row where ``"window"`` keeps exactly one):
 
     ``"window"`` (default): a 192-bit content digest (xxhash64 + md5 of the
     JSON-encoded column struct) is the shuffle/grouping key — the raw
@@ -105,10 +119,13 @@ def exact_dedup(
     map-side partial aggregation collapses each duplicate cluster to one
     row per map task before the shuffle (a 10^8-duplicate page shuffles
     ~n_tasks rows, not 10^8, and no single reducer sorts it) — then a
-    semi-join of df on the (unique, skew-free) id. Costs a second shuffle
-    of df by id; wins when duplication is heavy or skewed. Assumes
-    ``id_col`` is unique per row (the semi-join would keep every row
-    carrying a winning id); the window strategy tolerates duplicate ids.
+    semi-join of df on (digest, winner id). The digest is part of the
+    join key, so a duplicate id can never resurrect DISTINCT content
+    that happens to share it (per digest group, only min-id rows
+    survive); the sole divergence from ``"window"`` is that all copies
+    of a fully-identical (content, id) row survive where the window
+    keeps one. Costs a second shuffle of df; wins when duplication is
+    heavy or skewed.
     """
     if keep not in ("min", "max"):
         raise ValueError("keep must be 'min' or 'max'")
@@ -153,22 +170,31 @@ def exact_dedup(
             )
         )
     if strategy == "auto":
-        # memoize per (DataFrame handle, content cols, probe size): the
-        # ratio is a pure function of the (deterministic) input, so
-        # repeated dedups of the same handle pay the probe job once
-        key = (tuple(content_cols), int(probe_rows))
+        # memoize per (DataFrame handle, content cols, id col, probe
+        # size): the probe is a pure function of the (deterministic)
+        # input, so repeated dedups of the same handle pay the probe job
+        # once
+        key = (tuple(content_cols), id_col, int(probe_rows))
         cache = df.__dict__.setdefault("_mob_dup_probe", {})
         if key not in cache:
-            cache[key] = _probe_duplication_ratio(df, h2, probe_rows)
-        strategy = "agg" if cache[key] > dup_ratio_cutoff else "window"
+            cache[key] = _probe_duplication(df, h, id_col, probe_rows)
+        ratio, ids_unique = cache[key]
+        strategy = (
+            "agg" if ids_unique and ratio > dup_ratio_cutoff else "window"
+        )
     if strategy == "agg":
         pick = F.min(F.col(id_col)) if keep == "min" else F.max(F.col(id_col))
+        keyed = df.withColumn("__h", h).withColumn("__h2", h2)
         winners = (
-            df.groupBy(h.alias("__h"), h2.alias("__h2"))
-            .agg(pick.alias(id_col))
-            .select(id_col)
+            keyed.groupBy("__h", "__h2").agg(pick.alias(id_col))
         )
-        return df.join(winners, on=id_col, how="leftsemi")
+        # digest INCLUDED in the semi-join key: a duplicate id outside the
+        # probe can then at worst keep extra copies of the winning row,
+        # never distinct content that shares the winner's id
+        return (
+            keyed.join(winners, on=["__h", "__h2", id_col], how="leftsemi")
+            .drop("__h", "__h2")
+        )
     order = F.col(id_col).asc() if keep == "min" else F.col(id_col).desc()
     w = Window.partitionBy(h, h2).orderBy(order)
     return (
