@@ -72,6 +72,7 @@ _MEDIA_ROWS = 2000  # synthetic media table size for the media_features query
 _MEDIA_SEED = 42
 
 from monotonic_optimal_binning_spark.operators.sampling import split_thresholds
+from monotonic_optimal_binning_spark.operators.screening import iv_screen
 
 # hex thresholds for the deterministic_split query + its oracle (single
 # source of truth so the two sides can never drift)
@@ -293,6 +294,25 @@ def q_fixed_bucket_woe(spark, sf_dir):
         F.round(woe, _R).alias("woe"),
         F.round((g_rate - b_rate) * woe, _R).alias("iv"),
     )
+
+
+_IV_SCREEN_CUTS = {
+    "l_quantity": [10.0, 25.0, 40.0],
+    "l_extendedprice": [20000.0, 40000.0],
+    "l_discount": [0.03, 0.06],
+    "l_tax": [0.04],
+}
+
+
+def q_iv_screen(spark, sf_dir):
+    """k-feature IV screening in ONE data scan (explicit deterministic
+    cuts so DuckDB can replicate the bucketing exactly)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.select(
+        *_IV_SCREEN_CUTS.keys(),
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+    )
+    return iv_screen(df, list(_IV_SCREEN_CUTS), "y", cuts=_IV_SCREEN_CUTS)
 
 
 def q_asof_join(spark, sf_dir):
@@ -1446,6 +1466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-5 additions (never driver-checked before) ---
         "simhash_banded_fp": q_simhash_banded_fp,
         "ivf_topk_loaded": q_ivf_topk_loaded,
+        "iv_screen": q_iv_screen,
         # --- (b) green in r4, oldest prior verification first ---
         "media_features": q_media_features,
         "tpch_q1": q_tpch_q1,
@@ -1569,6 +1590,68 @@ def oracle_sql() -> dict[str, str]:
                          ln(((count - bads + 0.5) / (tc - tb + 0.5*k)) /
                             ((bads + 0.5) / (tb + 0.5*k))), 6) AS iv
             FROM agg CROSS JOIN tot
+        """,
+        "iv_screen": """
+            WITH pairs AS (
+              SELECT 'l_quantity' AS feature,
+                     CASE WHEN l_quantity IS NULL THEN -1
+                          WHEN l_quantity < 10.0 THEN 0
+                          WHEN l_quantity < 25.0 THEN 1
+                          WHEN l_quantity < 40.0 THEN 2
+                          ELSE 3 END AS bucket,
+                     CAST(l_returnflag = 'R' AS INT) AS y
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_extendedprice',
+                     CASE WHEN l_extendedprice IS NULL THEN -1
+                          WHEN l_extendedprice < 20000.0 THEN 0
+                          WHEN l_extendedprice < 40000.0 THEN 1
+                          ELSE 2 END,
+                     CAST(l_returnflag = 'R' AS INT)
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_discount',
+                     CASE WHEN l_discount IS NULL THEN -1
+                          WHEN l_discount < 0.03 THEN 0
+                          WHEN l_discount < 0.06 THEN 1
+                          ELSE 2 END,
+                     CAST(l_returnflag = 'R' AS INT)
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_tax',
+                     CASE WHEN l_tax IS NULL THEN -1
+                          WHEN l_tax < 0.04 THEN 0
+                          ELSE 1 END,
+                     CAST(l_returnflag = 'R' AS INT)
+              FROM lineitem),
+            agg AS (
+              SELECT feature, bucket, count(*) AS cnt, sum(y) AS bads
+              FROM pairs GROUP BY feature, bucket),
+            wk AS (
+              SELECT feature, bucket, cnt, bads,
+                     sum(cnt) OVER (PARTITION BY feature) AS tc,
+                     sum(bads) OVER (PARTITION BY feature) AS tb,
+                     count(*) OVER (PARTITION BY feature) AS k
+              FROM agg),
+            pb AS (
+              SELECT feature, bucket,
+                     ((cnt - bads) + 0.5) / ((tc - tb) + 0.5 * k) AS g_rate,
+                     (bads + 0.5) / (tb + 0.5 * k) AS b_rate,
+                     CASE WHEN bucket < 0 THEN NULL
+                          ELSE bads * 1.0 / cnt END AS br
+              FROM wk),
+            st AS (
+              SELECT feature,
+                     (g_rate - b_rate) * ln(g_rate / b_rate) AS iv_term,
+                     br - lag(br) OVER (PARTITION BY feature
+                                        ORDER BY bucket) AS br_step
+              FROM pb)
+            SELECT feature,
+                   CAST(count(*) AS BIGINT) AS n_buckets,
+                   round(sum(iv_term), 6) AS iv,
+                   (max(br_step) <= 1e-12 OR min(br_step) >= -1e-12
+                    OR count(br_step) = 0) AS bad_rate_monotone
+            FROM st GROUP BY feature
         """,
         "bin_fit_monotone": """
             WITH d AS (

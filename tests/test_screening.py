@@ -1,0 +1,117 @@
+"""iv_screen: multi-feature IV screening vs the driver-side woe_iv kernel."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from monotonic_optimal_binning_spark.core.stats import woe_iv
+from monotonic_optimal_binning_spark.operators.screening import (
+    iv_screen,
+    quantile_cuts,
+)
+
+
+@pytest.fixture(scope="module")
+def toy(spark):
+    rows = []
+    rng = np.random.RandomState(7)
+    for i in range(600):
+        a = float(rng.uniform(0, 100))
+        b = float(rng.uniform(0, 1))
+        # bad rate rises with a (monotone signal), noise on b
+        y = int(rng.uniform() < (0.1 + 0.6 * a / 100))
+        rows.append((i, a if i % 20 else None, b, y))
+    return spark.createDataFrame(rows, "id long, a double, b double, y int")
+
+
+def _truth_iv(pdf, col, cuts, smoothing=0.5):
+    """Driver-side ground truth: bucket with numpy, IV via core woe_iv."""
+    import pandas as pd
+
+    v = pdf[col]
+    bucket = pd.Series(
+        np.searchsorted(np.asarray(cuts), v.to_numpy(dtype=float), side="right"),
+        index=pdf.index,
+    )
+    bucket[v.isna()] = -1
+    g = pdf.assign(bucket=bucket).groupby("bucket")["y"].agg(["count", "sum"])
+    bads = g["sum"].to_numpy(dtype=float)
+    goods = g["count"].to_numpy(dtype=float) - bads
+    comp = woe_iv(goods, bads, smoothing=smoothing, return_components=True)
+    return float(np.round(comp["iv"].sum(), 6)), len(g)
+
+
+def test_iv_matches_core_kernel(toy):
+    cuts = {"a": [25.0, 50.0, 75.0], "b": [0.5]}
+    out = {
+        r["feature"]: r
+        for r in iv_screen(toy, ["a", "b"], "y", cuts=cuts).collect()
+    }
+    pdf = toy.toPandas()
+    for col in ("a", "b"):
+        iv, nb = _truth_iv(pdf, col, cuts[col])
+        assert out[col]["iv"] == pytest.approx(iv, abs=2e-6), col
+        assert out[col]["n_buckets"] == nb, col
+    # a carries the planted signal, b is noise
+    assert out["a"]["iv"] > 5 * out["b"]["iv"]
+
+
+def test_monotone_flag_ignores_missing_bucket(toy):
+    cuts = {"a": [25.0, 50.0, 75.0]}
+    row = iv_screen(toy, ["a"], "y", cuts=cuts).collect()[0]
+    # planted monotone signal; the missing bucket's bad rate must not
+    # break the flag even though it sorts first
+    pdf = toy.toPandas().dropna(subset=["a"])
+    br = (
+        pdf.assign(bucket=np.searchsorted([25.0, 50.0, 75.0], pdf["a"]))
+        .groupby("bucket")["y"]
+        .mean()
+        .to_numpy()
+    )
+    assert bool(row["bad_rate_monotone"]) == bool(
+        np.all(np.diff(br) >= -1e-12) or np.all(np.diff(br) <= 1e-12)
+    )
+
+
+def test_nonmonotone_flag(spark):
+    # V-shaped bad rate: high at both ends
+    rows = [(float(x), int(x < 20 or x > 80)) for x in range(100)]
+    df = spark.createDataFrame(rows, "x double, y int")
+    row = iv_screen(df, ["x"], "y", cuts={"x": [33.0, 66.0]}).collect()[0]
+    assert not row["bad_rate_monotone"]
+
+
+def test_single_bucket_feature_is_trivially_monotone(spark):
+    df = spark.createDataFrame([(1.0, 0), (2.0, 1)], "x double, y int")
+    row = iv_screen(df, ["x"], "y", cuts={"x": []}).collect()[0]
+    assert row["n_buckets"] == 1
+    assert row["bad_rate_monotone"]
+
+
+def test_quantile_cuts_one_pass_and_dedup(spark):
+    df = spark.createDataFrame(
+        [(float(i % 3), float(i)) for i in range(300)], "c double, u double"
+    )
+    cuts = quantile_cuts(df, ["c", "u"], n_buckets=10)
+    # 3-valued feature: the 9 decile probes collapse to ≤3 distinct cuts
+    assert cuts["c"] == sorted(set(cuts["c"]))
+    assert len(cuts["c"]) <= 3
+    assert len(cuts["u"]) == 9
+    assert all(x < y for x, y in zip(cuts["u"], cuts["u"][1:]))
+
+
+def test_one_scan_plan(toy):
+    """The input table is scanned exactly once and partially aggregated
+    map-side before the only input-sized shuffle."""
+    out = iv_screen(toy, ["a", "b"], "y", cuts={"a": [50.0], "b": [0.5]})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") + plan.count("FileScan") == 1
+    # partial aggregation below the (feature, bucket) exchange
+    assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_errors(toy):
+    with pytest.raises(ValueError):
+        iv_screen(toy, [], "y")
+    with pytest.raises(ValueError):
+        iv_screen(toy, ["a"], "y", cuts={"b": [1.0]})
