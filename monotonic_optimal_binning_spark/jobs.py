@@ -413,6 +413,58 @@ def drift_job(args) -> None:
     print(run.save())
 
 
+def screen_job(args) -> None:
+    """Feature-selection stage that runs BEFORE fit-woe: rank all candidate
+    features by IV in one data scan (:func:`operators.screening.iv_screen`)
+    and write the ranked table as an idempotent checkpoint stage. The
+    manifest is amended once with the top-k ``(feature, iv)`` ranking, so
+    the lineage shows which features the downstream fit should take
+    without re-reading the stage output."""
+    from .operators.screening import iv_screen
+    from .plans.checkpoint import load_manifest, write_manifest
+
+    spark = _spark("mob-screen")
+    run = PipelineRun(root=args.workdir)
+    df = _read_input(spark, args.input)
+
+    if args.features.strip().lower() == "auto":
+        numeric = ("int", "bigint", "smallint", "tinyint", "float", "double",
+                   "decimal")
+        features = [
+            f.name
+            for f in df.schema.fields
+            if f.name != args.y
+            and any(f.dataType.simpleString().startswith(t) for t in numeric)
+        ]
+    else:
+        features = [c.strip() for c in args.features.split(",") if c.strip()]
+    if not features:
+        raise SystemExit("screen: no candidate feature columns")
+
+    out_dir = os.path.join(args.workdir, "stage_screen")
+    ranked = run_stage(
+        spark, out_dir, "iv_screen",
+        lambda: iv_screen(
+            df, features, args.y, n_buckets=args.n_buckets,
+        ),
+        inputs=[args.input],
+        params={"features": features, "y": args.y,
+                "n_buckets": args.n_buckets, "top_k": args.top_k},
+    )
+    m = load_manifest(out_dir)
+    if m is not None and "top_features" not in m.extra_metrics:
+        # k rows, already ranked by iv desc in the stage output
+        top = ranked.limit(args.top_k or len(features)).collect()
+        m.extra_metrics["top_features"] = [
+            {"feature": r["feature"], "iv": r["iv"],
+             "bad_rate_monotone": bool(r["bad_rate_monotone"])}
+            for r in top
+        ]
+        write_manifest(out_dir, m)
+    run.record(out_dir)
+    print(run.save())
+
+
 def pack_job(args) -> None:
     """Sequence-packing pipeline stage: token counts -> distributed global
     prefix sum -> concat-then-chunk slices, written as an idempotent
@@ -692,6 +744,21 @@ def main(argv: Optional[list] = None) -> None:
     mx.add_argument("--tokens-col", default=None,
                     help="token-array column to slice when packing")
     mx.set_defaults(func=mix_job)
+
+    sc = sub.add_parser(
+        "screen", help="rank candidate features by IV before fit-woe"
+    )
+    sc.add_argument("--input", required=True, help="parquet path or table id")
+    sc.add_argument("--features", required=True,
+                    help="comma-separated numeric columns, or 'auto' for "
+                         "every numeric column except --y")
+    sc.add_argument("--y", required=True, help="binary target column")
+    sc.add_argument("--workdir", required=True)
+    sc.add_argument("--n-buckets", type=int, default=10)
+    sc.add_argument("--top-k", type=int, default=None,
+                    help="how many ranked features to surface in the "
+                         "stage manifest (default: all)")
+    sc.set_defaults(func=screen_job)
 
     an = sub.add_parser(
         "ann", help="IVF top-k with a fit-once saved codebook artifact"

@@ -396,3 +396,44 @@ def test_dedup_job_with_paragraph_stage(spark, tmp_path):
     assert para["text"].tolist() == [
         "unique one\n\nshared boiler", "unique two"
     ]
+
+
+def test_screen_job_end_to_end(spark, tmp_path):
+    """spark-submit feature screening: ranked IV table checkpointed, the
+    manifest amended once with the top-k ranking; resume replays."""
+    import numpy as np
+    import pandas as pd
+
+    from monotonic_optimal_binning_spark.jobs import main
+    from monotonic_optimal_binning_spark.plans.checkpoint import load_manifest
+
+    rng = np.random.RandomState(3)
+    a = rng.uniform(0, 100, 800)
+    noise = rng.uniform(0, 1, 800)
+    y = (rng.uniform(size=800) < (0.1 + 0.6 * a / 100)).astype(int)
+    src = str(tmp_path / "feats.parquet")
+    spark.createDataFrame(
+        pd.DataFrame({"a": a, "noise": noise, "label": y, "name": "x"})
+    ).write.parquet(src)
+
+    wd = str(tmp_path / "run")
+    main(["screen", "--input", src, "--workdir", wd,
+          "--features", "auto", "--y", "label", "--n-buckets", "5",
+          "--top-k", "1"])
+
+    m = load_manifest(os.path.join(wd, "stage_screen"))
+    # auto feature discovery skipped the string col and the target
+    assert sorted(m.params["features"]) == ["a", "noise"]
+    assert m.rows_written == 2
+    top = m.extra_metrics["top_features"]
+    assert len(top) == 1 and top[0]["feature"] == "a"  # planted signal wins
+
+    # resume: manifest amendment must not duplicate or rescan
+    main(["screen", "--input", src, "--workdir", wd,
+          "--features", "auto", "--y", "label", "--n-buckets", "5",
+          "--top-k", "1"])
+    m2 = load_manifest(os.path.join(wd, "stage_screen"))
+    assert m2.extra_metrics["top_features"] == top
+
+    ranked = spark.read.parquet(os.path.join(wd, "stage_screen", "data"))
+    assert {r["feature"] for r in ranked.collect()} == {"a", "noise"}
