@@ -413,6 +413,51 @@ def drift_job(args) -> None:
     print(run.save())
 
 
+def transform_job(args) -> None:
+    """Serving-side scoring: assign bins/WoE to a FRESH slice from a saved
+    ``model.json`` artifact (``fit-woe`` output) — no refit, no training
+    rescan, just the broadcast pandas-UDF lookup over one scan of the
+    input, written as an idempotent checkpoint stage. Detects single
+    (``FittedBins``) vs per-group (``GroupedBins``) artifacts from the
+    payload, mirroring ``drift``."""
+    import json as _json
+
+    from .operators.binning import FittedBins, GroupedBins
+
+    spark = _spark("mob-transform")
+    run = PipelineRun(root=args.workdir)
+    df = _read_input(spark, args.input)
+    with open(args.model) as f:
+        payload = _json.load(f)
+    if "models" in payload:
+        artifact = GroupedBins.load_json(args.model)
+        gcol = args.group_col or artifact.group_col
+        build = lambda: artifact.transform(  # noqa: E731
+            df, assign=args.assign, input_col=args.input_col,
+            group_col=gcol, output_col=args.output_col,
+        )
+        model_kind = "grouped"
+    else:
+        artifact = FittedBins.from_dict(payload)
+        build = lambda: artifact.transform(  # noqa: E731
+            df, assign=args.assign, input_col=args.input_col,
+            output_col=args.output_col,
+        )
+        model_kind = "single"
+
+    out_dir = os.path.join(args.workdir, "stage_transform")
+    run_stage(
+        spark, out_dir, "transform", build,
+        inputs=[args.input, args.model],
+        params={"model": args.model, "assign": args.assign,
+                "input_col": args.input_col, "output_col": args.output_col,
+                "kind": model_kind},
+        partition_by=[args.partition_by] if args.partition_by else None,
+    )
+    run.record(out_dir)
+    print(run.save())
+
+
 def screen_job(args) -> None:
     """Feature-selection stage that runs BEFORE fit-woe: rank all candidate
     features by IV in one data scan (:func:`operators.screening.iv_screen`)
@@ -744,6 +789,25 @@ def main(argv: Optional[list] = None) -> None:
     mx.add_argument("--tokens-col", default=None,
                     help="token-array column to slice when packing")
     mx.set_defaults(func=mix_job)
+
+    tr = sub.add_parser(
+        "transform",
+        help="score a fresh slice from a saved model.json (no refit)",
+    )
+    tr.add_argument("--input", required=True, help="parquet path or table id")
+    tr.add_argument("--model", required=True,
+                    help="FittedBins/GroupedBins JSON from fit-woe")
+    tr.add_argument("--workdir", required=True)
+    tr.add_argument("--assign", default="woe",
+                    choices=("interval", "left", "right", "woe"))
+    tr.add_argument("--input-col", default=None,
+                    help="column to score (default: the artifact's x)")
+    tr.add_argument("--output-col", default=None)
+    tr.add_argument("--group-col", default=None,
+                    help="grouped artifacts: override the group column")
+    tr.add_argument("--partition-by", default=None,
+                    help="partition the scored output by this column")
+    tr.set_defaults(func=transform_job)
 
     sc = sub.add_parser(
         "screen", help="rank candidate features by IV before fit-woe"

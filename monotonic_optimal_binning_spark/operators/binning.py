@@ -386,6 +386,34 @@ class FittedBins:
             out[is_missing] = "Missing"
         return pd.Series(out)
 
+    def transform(
+        self,
+        df: DataFrame,
+        assign: str = "interval",
+        input_col: Optional[str] = None,
+        output_col: Optional[str] = None,
+    ) -> DataFrame:
+        """Serving-side broadcast lookup: score a DataFrame straight from
+        the artifact (no binner / fit state required — this is what a
+        ``load_json``'d model does in production). ``assign``:
+        'interval' (label), 'left', 'right', or 'woe'. The artifact
+        travels inside the serialized pandas UDF (kilobytes)."""
+        if assign == "woe" and not self.is_binary:
+            raise ValueError("assign='woe' requires binary target")
+        if assign not in ("interval", "left", "right", "woe"):
+            raise ValueError(f"Unknown assign mode: {assign}")
+
+        input_col = input_col or self.x
+        output_col = output_col or f"{input_col}_{assign}"
+        ret_type = "string" if assign == "interval" else "double"
+        model = self
+
+        @F.pandas_udf(ret_type)
+        def _assign(values: pd.Series) -> pd.Series:
+            return model.assign_batch(values, assign)
+
+        return df.withColumn(output_col, _assign(F.col(input_col)))
+
 
 class SparkMonotonicBinner:
     """End-to-end monotonic optimal binning on a Spark DataFrame.
@@ -902,22 +930,12 @@ class SparkMonotonicBinner:
         """Map a raw column to bin assignments via a broadcast pandas UDF.
 
         assign: 'interval' (label), 'left', 'right', or 'woe'.
+        Delegates to :meth:`FittedBins.transform` — identical to scoring
+        from a saved ``model.json``.
         """
-        model = self._model()
-        if assign == "woe" and not model.is_binary:
-            raise ValueError("assign='woe' requires binary target")
-        if assign not in ("interval", "left", "right", "woe"):
-            raise ValueError(f"Unknown assign mode: {assign}")
-
-        input_col = input_col or model.x
-        output_col = output_col or f"{input_col}_{assign}"
-        ret_type = "string" if assign == "interval" else "double"
-
-        @F.pandas_udf(ret_type)
-        def _assign(values: pd.Series) -> pd.Series:
-            return model.assign_batch(values, assign)
-
-        return df.withColumn(output_col, _assign(F.col(input_col)))
+        return self._model().transform(
+            df, assign=assign, input_col=input_col, output_col=output_col
+        )
 
 
 class GroupedBins:

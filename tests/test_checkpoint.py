@@ -437,3 +437,59 @@ def test_screen_job_end_to_end(spark, tmp_path):
 
     ranked = spark.read.parquet(os.path.join(wd, "stage_screen", "data"))
     assert {r["feature"] for r in ranked.collect()} == {"a", "noise"}
+
+
+def test_transform_job_end_to_end(spark, tmp_path):
+    """fit -> save_json -> score a FRESH slice with the transform job:
+    output equals the in-process broadcast transform, resume replays."""
+    from monotonic_optimal_binning_spark import (
+        BinningConstraints,
+        SparkMonotonicBinner,
+    )
+    from monotonic_optimal_binning_spark.jobs import main
+
+    df = spark.range(20_000).select(
+        (F.col("id") % 40).cast("double").alias("x"),
+        (F.pmod(F.xxhash64("id"), 100) < F.col("id") % 40 + 20)
+        .cast("int").alias("y"),
+    )
+    b = SparkMonotonicBinner(
+        "x", "y", constraints=BinningConstraints(max_bins=5, min_bins=3)
+    ).fit(df)
+    model = str(tmp_path / "model.json")
+    b.model_.save_json(model)
+
+    fresh = df.limit(2_000)
+    src = str(tmp_path / "fresh.parquet")
+    fresh.write.parquet(src)
+
+    wd = str(tmp_path / "score")
+    main(["transform", "--input", src, "--model", model, "--workdir", wd,
+          "--assign", "woe", "--output-col", "x_woe"])
+
+    out = spark.read.parquet(os.path.join(wd, "stage_transform", "data"))
+    expected = b.transform(
+        spark.read.parquet(src), assign="woe", output_col="x_woe"
+    )
+    got = {(r["x"], r["y"], round(r["x_woe"], 9)) for r in out.collect()}
+    want = {(r["x"], r["y"], round(r["x_woe"], 9)) for r in expected.collect()}
+    assert got == want
+
+    m = load_manifest(os.path.join(wd, "stage_transform"))
+    assert m.params["kind"] == "single"
+    assert m.rows_written == 2_000
+
+    # resume is a replay, not a recompute
+    before = m.completed_at_unix
+    main(["transform", "--input", src, "--model", model, "--workdir", wd,
+          "--assign", "woe", "--output-col", "x_woe"])
+    assert load_manifest(
+        os.path.join(wd, "stage_transform")).completed_at_unix == before
+
+    # interval labels from the same artifact (string path)
+    wd2 = str(tmp_path / "labels")
+    main(["transform", "--input", src, "--model", model, "--workdir", wd2,
+          "--assign", "interval"])
+    lab = spark.read.parquet(os.path.join(wd2, "stage_transform", "data"))
+    labels = {r["x_interval"] for r in lab.collect()}
+    assert labels <= set(b.summary_()["bucket"]) and len(labels) > 1
