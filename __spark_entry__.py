@@ -315,6 +315,20 @@ def q_iv_screen(spark, sf_dir):
     return iv_screen(df, list(_IV_SCREEN_CUTS), "y", cuts=_IV_SCREEN_CUTS)
 
 
+def q_iv_screen_grouped(spark, sf_dir):
+    """Per-group screening: every (l_linestatus, feature) IV from the
+    SAME single scan, global cuts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cuts = {k: _IV_SCREEN_CUTS[k] for k in ("l_quantity", "l_discount")}
+    df = li.select(
+        "l_linestatus",
+        *cuts.keys(),
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+    )
+    return iv_screen(df, list(cuts), "y", cuts=cuts,
+                     group_col="l_linestatus")
+
+
 def q_asof_join(spark, sf_dir):
     """Point-in-time as-of join: each click joined to the user's latest
     prior purchase (zero leakage)."""
@@ -1467,6 +1481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_banded_fp": q_simhash_banded_fp,
         "ivf_topk_loaded": q_ivf_topk_loaded,
         "iv_screen": q_iv_screen,
+        "iv_screen_grouped": q_iv_screen_grouped,
         # --- (b) green in r4, oldest prior verification first ---
         "media_features": q_media_features,
         "tpch_q1": q_tpch_q1,
@@ -1652,6 +1667,54 @@ def oracle_sql() -> dict[str, str]:
                    (max(br_step) <= 1e-12 OR min(br_step) >= -1e-12
                     OR count(br_step) = 0) AS bad_rate_monotone
             FROM st GROUP BY feature
+        """,
+        "iv_screen_grouped": """
+            WITH pairs AS (
+              SELECT l_linestatus, 'l_quantity' AS feature,
+                     CASE WHEN l_quantity IS NULL THEN -1
+                          WHEN l_quantity < 10.0 THEN 0
+                          WHEN l_quantity < 25.0 THEN 1
+                          WHEN l_quantity < 40.0 THEN 2
+                          ELSE 3 END AS bucket,
+                     CAST(l_returnflag = 'R' AS INT) AS y
+              FROM lineitem
+              UNION ALL
+              SELECT l_linestatus, 'l_discount',
+                     CASE WHEN l_discount IS NULL THEN -1
+                          WHEN l_discount < 0.03 THEN 0
+                          WHEN l_discount < 0.06 THEN 1
+                          ELSE 2 END,
+                     CAST(l_returnflag = 'R' AS INT)
+              FROM lineitem),
+            agg AS (
+              SELECT l_linestatus, feature, bucket,
+                     count(*) AS cnt, sum(y) AS bads
+              FROM pairs GROUP BY l_linestatus, feature, bucket),
+            wk AS (
+              SELECT l_linestatus, feature, bucket, cnt, bads,
+                     sum(cnt) OVER (PARTITION BY l_linestatus, feature) AS tc,
+                     sum(bads) OVER (PARTITION BY l_linestatus, feature) AS tb,
+                     count(*) OVER (PARTITION BY l_linestatus, feature) AS k
+              FROM agg),
+            pb AS (
+              SELECT l_linestatus, feature, bucket,
+                     ((cnt - bads) + 0.5) / ((tc - tb) + 0.5 * k) AS g_rate,
+                     (bads + 0.5) / (tb + 0.5 * k) AS b_rate,
+                     CASE WHEN bucket < 0 THEN NULL
+                          ELSE bads * 1.0 / cnt END AS br
+              FROM wk),
+            st AS (
+              SELECT l_linestatus, feature,
+                     (g_rate - b_rate) * ln(g_rate / b_rate) AS iv_term,
+                     br - lag(br) OVER (PARTITION BY l_linestatus, feature
+                                        ORDER BY bucket) AS br_step
+              FROM pb)
+            SELECT l_linestatus, feature,
+                   CAST(count(*) AS BIGINT) AS n_buckets,
+                   round(sum(iv_term), 6) AS iv,
+                   (max(br_step) <= 1e-12 OR min(br_step) >= -1e-12
+                    OR count(br_step) = 0) AS bad_rate_monotone
+            FROM st GROUP BY l_linestatus, feature
         """,
         "bin_fit_monotone": """
             WITH d AS (

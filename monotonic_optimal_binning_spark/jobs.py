@@ -478,7 +478,7 @@ def screen_job(args) -> None:
         features = [
             f.name
             for f in df.schema.fields
-            if f.name != args.y
+            if f.name != args.y and f.name != args.group_col
             and any(f.dataType.simpleString().startswith(t) for t in numeric)
         ]
     else:
@@ -491,18 +491,25 @@ def screen_job(args) -> None:
         spark, out_dir, "iv_screen",
         lambda: iv_screen(
             df, features, args.y, n_buckets=args.n_buckets,
+            group_col=args.group_col,
         ),
         inputs=[args.input],
         params={"features": features, "y": args.y,
-                "n_buckets": args.n_buckets, "top_k": args.top_k},
+                "n_buckets": args.n_buckets, "top_k": args.top_k,
+                "group_col": args.group_col},
     )
     m = load_manifest(out_dir)
     if m is not None and "top_features" not in m.extra_metrics:
         # k rows, already ranked by iv desc in the stage output
         top = ranked.limit(args.top_k or len(features)).collect()
         m.extra_metrics["top_features"] = [
-            {"feature": r["feature"], "iv": r["iv"],
-             "bad_rate_monotone": bool(r["bad_rate_monotone"])}
+            {
+                **({args.group_col: r[args.group_col]}
+                   if args.group_col else {}),
+                "feature": r["feature"],
+                "iv": r["iv"],
+                "bad_rate_monotone": bool(r["bad_rate_monotone"]),
+            }
             for r in top
         ]
         write_manifest(out_dir, m)
@@ -819,6 +826,9 @@ def main(argv: Optional[list] = None) -> None:
     sc.add_argument("--y", required=True, help="binary target column")
     sc.add_argument("--workdir", required=True)
     sc.add_argument("--n-buckets", type=int, default=10)
+    sc.add_argument("--group-col", default=None,
+                    help="also screen per group of this column (global "
+                         "cuts; one output row per group x feature)")
     sc.add_argument("--top-k", type=int, default=None,
                     help="how many ranked features to surface in the "
                          "stage manifest (default: all)")

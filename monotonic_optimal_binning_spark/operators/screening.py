@@ -18,6 +18,10 @@ WoE/IV per bucket then reduces over that tiny aggregate with two more
 (k·buckets-row) shuffles — nothing downstream of the first aggregation
 ever touches data proportional to the input, so the operator's cost at
 100 TB is one scan + one bounded shuffle regardless of feature count.
+With ``group_col`` the same single scan screens every feature within
+every group (one output row per (group, feature)); the post-aggregate
+windows partition on (group, feature) with ≤ n_buckets+1 rows each, so
+group skew cannot pin a task.
 
 The smoothed WoE formula matches :func:`core.stats.woe_iv` /
 /root/reference/src/MOBPY/core/utils.py:152-237:
@@ -79,6 +83,7 @@ def iv_screen(
     n_buckets: int = 10,
     smoothing: float = 0.5,
     relative_error: float = 0.001,
+    group_col: Optional[str] = None,
 ) -> DataFrame:
     """Rank k candidate features by Information Value in ≤2 passes.
 
@@ -86,14 +91,19 @@ def iv_screen(
     ----------
     cuts : explicit interior cut points per feature (deterministic path,
         used by the oracle harness). When omitted, derived by
-        :func:`quantile_cuts` in one extra scan.
+        :func:`quantile_cuts` in one extra scan. With ``group_col`` the
+        cuts are GLOBAL (shared across groups), which keeps per-group IVs
+        comparable on the same bucketing.
     y_col : binary target column (castable to int, 1 = "bad").
+    group_col : screen every feature within every group of this column
+        (e.g. ``source``) in the same single scan; adds the group column
+        to the output.
 
-    Returns one row per feature: ``feature``, ``n_buckets`` (non-empty,
-    missing bucket included), ``iv``, and ``bad_rate_monotone`` — whether
-    the per-bucket bad rate is monotone over the NON-missing buckets in
-    cut order (the cheap screen for "will a monotone binning fit this
-    feature without heavy merging").
+    Returns one row per feature (or per (group, feature)): ``feature``,
+    ``n_buckets`` (non-empty, missing bucket included), ``iv``, and
+    ``bad_rate_monotone`` — whether the per-bucket bad rate is monotone
+    over the NON-missing buckets in cut order (the cheap screen for
+    "will a monotone binning fit this feature without heavy merging").
     """
     features = list(features)
     if not features:
@@ -104,6 +114,7 @@ def iv_screen(
     if missing:
         raise ValueError(f"iv_screen: no cuts for features {missing}")
 
+    gcols = [group_col] if group_col else []
     pairs = F.explode(
         F.array(
             *[
@@ -117,16 +128,18 @@ def iv_screen(
     ).alias("fb")
     y = F.col("__y").cast("long")
     agg = (
-        df.select(pairs, F.col(y_col).cast("int").alias("__y"))
-        .select("fb.feature", "fb.bucket", "__y")
-        .groupBy("feature", "bucket")
+        df.select(*gcols, pairs, F.col(y_col).cast("int").alias("__y"))
+        .select(*gcols, "fb.feature", "fb.bucket", "__y")
+        .groupBy(*gcols, "feature", "bucket")
         .agg(F.count(F.lit(1)).alias("count"), F.sum(y).alias("bads"))
     )
 
-    # everything below runs over ≤ k·(n_buckets+1) rows
+    # everything below runs over ≤ n_groups·k·(n_buckets+1) rows, and every
+    # window partition holds ≤ n_buckets+1 of them
     from pyspark.sql import Window
 
-    w = Window.partitionBy("feature")
+    pkeys = gcols + ["feature"]
+    w = Window.partitionBy(*pkeys)
     s = float(smoothing)
     tc = F.sum("count").over(w)
     tb = F.sum("bads").over(w)
@@ -137,19 +150,19 @@ def iv_screen(
     woe = F.log(g_rate / b_rate)
     bad_rate = F.col("bads") / F.col("count")
 
-    wo = Window.partitionBy("feature").orderBy("bucket")
+    wo = Window.partitionBy(*pkeys).orderBy("bucket")
     # bad rate with the missing bucket (-1) nulled out: lag-based steps are
     # then NULL at the missing row AND at the first real bucket (whose lag
     # is the missing row), so monotonicity is judged over real buckets only
     br_nm = F.when(F.col("bucket") < 0, F.lit(None)).otherwise(bad_rate)
     per_bucket = agg.select(
-        "feature",
+        *pkeys,
         "bucket",
         ((g_rate - b_rate) * woe).alias("iv_term"),
         br_nm.alias("__br"),
     ).withColumn("__br_step", F.col("__br") - F.lag("__br").over(wo))
     return (
-        per_bucket.groupBy("feature")
+        per_bucket.groupBy(*pkeys)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_buckets"),
             F.round(F.sum("iv_term"), 6).alias("iv"),
@@ -159,5 +172,5 @@ def iv_screen(
                 | (F.count("__br_step") == 0)
             ).alias("bad_rate_monotone"),
         )
-        .orderBy(F.col("iv").desc(), "feature")
+        .orderBy(*gcols, F.col("iv").desc(), "feature")
     )

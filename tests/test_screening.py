@@ -115,3 +115,33 @@ def test_errors(toy):
         iv_screen(toy, [], "y")
     with pytest.raises(ValueError):
         iv_screen(toy, ["a"], "y", cuts={"b": [1.0]})
+
+
+def test_grouped_screen_matches_per_group_slices(toy):
+    """group_col output equals running the ungrouped screen on each
+    group's slice separately (same global cuts)."""
+    from pyspark.sql import functions as F
+
+    cuts = {"a": [25.0, 50.0, 75.0], "b": [0.5]}
+    df = toy.withColumn(
+        "src", F.when(F.col("id") % 3 == 0, "s0").otherwise("s1")
+    )
+    grouped = {
+        (r["src"], r["feature"]): r
+        for r in iv_screen(
+            df, ["a", "b"], "y", cuts=cuts, group_col="src"
+        ).collect()
+    }
+    assert len(grouped) == 4
+    for src in ("s0", "s1"):
+        single = {
+            r["feature"]: r
+            for r in iv_screen(
+                df.filter(F.col("src") == src), ["a", "b"], "y", cuts=cuts
+            ).collect()
+        }
+        for feat in ("a", "b"):
+            g, s = grouped[(src, feat)], single[feat]
+            assert g["iv"] == s["iv"]
+            assert g["n_buckets"] == s["n_buckets"]
+            assert g["bad_rate_monotone"] == s["bad_rate_monotone"]
