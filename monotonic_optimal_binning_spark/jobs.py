@@ -473,13 +473,13 @@ def screen_job(args) -> None:
     df = _read_input(spark, args.input)
 
     if args.features.strip().lower() == "auto":
-        numeric = ("int", "bigint", "smallint", "tinyint", "float", "double",
-                   "decimal")
+        from pyspark.sql.types import NumericType
+
         features = [
             f.name
             for f in df.schema.fields
             if f.name != args.y and f.name != args.group_col
-            and any(f.dataType.simpleString().startswith(t) for t in numeric)
+            and isinstance(f.dataType, NumericType)
         ]
     else:
         features = [c.strip() for c in args.features.split(",") if c.strip()]
@@ -500,8 +500,30 @@ def screen_job(args) -> None:
     )
     m = load_manifest(out_dir)
     if m is not None and "top_features" not in m.extra_metrics:
-        # k rows, already ranked by iv desc in the stage output
-        top = ranked.limit(args.top_k or len(features)).collect()
+        # re-sort on the REREAD stage output (a parquet round-trip does not
+        # preserve the write-side ordering); with a group col the top-k is
+        # per group, not a global head that would starve every group after
+        # the first
+        from pyspark.sql import Window, functions as F
+
+        k_top = args.top_k or len(features)
+        if args.group_col:
+            wr = Window.partitionBy(args.group_col).orderBy(
+                F.col("iv").desc(), "feature"
+            )
+            top = (
+                ranked.withColumn("__rk", F.row_number().over(wr))
+                .filter(F.col("__rk") <= k_top)
+                .drop("__rk")
+                .orderBy(args.group_col, F.col("iv").desc(), "feature")
+                .collect()
+            )
+        else:
+            top = (
+                ranked.orderBy(F.col("iv").desc(), "feature")
+                .limit(k_top)
+                .collect()
+            )
         m.extra_metrics["top_features"] = [
             {
                 **({args.group_col: r[args.group_col]}

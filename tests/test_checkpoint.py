@@ -493,3 +493,42 @@ def test_transform_job_end_to_end(spark, tmp_path):
     lab = spark.read.parquet(os.path.join(wd2, "stage_transform", "data"))
     labels = {r["x_interval"] for r in lab.collect()}
     assert labels <= set(b.summary_()["bucket"]) and len(labels) > 1
+
+
+def test_screen_job_grouped_topk_and_type_detection(spark, tmp_path):
+    """--group-col: top-k is PER GROUP in the manifest; auto feature
+    detection takes numeric types only (timestamps excluded)."""
+    import numpy as np
+    import pandas as pd
+
+    from monotonic_optimal_binning_spark.jobs import main
+    from monotonic_optimal_binning_spark.plans.checkpoint import load_manifest
+
+    rng = np.random.RandomState(11)
+    n = 1200
+    a = rng.uniform(0, 100, n)
+    y = (rng.uniform(size=n) < (0.1 + 0.6 * a / 100)).astype(int)
+    pdf = pd.DataFrame({
+        "a": a,
+        "noise": rng.uniform(0, 1, n),
+        "label": y,
+        "grp": np.where(np.arange(n) % 2 == 0, "g0", "g1"),
+        "ts": pd.Timestamp("2026-01-01")
+        + pd.to_timedelta(np.arange(n), unit="s"),
+    })
+    src = str(tmp_path / "g.parquet")
+    spark.createDataFrame(pdf).write.parquet(src)
+
+    wd = str(tmp_path / "run")
+    main(["screen", "--input", src, "--workdir", wd,
+          "--features", "auto", "--y", "label", "--group-col", "grp",
+          "--n-buckets", "5", "--top-k", "1"])
+
+    m = load_manifest(os.path.join(wd, "stage_screen"))
+    # timestamp and group columns are not candidate features
+    assert sorted(m.params["features"]) == ["a", "noise"]
+    top = m.extra_metrics["top_features"]
+    # ONE row per group, and in each it's the planted-signal feature
+    assert [(t["grp"], t["feature"]) for t in top] == [
+        ("g0", "a"), ("g1", "a")
+    ]
