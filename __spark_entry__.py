@@ -329,6 +329,26 @@ def q_iv_screen_grouped(spark, sf_dir):
                      group_col="l_linestatus")
 
 
+def q_categorical_woe(spark, sf_dir):
+    """Categorical WoE fit over documents.source (y = lang=='en'): the
+    fitted artifact's summary as a DataFrame — count/bads exact, WoE/IV
+    vs the same smoothed formula in DuckDB (zero-count __other__ pool
+    included: it is the artifact's unseen-category fallback)."""
+    from monotonic_optimal_binning_spark.operators.categorical import (
+        fit_categorical_woe,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = docs.select("source", (F.col("lang") == "en").cast("int").alias("y"))
+    enc = fit_categorical_woe(df, "source", "y")
+    pdf = enc.summary_()
+    pdf["woe"] = pdf["woe"].round(_R)
+    pdf["iv"] = pdf["iv"].round(_R)
+    return spark.createDataFrame(
+        pdf.astype({"count": "int64", "bads": "int64"})
+    )
+
+
 def q_asof_join(spark, sf_dir):
     """Point-in-time as-of join: each click joined to the user's latest
     prior purchase (zero leakage)."""
@@ -1482,6 +1502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_loaded": q_ivf_topk_loaded,
         "iv_screen": q_iv_screen,
         "iv_screen_grouped": q_iv_screen_grouped,
+        "categorical_woe": q_categorical_woe,
         # --- (b) green in r4, oldest prior verification first ---
         "media_features": q_media_features,
         "tpch_q1": q_tpch_q1,
@@ -1667,6 +1688,27 @@ def oracle_sql() -> dict[str, str]:
                    (max(br_step) <= 1e-12 OR min(br_step) >= -1e-12
                     OR count(br_step) = 0) AS bad_rate_monotone
             FROM st GROUP BY feature
+        """,
+        "categorical_woe": """
+            WITH agg AS (
+              SELECT CAST(source AS VARCHAR) AS bucket,
+                     count(*) AS cnt,
+                     sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS bads
+              FROM documents GROUP BY source
+              UNION ALL SELECT '__other__', 0, 0),
+            tot AS (
+              SELECT sum(cnt) AS tc, sum(bads) AS tb, count(*) AS k
+              FROM agg)
+            SELECT bucket,
+                   CAST(cnt AS BIGINT) AS count,
+                   CAST(bads AS BIGINT) AS bads,
+                   round(ln(((cnt - bads + 0.5) / (tc - tb + 0.5*k)) /
+                            ((bads + 0.5) / (tb + 0.5*k))), 6) AS woe,
+                   round((((cnt - bads + 0.5) / (tc - tb + 0.5*k)) -
+                          ((bads + 0.5) / (tb + 0.5*k))) *
+                         ln(((cnt - bads + 0.5) / (tc - tb + 0.5*k)) /
+                            ((bads + 0.5) / (tb + 0.5*k))), 6) AS iv
+            FROM agg CROSS JOIN tot
         """,
         "iv_screen_grouped": """
             WITH pairs AS (
