@@ -329,6 +329,29 @@ def q_iv_screen_grouped(spark, sf_dir):
                      group_col="l_linestatus")
 
 
+def q_iv_screen_categorical(spark, sf_dir):
+    """Mixed numeric + categorical screen in the SAME single scan: one
+    numeric feature (explicit cuts) plus two string features where each
+    category is its own bucket. `bad_rate_monotone` is NULL for the
+    categorical rows (no ordering to be monotone over) — re-encoded as
+    int {-1: NULL/categorical, 0: false, 1: true} so the tri-state stays
+    value-hashable (a nullable boolean stringifies differently in
+    pandas-from-Spark vs pandas-from-DuckDB)."""
+    docs = load_table(spark, sf_dir, "documents")
+    df = docs.select(
+        "n_chars", "source", "lang",
+        F.pmod(F.col("doc_id"), F.lit(2)).cast("int").alias("y"),
+    )
+    out = iv_screen(
+        df, ["n_chars"], "y", cuts={"n_chars": [500.0, 2000.0]},
+        categorical=["source", "lang"],
+    )
+    return out.withColumn(
+        "bad_rate_monotone",
+        F.coalesce(F.col("bad_rate_monotone").cast("int"), F.lit(-1)),
+    )
+
+
 def q_categorical_woe(spark, sf_dir):
     """Categorical WoE fit over documents.source (y = lang=='en'): the
     fitted artifact's summary as a DataFrame — count/bads exact, WoE/IV
@@ -1502,6 +1525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_loaded": q_ivf_topk_loaded,
         "iv_screen": q_iv_screen,
         "iv_screen_grouped": q_iv_screen_grouped,
+        "iv_screen_categorical": q_iv_screen_categorical,
         "categorical_woe": q_categorical_woe,
         # --- (b) green in r4, oldest prior verification first ---
         "media_features": q_media_features,
@@ -1757,6 +1781,60 @@ def oracle_sql() -> dict[str, str]:
                    (max(br_step) <= 1e-12 OR min(br_step) >= -1e-12
                     OR count(br_step) = 0) AS bad_rate_monotone
             FROM st GROUP BY l_linestatus, feature
+        """,
+        "iv_screen_categorical": """
+            WITH pairs AS (
+              SELECT 'n_chars' AS feature,
+                     CASE WHEN n_chars IS NULL THEN -1
+                          WHEN n_chars < 500.0 THEN 0
+                          WHEN n_chars < 2000.0 THEN 1
+                          ELSE 2 END AS bucket,
+                     CAST(NULL AS VARCHAR) AS cat,
+                     CAST(doc_id % 2 AS INT) AS y
+              FROM documents
+              UNION ALL
+              SELECT 'source', NULL,
+                     COALESCE(CAST(source AS VARCHAR), '__missing__'),
+                     CAST(doc_id % 2 AS INT)
+              FROM documents
+              UNION ALL
+              SELECT 'lang', NULL,
+                     COALESCE(CAST(lang AS VARCHAR), '__missing__'),
+                     CAST(doc_id % 2 AS INT)
+              FROM documents),
+            agg AS (
+              SELECT feature, bucket, cat,
+                     count(*) AS cnt, sum(y) AS bads
+              FROM pairs GROUP BY feature, bucket, cat),
+            wk AS (
+              SELECT feature, bucket, cat, cnt, bads,
+                     sum(cnt) OVER (PARTITION BY feature) AS tc,
+                     sum(bads) OVER (PARTITION BY feature) AS tb,
+                     count(*) OVER (PARTITION BY feature) AS k
+              FROM agg),
+            pb AS (
+              SELECT feature, bucket, cat,
+                     ((cnt - bads) + 0.5) / ((tc - tb) + 0.5 * k) AS g_rate,
+                     (bads + 0.5) / (tb + 0.5 * k) AS b_rate,
+                     CASE WHEN cat IS NULL AND bucket >= 0
+                          THEN bads * 1.0 / cnt END AS br
+              FROM wk),
+            st AS (
+              SELECT feature, cat,
+                     (g_rate - b_rate) * ln(g_rate / b_rate) AS iv_term,
+                     br - lag(br) OVER (PARTITION BY feature
+                                        ORDER BY bucket) AS br_step
+              FROM pb)
+            SELECT feature,
+                   CAST(count(*) AS BIGINT) AS n_buckets,
+                   round(sum(iv_term), 6) AS iv,
+                   COALESCE(CAST(
+                     CASE WHEN max(cat) IS NOT NULL THEN NULL
+                          ELSE (max(br_step) <= 1e-12
+                                OR min(br_step) >= -1e-12
+                                OR count(br_step) = 0) END
+                   AS INT), -1) AS bad_rate_monotone
+            FROM st GROUP BY feature
         """,
         "bin_fit_monotone": """
             WITH d AS (

@@ -481,20 +481,35 @@ def screen_job(args) -> None:
             if f.name != args.y and f.name != args.group_col
             and isinstance(f.dataType, NumericType)
         ]
+    elif args.features.strip().lower() == "none":
+        features = []
     else:
         features = [c.strip() for c in args.features.split(",") if c.strip()]
-    if not features:
+    cat_arg = (args.categorical or "").strip()
+    if cat_arg.lower() == "auto":
+        from pyspark.sql.types import StringType
+
+        categorical = [
+            f.name
+            for f in df.schema.fields
+            if f.name != args.y and f.name != args.group_col
+            and isinstance(f.dataType, StringType)
+        ]
+    else:
+        categorical = [c.strip() for c in cat_arg.split(",") if c.strip()]
+    if not features and not categorical:
         raise SystemExit("screen: no candidate feature columns")
 
     out_dir = os.path.join(args.workdir, "stage_screen")
     ranked = run_stage(
         spark, out_dir, "iv_screen",
         lambda: iv_screen(
-            df, features, args.y, n_buckets=args.n_buckets,
-            group_col=args.group_col,
+            df, features, args.y, categorical=categorical,
+            n_buckets=args.n_buckets, group_col=args.group_col,
         ),
         inputs=[args.input],
-        params={"features": features, "y": args.y,
+        params={"features": features, "categorical": categorical,
+                "y": args.y,
                 "n_buckets": args.n_buckets, "top_k": args.top_k,
                 "group_col": args.group_col},
     )
@@ -530,7 +545,11 @@ def screen_job(args) -> None:
                    if args.group_col else {}),
                 "feature": r["feature"],
                 "iv": r["iv"],
-                "bad_rate_monotone": bool(r["bad_rate_monotone"]),
+                # NULL for categorical features (no order to be monotone on)
+                "bad_rate_monotone": (
+                    None if r["bad_rate_monotone"] is None
+                    else bool(r["bad_rate_monotone"])
+                ),
             }
             for r in top
         ]
@@ -843,8 +862,14 @@ def main(argv: Optional[list] = None) -> None:
     )
     sc.add_argument("--input", required=True, help="parquet path or table id")
     sc.add_argument("--features", required=True,
-                    help="comma-separated numeric columns, or 'auto' for "
-                         "every numeric column except --y")
+                    help="comma-separated numeric columns, 'auto' for "
+                         "every numeric column except --y, or 'none' "
+                         "(categorical-only screen)")
+    sc.add_argument("--categorical", default=None,
+                    help="comma-separated string columns to screen as "
+                         "categorical (each category = one bucket; IV via "
+                         "totals-join, no per-feature window), or 'auto' "
+                         "for every string column except --y/--group-col")
     sc.add_argument("--y", required=True, help="binary target column")
     sc.add_argument("--workdir", required=True)
     sc.add_argument("--n-buckets", type=int, default=10)

@@ -200,6 +200,14 @@ def fit_categorical_woe(
         for r in top
         if int(r["count"]) >= int(min_samples)
     ]
+    reserved = {c for c, _, _ in kept} & {OTHER, MISSING}
+    if reserved:
+        # the artifact keys buckets by name: a literal category equal to a
+        # reserved bucket would silently overwrite the pooled/missing WoE
+        raise ValueError(
+            f"fit_categorical_woe: column {x_col!r} contains reserved "
+            f"category value(s) {sorted(reserved)}; rename them upstream"
+        )
     kept_count = sum(c for _, c, _ in kept)
     kept_bads = sum(b for _, _, b in kept)
     miss_count = int(null_row["count"]) if null_row else 0

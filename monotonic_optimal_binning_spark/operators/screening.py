@@ -14,14 +14,14 @@ all k features in **at most two passes total, independent of k**:
    ``groupBy(feature, bucket)`` with map-side partial aggregation
    collapses everything to ≤ k·(n_buckets+1) rows before the shuffle.
 
-WoE/IV per bucket then reduces over that tiny aggregate with two more
-(k·buckets-row) shuffles — nothing downstream of the first aggregation
-ever touches data proportional to the input, so the operator's cost at
-100 TB is one scan + one bounded shuffle regardless of feature count.
-With ``group_col`` the same single scan screens every feature within
-every group (one output row per (group, feature)); the post-aggregate
-windows partition on (group, feature) with ≤ n_buckets+1 rows each, so
-group skew cannot pin a task.
+WoE/IV per bucket then reduces over that aggregate: per-feature totals
+are a second algebraic aggregate over the SAME shuffle output
+(ReusedExchange — no second input scan) broadcast-joined back, so
+nothing downstream of the first aggregation ever touches data
+proportional to the input and no step is a per-feature window. The
+operator's cost at 100 TB is one scan + one bounded shuffle regardless
+of feature count. With ``group_col`` the same single scan screens every
+feature within every group (one output row per (group, feature)).
 
 The smoothed WoE formula matches :func:`core.stats.woe_iv` /
 /root/reference/src/MOBPY/core/utils.py:152-237:
@@ -32,6 +32,14 @@ The smoothed WoE formula matches :func:`core.stats.woe_iv` /
 Null feature values land in their own ``bucket = -1`` (missing) group and
 contribute to IV like any other bucket, mirroring the reference's
 separate missing-bin summary row.
+
+``categorical=`` features join the SAME scan: each category value is its
+own bucket (null → a missing sentinel). A URL-ish column with 10⁸
+distinct values stays AQE-splittable through the totals-join — there is
+no window for it to pin a task on. ``bad_rate_monotone`` is NULL for
+categorical features — categories have no order to be monotone over;
+for numeric features it reduces over a per-feature ``collect_list`` of
+at most n_buckets+1 (bucket, bad-rate) points, never the raw rows.
 """
 
 from __future__ import annotations
@@ -74,11 +82,18 @@ def quantile_cuts(
     return out
 
 
+# sentinel bucket for NULL categorical values; never appears in the output
+# (only per-feature aggregates leave this module), so it cannot collide
+# with a real category in any user-visible way
+_MISSING_CAT = "__missing__"
+
+
 def iv_screen(
     df: DataFrame,
     features: Sequence[str],
     y_col: str,
     *,
+    categorical: Optional[Sequence[str]] = None,
     cuts: Optional[Dict[str, Sequence[float]]] = None,
     n_buckets: int = 10,
     smoothing: float = 0.5,
@@ -105,72 +120,104 @@ def iv_screen(
     over the NON-missing buckets in cut order (the cheap screen for
     "will a monotone binning fit this feature without heavy merging").
     """
-    features = list(features)
-    if not features:
+    features = list(features or [])
+    categorical = list(categorical or [])
+    if not features and not categorical:
         raise ValueError("iv_screen: empty feature list")
-    if cuts is None:
-        cuts = quantile_cuts(df, features, n_buckets, relative_error)
-    missing = [f for f in features if f not in cuts]
-    if missing:
-        raise ValueError(f"iv_screen: no cuts for features {missing}")
+    overlap = set(features) & set(categorical)
+    if overlap:
+        raise ValueError(
+            f"iv_screen: features listed as both numeric and categorical: "
+            f"{sorted(overlap)}"
+        )
+    if features:
+        if cuts is None:
+            cuts = quantile_cuts(df, features, n_buckets, relative_error)
+        missing = [f for f in features if f not in cuts]
+        if missing:
+            raise ValueError(f"iv_screen: no cuts for features {missing}")
 
     gcols = [group_col] if group_col else []
-    pairs = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(f).alias("feature"),
-                    _bucket_expr(f, cuts[f]).alias("bucket"),
-                )
-                for f in features
-            ]
+    entries = [
+        F.struct(
+            F.lit(f).alias("feature"),
+            _bucket_expr(f, cuts[f]).alias("bucket"),
+            F.lit(None).cast("string").alias("cat"),
         )
-    ).alias("fb")
+        for f in features
+    ] + [
+        F.struct(
+            F.lit(f).alias("feature"),
+            F.lit(None).cast("int").alias("bucket"),
+            F.coalesce(F.col(f).cast("string"), F.lit(_MISSING_CAT)).alias(
+                "cat"
+            ),
+        )
+        for f in categorical
+    ]
+    pairs = F.explode(F.array(*entries)).alias("fb")
     y = F.col("__y").cast("long")
     agg = (
         df.select(*gcols, pairs, F.col(y_col).cast("int").alias("__y"))
-        .select(*gcols, "fb.feature", "fb.bucket", "__y")
-        .groupBy(*gcols, "feature", "bucket")
+        .select(*gcols, "fb.feature", "fb.bucket", "fb.cat", "__y")
+        .groupBy(*gcols, "feature", "bucket", "cat")
         .agg(F.count(F.lit(1)).alias("count"), F.sum(y).alias("bads"))
     )
 
-    # everything below runs over ≤ n_groups·k·(n_buckets+1) rows, and every
-    # window partition holds ≤ n_buckets+1 of them
-    from pyspark.sql import Window
-
     pkeys = gcols + ["feature"]
-    w = Window.partitionBy(*pkeys)
     s = float(smoothing)
-    tc = F.sum("count").over(w)
-    tb = F.sum("bads").over(w)
-    k = F.count(F.lit(1)).over(w)
-    goods = F.col("count") - F.col("bads")
-    g_rate = (goods + s) / ((tc - tb) + s * k)
-    b_rate = (F.col("bads") + s) / (tb + s * k)
-    woe = F.log(g_rate / b_rate)
-    bad_rate = F.col("bads") / F.col("count")
 
-    wo = Window.partitionBy(*pkeys).orderBy("bucket")
-    # bad rate with the missing bucket (-1) nulled out: lag-based steps are
-    # then NULL at the missing row AND at the first real bucket (whose lag
-    # is the missing row), so monotonicity is judged over real buckets only
-    br_nm = F.when(F.col("bucket") < 0, F.lit(None)).otherwise(bad_rate)
-    per_bucket = agg.select(
-        *pkeys,
-        "bucket",
-        ((g_rate - b_rate) * woe).alias("iv_term"),
-        br_nm.alias("__br"),
-    ).withColumn("__br_step", F.col("__br") - F.lag("__br").over(wo))
+    # ONE pipeline for numeric AND categorical features (a filter-split
+    # union would push the cat predicate below the aggregate and re-scan
+    # the input once per branch): per-feature totals come from a second
+    # algebraic aggregate over the SAME shuffle output (ReusedExchange)
+    # broadcast-joined back — never a per-feature window, which a
+    # 10⁸-category column would pin into a single task.
+    tot = agg.groupBy(*pkeys).agg(
+        F.sum("count").alias("__tc"),
+        F.sum("bads").alias("__tb"),
+        F.count(F.lit(1)).alias("__k"),
+    )
+    j = agg.join(F.broadcast(tot), pkeys)
+    goods = F.col("count") - F.col("bads")
+    g_rate = (goods + s) / ((F.col("__tc") - F.col("__tb")) + s * F.col("__k"))
+    b_rate = (F.col("bads") + s) / (F.col("__tb") + s * F.col("__k"))
+    iv_term = (g_rate - b_rate) * F.log(g_rate / b_rate)
+    # bad-rate points for the monotone check: NUMERIC real buckets only
+    # (a NULL element is skipped by collect_list, so categorical rows and
+    # the missing bucket contribute nothing — the collected array is
+    # bounded by n_buckets+1 per feature regardless of category counts)
+    br_pt = F.when(
+        F.col("cat").isNull() & (F.col("bucket") >= 0),
+        F.struct(F.col("bucket").alias("b"),
+                 (F.col("bads") / F.col("count")).alias("br")),
+    )
+    res = j.groupBy(*pkeys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.round(F.sum(iv_term), 6).alias("iv"),
+        F.sort_array(F.collect_list(br_pt)).alias("__brs"),
+        F.max("cat").alias("__anycat"),
+    )
+    # consecutive bad-rate steps over the tiny per-feature array; all
+    # steps ≥ -eps or all ≤ eps (or no steps) = monotone. NULL for
+    # categorical features — categories have no order to be monotone on.
+    mono = F.expr(
+        """
+        CASE WHEN __anycat IS NOT NULL THEN NULL ELSE
+          size(__brs) < 2 OR
+          forall(zip_with(slice(__brs, 2, size(__brs) - 1),
+                          slice(__brs, 1, size(__brs) - 1),
+                          (a, b) -> a.br - b.br),
+                 st -> st <= 1e-12) OR
+          forall(zip_with(slice(__brs, 2, size(__brs) - 1),
+                          slice(__brs, 1, size(__brs) - 1),
+                          (a, b) -> a.br - b.br),
+                 st -> st >= -1e-12)
+        END
+        """
+    )
     return (
-        per_bucket.groupBy(*pkeys)
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_buckets"),
-            F.round(F.sum("iv_term"), 6).alias("iv"),
-            (
-                (F.max("__br_step") <= 1e-12)
-                | (F.min("__br_step") >= -1e-12)
-                | (F.count("__br_step") == 0)
-            ).alias("bad_rate_monotone"),
-        )
+        res.withColumn("bad_rate_monotone", mono)
+        .drop("__brs", "__anycat")
         .orderBy(*gcols, F.col("iv").desc(), "feature")
     )

@@ -100,12 +100,24 @@ def test_quantile_cuts_one_pass_and_dedup(spark):
     assert all(x < y for x, y in zip(cuts["u"], cuts["u"][1:]))
 
 
+def _final_plan(df) -> str:
+    """Execute and return the AQE FINAL plan text only (the toString also
+    appends the pre-execution Initial Plan, which still shows the
+    duplicated totals subtree that ReuseExchange folds at runtime)."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
+
+
 def test_one_scan_plan(toy):
     """The input table is scanned exactly once and partially aggregated
-    map-side before the only input-sized shuffle."""
+    map-side before the only input-sized shuffle; the per-feature totals
+    aggregate reuses that shuffle's output (ReusedExchange), not a second
+    scan."""
     out = iv_screen(toy, ["a", "b"], "y", cuts={"a": [50.0], "b": [0.5]})
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Scan ExistingRDD") + plan.count("FileScan") == 1
+    plan = _final_plan(out)
+    assert plan.count("Scan ExistingRDD") + plan.count("FileScan") == 1, plan
+    assert "ReusedExchange" in plan, plan
     # partial aggregation below the (feature, bucket) exchange
     assert "partial_count" in plan or "partial" in plan.lower()
 
@@ -115,6 +127,106 @@ def test_errors(toy):
         iv_screen(toy, [], "y")
     with pytest.raises(ValueError):
         iv_screen(toy, ["a"], "y", cuts={"b": [1.0]})
+
+
+def _truth_iv_cat(pdf, col, smoothing=0.5):
+    """Ground truth for a categorical feature: one bucket per category
+    (null → its own bucket), IV via the core woe_iv kernel."""
+    g = (
+        pdf.assign(cat=pdf[col].fillna("__missing__"))
+        .groupby("cat")["y"]
+        .agg(["count", "sum"])
+    )
+    bads = g["sum"].to_numpy(dtype=float)
+    goods = g["count"].to_numpy(dtype=float) - bads
+    comp = woe_iv(goods, bads, smoothing=smoothing, return_components=True)
+    return float(np.round(comp["iv"].sum(), 6)), len(g)
+
+
+@pytest.fixture(scope="module")
+def toy_cat(spark, toy):
+    # a planted-signal categorical (bad rate differs per level, one null
+    # level) and a noise categorical
+    return toy.select(
+        "id", "a", "b", "y",
+        F.when(F.col("id") % 17 == 0, F.lit(None))
+        .when(F.col("y") == 1, F.when(F.col("id") % 3 == 0, "hi").otherwise("mid"))
+        .otherwise(F.when(F.col("id") % 4 == 0, "mid").otherwise("lo"))
+        .alias("c1"),
+        F.concat(F.lit("n"), (F.col("id") % 5).cast("string")).alias("c2"),
+    )
+
+
+def test_categorical_iv_matches_kernel(toy_cat):
+    out = {
+        r["feature"]: r
+        for r in iv_screen(
+            toy_cat, [], "y", categorical=["c1", "c2"]
+        ).collect()
+    }
+    pdf = toy_cat.toPandas()
+    for col in ("c1", "c2"):
+        iv, nb = _truth_iv_cat(pdf, col)
+        assert out[col]["iv"] == pytest.approx(iv, abs=2e-6), col
+        assert out[col]["n_buckets"] == nb, col
+        assert out[col]["bad_rate_monotone"] is None, col
+    assert out["c1"]["iv"] > 5 * out["c2"]["iv"]
+
+
+def test_mixed_numeric_and_categorical_single_scan(toy_cat):
+    """Numeric + categorical screen together: values match the separate
+    runs, and ReuseExchange folds the two post-agg branches back onto ONE
+    scan of the input."""
+    cuts = {"a": [25.0, 50.0, 75.0]}
+    mixed = iv_screen(
+        toy_cat, ["a"], "y", cuts=cuts, categorical=["c1"]
+    )
+    rows = {r["feature"]: r for r in mixed.collect()}
+    num_only = iv_screen(toy_cat, ["a"], "y", cuts=cuts).collect()[0]
+    cat_only = iv_screen(toy_cat, [], "y", categorical=["c1"]).collect()[0]
+    assert rows["a"]["iv"] == num_only["iv"]
+    assert rows["a"]["bad_rate_monotone"] == num_only["bad_rate_monotone"]
+    assert rows["c1"]["iv"] == cat_only["iv"]
+    assert rows["c1"]["n_buckets"] == cat_only["n_buckets"]
+
+    plan = _final_plan(mixed)
+    n_scans = plan.count("Scan ExistingRDD") + plan.count("FileScan")
+    assert n_scans == 1, plan
+
+
+def test_categorical_branch_has_no_per_feature_window(toy_cat):
+    """The categorical IV path must stay AQE-splittable: totals via a
+    broadcast-joined aggregate, never a window partitioned by feature
+    (a 10⁸-category column would pin one task)."""
+    out = iv_screen(toy_cat, [], "y", categorical=["c1", "c2"])
+    plan = _final_plan(out)
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan, plan
+
+
+def test_grouped_categorical_matches_per_group_slices(toy_cat):
+    df = toy_cat.withColumn(
+        "src", F.when(F.col("id") % 3 == 0, "s0").otherwise("s1")
+    )
+    grouped = {
+        (r["src"], r["feature"]): r
+        for r in iv_screen(
+            df, [], "y", categorical=["c1"], group_col="src"
+        ).collect()
+    }
+    assert len(grouped) == 2
+    for src in ("s0", "s1"):
+        single = iv_screen(
+            df.filter(F.col("src") == src), [], "y", categorical=["c1"]
+        ).collect()[0]
+        g = grouped[(src, "c1")]
+        assert g["iv"] == single["iv"]
+        assert g["n_buckets"] == single["n_buckets"]
+
+
+def test_numeric_and_categorical_overlap_rejected(toy_cat):
+    with pytest.raises(ValueError):
+        iv_screen(toy_cat, ["a"], "y", cuts={"a": [50.0]}, categorical=["a"])
 
 
 def test_grouped_screen_matches_per_group_slices(toy):
