@@ -352,6 +352,30 @@ def q_iv_screen_categorical(spark, sf_dir):
     )
 
 
+def q_corr_matrix(spark, sf_dir):
+    """One-scan pairwise-complete Pearson correlation matrix over four
+    lineitem measures, two of them with deterministic planted nulls so
+    each pair's n differs (pairwise-complete semantics exercised). The
+    oracle is DuckDB's corr() per pair — its aggregate skips rows where
+    either side is NULL, exactly the mapInPandas mask semantics."""
+    from monotonic_optimal_binning_spark.operators.correlation import (
+        correlation_matrix,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.select(
+        F.col("l_quantity").alias("qty"),
+        F.col("l_extendedprice").alias("price"),
+        F.when(F.pmod(F.col("l_orderkey"), F.lit(7)) == 0, F.lit(None))
+        .otherwise(F.col("l_discount"))
+        .alias("disc"),
+        F.when(F.pmod(F.col("l_partkey"), F.lit(5)) == 0, F.lit(None))
+        .otherwise(F.col("l_tax"))
+        .alias("tax"),
+    )
+    return correlation_matrix(df, ["qty", "price", "disc", "tax"])
+
+
 def q_categorical_woe(spark, sf_dir):
     """Categorical WoE fit over documents.source (y = lang=='en'): the
     fitted artifact's summary as a DataFrame — count/bads exact, WoE/IV
@@ -1526,6 +1550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iv_screen": q_iv_screen,
         "iv_screen_grouped": q_iv_screen_grouped,
         "iv_screen_categorical": q_iv_screen_categorical,
+        "corr_matrix": q_corr_matrix,
         "categorical_woe": q_categorical_woe,
         # --- (b) green in r4, oldest prior verification first ---
         "media_features": q_media_features,
@@ -1712,6 +1737,51 @@ def oracle_sql() -> dict[str, str]:
                    (max(br_step) <= 1e-12 OR min(br_step) >= -1e-12
                     OR count(br_step) = 0) AS bad_rate_monotone
             FROM st GROUP BY feature
+        """,
+        "corr_matrix": """
+            WITH d AS (
+              SELECT l_quantity AS qty,
+                     l_extendedprice AS price,
+                     CASE WHEN l_orderkey % 7 = 0 THEN NULL
+                          ELSE l_discount END AS disc,
+                     CASE WHEN l_partkey % 5 = 0 THEN NULL
+                          ELSE l_tax END AS tax
+              FROM lineitem)
+            SELECT 'qty' AS feature_a, 'price' AS feature_b,
+                   CAST(count(*) FILTER (qty IS NOT NULL
+                        AND price IS NOT NULL) AS BIGINT) AS n,
+                   round(COALESCE(corr(qty, price), 0.0), 6) AS "corr"
+            FROM d
+            UNION ALL
+            SELECT 'qty', 'disc',
+                   CAST(count(*) FILTER (qty IS NOT NULL
+                        AND disc IS NOT NULL) AS BIGINT),
+                   round(COALESCE(corr(qty, disc), 0.0), 6)
+            FROM d
+            UNION ALL
+            SELECT 'qty', 'tax',
+                   CAST(count(*) FILTER (qty IS NOT NULL
+                        AND tax IS NOT NULL) AS BIGINT),
+                   round(COALESCE(corr(qty, tax), 0.0), 6)
+            FROM d
+            UNION ALL
+            SELECT 'price', 'disc',
+                   CAST(count(*) FILTER (price IS NOT NULL
+                        AND disc IS NOT NULL) AS BIGINT),
+                   round(COALESCE(corr(price, disc), 0.0), 6)
+            FROM d
+            UNION ALL
+            SELECT 'price', 'tax',
+                   CAST(count(*) FILTER (price IS NOT NULL
+                        AND tax IS NOT NULL) AS BIGINT),
+                   round(COALESCE(corr(price, tax), 0.0), 6)
+            FROM d
+            UNION ALL
+            SELECT 'disc', 'tax',
+                   CAST(count(*) FILTER (disc IS NOT NULL
+                        AND tax IS NOT NULL) AS BIGINT),
+                   round(COALESCE(corr(disc, tax), 0.0), 6)
+            FROM d
         """,
         "categorical_woe": """
             WITH agg AS (

@@ -554,6 +554,39 @@ def screen_job(args) -> None:
             for r in top
         ]
         write_manifest(out_dir, m)
+    if args.corr_threshold is not None and m is not None:
+        # redundancy prune over the top-ranked NUMERIC features (Pearson is
+        # undefined for categoricals — they pass through untouched): one
+        # extra scan for the k×k correlation matrix, then the driver-side
+        # greedy keeps the higher-IV feature of each |corr|>threshold pair.
+        if args.group_col:
+            raise SystemExit(
+                "screen: --corr-threshold does not compose with --group-col "
+                "(one correlation matrix per group is a per-group rerun; "
+                "screen each group slice separately instead)"
+            )
+        if "corr_prune" not in m.extra_metrics:
+            from .operators.correlation import corr_prune, correlation_matrix
+
+            numeric = set(features)
+            ranked_pairs = [
+                (e["feature"], e["iv"])
+                for e in m.extra_metrics["top_features"]
+                if e["feature"] in numeric
+            ]
+            if len(ranked_pairs) >= 2:
+                cm = correlation_matrix(df, [f for f, _ in ranked_pairs])
+                pruned = corr_prune(
+                    ranked_pairs, cm, threshold=args.corr_threshold
+                )
+            else:
+                pruned = {"kept": [f for f, _ in ranked_pairs], "dropped": []}
+            m.extra_metrics["corr_prune"] = {
+                "threshold": args.corr_threshold,
+                "kept": pruned["kept"],
+                "dropped": pruned["dropped"],
+            }
+            write_manifest(out_dir, m)
     run.record(out_dir)
     print(run.save())
 
@@ -879,6 +912,11 @@ def main(argv: Optional[list] = None) -> None:
     sc.add_argument("--top-k", type=int, default=None,
                     help="how many ranked features to surface in the "
                          "stage manifest (default: all)")
+    sc.add_argument("--corr-threshold", type=float, default=None,
+                    help="after ranking, drop the lower-IV feature of any "
+                         "numeric pair with |pearson| above this (one-scan "
+                         "k x k correlation matrix + driver greedy; "
+                         "kept/dropped recorded in the manifest)")
     sc.set_defaults(func=screen_job)
 
     an = sub.add_parser(

@@ -439,6 +439,57 @@ def test_screen_job_end_to_end(spark, tmp_path):
     assert {r["feature"] for r in ranked.collect()} == {"a", "noise"}
 
 
+def test_screen_job_corr_prune(spark, tmp_path):
+    """--corr-threshold drops the lower-IV feature of a correlated pair
+    and records kept/dropped in the manifest; re-run amends nothing; the
+    flag refuses to compose with --group-col."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from monotonic_optimal_binning_spark.jobs import main
+    from monotonic_optimal_binning_spark.plans.checkpoint import load_manifest
+
+    rng = np.random.RandomState(11)
+    a = rng.uniform(0, 100, 1200)
+    pdf = pd.DataFrame(
+        {
+            "a": a,
+            # noisy copy of a: |corr| ~ 0.92 (> threshold) but the signal
+            # is visibly diluted, so its IV ranks strictly below a's
+            "a2": a * 2.0 + rng.normal(scale=25.0, size=1200),
+            "noise": rng.uniform(0, 1, 1200),
+            "label": (rng.uniform(size=1200) < (0.1 + 0.6 * a / 100))
+            .astype(int),
+        }
+    )
+    src = str(tmp_path / "feats.parquet")
+    spark.createDataFrame(pdf).write.parquet(src)
+
+    wd = str(tmp_path / "run")
+    argv = ["screen", "--input", src, "--workdir", wd,
+            "--features", "auto", "--y", "label", "--n-buckets", "5",
+            "--corr-threshold", "0.8"]
+    main(argv)
+
+    m = load_manifest(os.path.join(wd, "stage_screen"))
+    cp = m.extra_metrics["corr_prune"]
+    assert cp["threshold"] == 0.8
+    assert "a" in cp["kept"] and "noise" in cp["kept"]
+    assert [d["feature"] for d in cp["dropped"]] == ["a2"]
+    assert cp["dropped"][0]["dropped_for"] == "a"
+    assert abs(cp["dropped"][0]["corr"]) > 0.9
+
+    main(argv)  # resume: no re-amend, values identical
+    m2 = load_manifest(os.path.join(wd, "stage_screen"))
+    assert m2.extra_metrics["corr_prune"] == cp
+
+    with pytest.raises(SystemExit):
+        main(["screen", "--input", src, "--workdir",
+              str(tmp_path / "run2"), "--features", "auto", "--y", "label",
+              "--group-col", "noise", "--corr-threshold", "0.8"])
+
+
 def test_transform_job_end_to_end(spark, tmp_path):
     """fit -> save_json -> score a FRESH slice with the transform job:
     output equals the in-process broadcast transform, resume replays."""
