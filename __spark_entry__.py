@@ -376,6 +376,18 @@ def q_corr_matrix(spark, sf_dir):
     return correlation_matrix(df, ["qty", "price", "disc", "tax"])
 
 
+def q_profile_docs(spark, sf_dir):
+    """One-scan exact profile of three documents columns (two string, one
+    bigint): nulls, exact distincts, numeric moments from per-value
+    sufficient statistics, deterministic top value (max count, then max
+    value string). The oracle mirrors the same per-value → per-column
+    two-level aggregation in ANSI SQL."""
+    from monotonic_optimal_binning_spark.operators.profile import profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    return profile(docs, ["source", "lang", "n_chars"])
+
+
 def q_categorical_woe(spark, sf_dir):
     """Categorical WoE fit over documents.source (y = lang=='en'): the
     fitted artifact's summary as a DataFrame — count/bads exact, WoE/IV
@@ -1551,6 +1563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iv_screen_grouped": q_iv_screen_grouped,
         "iv_screen_categorical": q_iv_screen_categorical,
         "corr_matrix": q_corr_matrix,
+        "profile_docs": q_profile_docs,
         "categorical_woe": q_categorical_woe,
         # --- (b) green in r4, oldest prior verification first ---
         "media_features": q_media_features,
@@ -1782,6 +1795,57 @@ def oracle_sql() -> dict[str, str]:
                         AND tax IS NOT NULL) AS BIGINT),
                    round(COALESCE(corr(disc, tax), 0.0), 6)
             FROM d
+        """,
+        "profile_docs": """
+            WITH pv AS (
+              SELECT col, sval, min(dval) AS dval, count(*) AS cnt
+              FROM (
+                SELECT 'source' AS col, CAST(source AS VARCHAR) AS sval,
+                       CAST(NULL AS DOUBLE) AS dval
+                FROM documents
+                UNION ALL
+                SELECT 'lang', CAST(lang AS VARCHAR),
+                       CAST(NULL AS DOUBLE)
+                FROM documents
+                UNION ALL
+                SELECT 'n_chars', CAST(n_chars AS VARCHAR),
+                       CAST(n_chars AS DOUBLE)
+                FROM documents
+              ) GROUP BY col, sval),
+            agg AS (
+              SELECT col,
+                     CAST(sum(cnt) AS BIGINT) AS n,
+                     CAST(COALESCE(
+                       sum(cnt) FILTER (sval IS NULL), 0) AS BIGINT)
+                       AS nulls,
+                     CAST(count(*) FILTER (sval IS NOT NULL) AS BIGINT)
+                       AS n_distinct,
+                     min(dval) AS min_num,
+                     max(dval) AS max_num,
+                     round(sum(dval * cnt)
+                       / sum(cnt) FILTER (dval IS NOT NULL), 6) AS mean,
+                     round(CASE
+                       WHEN sum(cnt) FILTER (dval IS NOT NULL) IS NULL
+                       THEN NULL
+                       ELSE sqrt(greatest(
+                         sum(dval * dval * cnt)
+                           / sum(cnt) FILTER (dval IS NOT NULL)
+                         - pow(sum(dval * cnt)
+                           / sum(cnt) FILTER (dval IS NOT NULL), 2),
+                         0.0)) END, 6) AS std
+              FROM pv GROUP BY col),
+            top AS (
+              SELECT col, sval AS top_value, CAST(cnt AS BIGINT) AS top_freq,
+                     row_number() OVER (PARTITION BY col
+                                        ORDER BY cnt DESC, sval DESC) AS rk
+              FROM pv WHERE sval IS NOT NULL)
+            SELECT a.col AS "column",
+                   CASE a.col WHEN 'n_chars' THEN 'bigint'
+                        ELSE 'string' END AS dtype,
+                   a.n, a.nulls, a.n_distinct, a.min_num, a.max_num,
+                   a.mean, a.std, t.top_value, t.top_freq
+            FROM agg a LEFT JOIN top t ON a.col = t.col AND t.rk = 1
+            ORDER BY a.col
         """,
         "categorical_woe": """
             WITH agg AS (
