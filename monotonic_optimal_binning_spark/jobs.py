@@ -591,6 +591,54 @@ def screen_job(args) -> None:
     print(run.save())
 
 
+def profile_job(args) -> None:
+    """First-contact data audit: one-scan per-column profile
+    (:func:`operators.profile.profile`) written as an idempotent
+    checkpoint stage, with headline per-column facts (nulls, distincts,
+    top value) surfaced in the stage manifest so the lineage answers
+    "what does this table look like" without re-reading the stage
+    output. ``--approx`` swaps exact distincts for HyperLogLog — the
+    shuffle-free mode for a first pass over a 100 TB table."""
+    from .operators.profile import profile
+    from .plans.checkpoint import load_manifest, write_manifest
+
+    spark = _spark("mob-profile")
+    run = PipelineRun(root=args.workdir)
+    df = _read_input(spark, args.input)
+
+    cols = (
+        [c.strip() for c in args.columns.split(",") if c.strip()]
+        if args.columns else None
+    )
+    out_dir = os.path.join(args.workdir, "stage_profile")
+    prof = run_stage(
+        spark, out_dir, "profile",
+        lambda: profile(df, cols, exact=not args.approx, rsd=args.rsd),
+        inputs=[args.input],
+        params={"columns": cols or list(df.columns),
+                "exact": not args.approx, "rsd": args.rsd},
+    )
+    m = load_manifest(out_dir)
+    if m is not None and "columns" not in m.extra_metrics:
+        # k-row collect of the REREAD stage output, amended once
+        m.extra_metrics["columns"] = [
+            {
+                "column": r["column"],
+                "dtype": r["dtype"],
+                "n": r["n"],
+                "null_pct": round(100.0 * r["nulls"] / r["n"], 4)
+                if r["n"] else 0.0,
+                "n_distinct": r["n_distinct"],
+                "top_value": r["top_value"],
+                "top_freq": r["top_freq"],
+            }
+            for r in prof.orderBy("column").collect()
+        ]
+        write_manifest(out_dir, m)
+    run.record(out_dir)
+    print(run.save())
+
+
 def pack_job(args) -> None:
     """Sequence-packing pipeline stage: token counts -> distributed global
     prefix sum -> concat-then-chunk slices, written as an idempotent
@@ -918,6 +966,22 @@ def main(argv: Optional[list] = None) -> None:
                          "k x k correlation matrix + driver greedy; "
                          "kept/dropped recorded in the manifest)")
     sc.set_defaults(func=screen_job)
+
+    pf = sub.add_parser(
+        "profile",
+        help="one-scan per-column table profile (nulls, distincts, "
+             "moments, top value) as a checkpoint stage",
+    )
+    pf.add_argument("--input", required=True, help="parquet path or table id")
+    pf.add_argument("--workdir", required=True)
+    pf.add_argument("--columns", default=None,
+                    help="comma-separated columns (default: all)")
+    pf.add_argument("--approx", action="store_true",
+                    help="HyperLogLog distincts instead of exact "
+                         "(shuffle-free single aggregate; no top values)")
+    pf.add_argument("--rsd", type=float, default=0.02,
+                    help="approx_count_distinct relative error (--approx)")
+    pf.set_defaults(func=profile_job)
 
     an = sub.add_parser(
         "ann", help="IVF top-k with a fit-once saved codebook artifact"

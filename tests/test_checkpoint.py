@@ -490,6 +490,48 @@ def test_screen_job_corr_prune(spark, tmp_path):
               "--group-col", "noise", "--corr-threshold", "0.8"])
 
 
+def test_profile_job_end_to_end(spark, tmp_path):
+    """profile job: per-column stats checkpointed, manifest amended once
+    with the headline facts; resume replays without re-amending."""
+    import pandas as pd
+
+    from monotonic_optimal_binning_spark.jobs import main
+    from monotonic_optimal_binning_spark.plans.checkpoint import load_manifest
+
+    pdf = pd.DataFrame(
+        {
+            "v": [1.0, 2.0, 2.0, None, 5.0] * 40,
+            "s": (["x"] * 3 + [None, "y"]) * 40,
+        }
+    )
+    src = str(tmp_path / "t.parquet")
+    spark.createDataFrame(pdf).write.parquet(src)
+
+    wd = str(tmp_path / "prof")
+    argv = ["profile", "--input", src, "--workdir", wd]
+    main(argv)
+
+    m = load_manifest(os.path.join(wd, "stage_profile"))
+    cols = {c["column"]: c for c in m.extra_metrics["columns"]}
+    assert cols["v"]["null_pct"] == 20.0
+    assert cols["v"]["n_distinct"] == 3
+    assert cols["s"]["top_value"] == "x" and cols["s"]["top_freq"] == 120
+    assert m.params["exact"] is True
+
+    main(argv)  # resume: stage skipped, manifest unchanged
+    m2 = load_manifest(os.path.join(wd, "stage_profile"))
+    assert m2.extra_metrics["columns"] == m.extra_metrics["columns"]
+
+    # approx mode in a fresh workdir: HLL distincts, no top values
+    wd2 = str(tmp_path / "prof2")
+    main(["profile", "--input", src, "--workdir", wd2,
+          "--columns", "v", "--approx"])
+    m3 = load_manifest(os.path.join(wd2, "stage_profile"))
+    c = m3.extra_metrics["columns"][0]
+    assert c["column"] == "v" and c["n_distinct"] == 3
+    assert c["top_value"] is None
+
+
 def test_transform_job_end_to_end(spark, tmp_path):
     """fit -> save_json -> score a FRESH slice with the transform job:
     output equals the in-process broadcast transform, resume replays."""
