@@ -408,6 +408,28 @@ def q_categorical_woe(spark, sf_dir):
     )
 
 
+def q_target_encode(spark, sf_dir):
+    """Leakage-safe 5-fold out-of-fold target encoding of order priority
+    (y = order above 150k): every row's smoothed category mean uses only
+    the OTHER folds' labels. Folds are the deterministic md5-threshold
+    buckets, so the oracle re-derives them in ANSI SQL and recomputes the
+    closed-form totals-minus-own-fold encoding."""
+    from monotonic_optimal_binning_spark.operators.encoding import (
+        target_encode_oof,
+    )
+
+    ords = load_table(spark, sf_dir, "orders")
+    df = ords.select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderpriority").alias("cat"),
+        (F.col("o_totalprice") > 150000.0).cast("double").alias("y"),
+    )
+    out = target_encode_oof(
+        df, "cat", "y", id_col="id", n_folds=5, smoothing=20.0
+    )
+    return out.select("id", "cat", F.round("cat_te", _R).alias("te"))
+
+
 def q_asof_join(spark, sf_dir):
     """Point-in-time as-of join: each click joined to the user's latest
     prior purchase (zero leakage)."""
@@ -1565,6 +1587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_matrix": q_corr_matrix,
         "profile_docs": q_profile_docs,
         "categorical_woe": q_categorical_woe,
+        "target_encode": q_target_encode,
         # --- (b) green in r4, oldest prior verification first ---
         "media_features": q_media_features,
         "tpch_q1": q_tpch_q1,
@@ -1846,6 +1869,46 @@ def oracle_sql() -> dict[str, str]:
                    a.mean, a.std, t.top_value, t.top_freq
             FROM agg a LEFT JOIN top t ON a.col = t.col AND t.rk = 1
             ORDER BY a.col
+        """,
+        "target_encode": """
+            WITH base AS (
+              SELECT o_orderkey AS id, o_orderpriority AS cat,
+                     CAST(o_totalprice > 150000.0 AS DOUBLE) AS y,
+                     CASE WHEN substring(md5('folds' ||
+                            CAST(o_orderkey AS VARCHAR)), 1, 8)
+                            < '33333333' THEN 0
+                          WHEN substring(md5('folds' ||
+                            CAST(o_orderkey AS VARCHAR)), 1, 8)
+                            < '66666666' THEN 1
+                          WHEN substring(md5('folds' ||
+                            CAST(o_orderkey AS VARCHAR)), 1, 8)
+                            < '99999999' THEN 2
+                          WHEN substring(md5('folds' ||
+                            CAST(o_orderkey AS VARCHAR)), 1, 8)
+                            < 'cccccccc' THEN 3
+                          ELSE 4 END AS fold
+              FROM orders),
+            cf AS (
+              SELECT cat, fold, count(y) AS c,
+                     coalesce(sum(y), 0) AS s
+              FROM base GROUP BY cat, fold),
+            tot AS (
+              SELECT cat, CAST(sum(c) AS DOUBLE) AS tc, sum(s) AS ts
+              FROM cf GROUP BY cat),
+            gf AS (
+              SELECT fold, CAST(sum(c) AS DOUBLE) AS fc, sum(s) AS fs
+              FROM cf GROUP BY fold),
+            g AS (
+              SELECT CAST(sum(c) AS DOUBLE) AS gc, sum(s) AS gs FROM cf)
+            SELECT b.id, b.cat,
+                   round(((t.ts - c.s)
+                          + 20.0 * ((g.gs - f.fs) / (g.gc - f.fc)))
+                         / ((t.tc - c.c) + 20.0), 6) AS te
+            FROM base b
+            JOIN cf c ON b.cat = c.cat AND b.fold = c.fold
+            JOIN tot t ON b.cat = t.cat
+            JOIN gf f ON b.fold = f.fold
+            CROSS JOIN g
         """,
         "categorical_woe": """
             WITH agg AS (
