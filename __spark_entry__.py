@@ -430,6 +430,52 @@ def q_target_encode(spark, sf_dir):
     return out.select("id", "cat", F.round("cat_te", _R).alias("te"))
 
 
+def q_gains_table(spark, sf_dir):
+    """Scorecard gains/lift table over fixed discount cut points
+    (y = returned line items): one hash-aggregate scan, k-row finish."""
+    from monotonic_optimal_binning_spark.operators.evaluation import (
+        gains_table,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.select(
+        F.col("l_discount").alias("score"),
+        (F.col("l_returnflag") == "R").cast("double").alias("y"),
+    )
+    out = gains_table(df, "score", "y", [0.03, 0.06, 0.09])
+    return out.select(
+        "bucket",
+        "n",
+        "n_pos",
+        F.round("pos_rate", _R).alias("pos_rate"),
+        "cum_n",
+        "cum_pos",
+        F.round("capture_rate", _R).alias("capture_rate"),
+        F.round("lift", _R).alias("lift"),
+        F.round("cum_lift", _R).alias("cum_lift"),
+    )
+
+
+def q_ks_auc(spark, sf_dir):
+    """Exact KS + tie-aware Mann-Whitney AUC of discount as a predictor
+    of returns: per-distinct-score aggregate, prefix on the bounded
+    aggregated frame."""
+    from monotonic_optimal_binning_spark.operators.evaluation import ks_auc
+
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.select(
+        F.col("l_discount").alias("score"),
+        (F.col("l_returnflag") == "R").cast("double").alias("y"),
+    )
+    out = ks_auc(df, "score", "y")
+    return out.select(
+        F.round("ks", _R).alias("ks"),
+        F.round("auc", _R).alias("auc"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+    )
+
+
 def q_asof_join(spark, sf_dir):
     """Point-in-time as-of join: each click joined to the user's latest
     prior purchase (zero leakage)."""
@@ -1588,6 +1634,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_docs": q_profile_docs,
         "categorical_woe": q_categorical_woe,
         "target_encode": q_target_encode,
+        "gains_table": q_gains_table,
+        "ks_auc": q_ks_auc,
         # --- (b) green in r4, oldest prior verification first ---
         "media_features": q_media_features,
         "tpch_q1": q_tpch_q1,
@@ -1869,6 +1917,67 @@ def oracle_sql() -> dict[str, str]:
                    a.mean, a.std, t.top_value, t.top_freq
             FROM agg a LEFT JOIN top t ON a.col = t.col AND t.rk = 1
             ORDER BY a.col
+        """,
+        "gains_table": """
+            WITH base AS (
+              SELECT CASE WHEN l_discount IS NULL THEN -1
+                          WHEN l_discount < 0.03 THEN 0
+                          WHEN l_discount < 0.06 THEN 1
+                          WHEN l_discount < 0.09 THEN 2
+                          ELSE 3 END AS bucket,
+                     CAST(l_returnflag = 'R' AS DOUBLE) AS y
+              FROM lineitem),
+            agg AS (
+              SELECT bucket, CAST(count(y) AS BIGINT) AS n,
+                     CAST(coalesce(sum(y), 0) AS BIGINT) AS n_pos
+              FROM base GROUP BY bucket),
+            wk AS (
+              SELECT bucket, n, n_pos,
+                     CAST(sum(CASE WHEN bucket >= 0 THEN n END)
+                          OVER (ORDER BY bucket DESC) AS BIGINT) AS cum_n,
+                     CAST(sum(CASE WHEN bucket >= 0 THEN n_pos END)
+                          OVER (ORDER BY bucket DESC) AS BIGINT) AS cum_pos,
+                     CAST(sum(CASE WHEN bucket >= 0 THEN n END)
+                          OVER () AS DOUBLE) AS tot_n,
+                     CAST(sum(CASE WHEN bucket >= 0 THEN n_pos END)
+                          OVER () AS DOUBLE) AS tot_pos
+              FROM agg)
+            SELECT bucket, n, n_pos,
+                   round(n_pos * 1.0 / n, 6) AS pos_rate,
+                   CASE WHEN bucket >= 0 THEN cum_n END AS cum_n,
+                   CASE WHEN bucket >= 0 THEN cum_pos END AS cum_pos,
+                   CASE WHEN bucket >= 0
+                        THEN round(cum_pos / tot_pos, 6) END AS capture_rate,
+                   CASE WHEN bucket >= 0
+                        THEN round((n_pos * 1.0 / n) / (tot_pos / tot_n), 6)
+                        END AS lift,
+                   CASE WHEN bucket >= 0
+                        THEN round((cum_pos * 1.0 / cum_n)
+                                   / (tot_pos / tot_n), 6) END AS cum_lift
+            FROM wk
+        """,
+        "ks_auc": """
+            WITH base AS (
+              SELECT l_discount AS s,
+                     CAST(l_returnflag = 'R' AS DOUBLE) AS y
+              FROM lineitem WHERE l_discount IS NOT NULL),
+            agg AS (
+              SELECT s, CAST(sum(y) AS BIGINT) AS pos,
+                     CAST(count(y) - sum(y) AS BIGINT) AS neg
+              FROM base GROUP BY s),
+            wk AS (
+              SELECT s, pos, neg,
+                     CAST(sum(pos) OVER (ORDER BY s) AS DOUBLE) AS cpos,
+                     CAST(sum(neg) OVER (ORDER BY s) AS DOUBLE) AS cneg,
+                     CAST(sum(pos) OVER () AS DOUBLE) AS p,
+                     CAST(sum(neg) OVER () AS DOUBLE) AS n
+              FROM agg)
+            SELECT round(max(abs(cpos / p - cneg / n)), 6) AS ks,
+                   round(sum((cneg - neg) * pos + 0.5 * neg * pos)
+                         / (max(p) * max(n)), 6) AS auc,
+                   CAST(max(p) AS BIGINT) AS n_pos,
+                   CAST(max(n) AS BIGINT) AS n_neg
+            FROM wk
         """,
         "target_encode": """
             WITH base AS (

@@ -1,0 +1,181 @@
+"""Model-evaluation operators: gains/lift table, KS statistic, AUC.
+
+The scorecard-evaluation companions to WoE binning: once a model (or a
+single WoE-encoded feature) produces a score, the questions are always
+the same — how concentrated are the positives in the top buckets
+(gains/lift), how separated are the two score distributions (KS), and
+what is the probability a random positive outranks a random negative
+(AUC).  The reference stops at bin summaries and plots
+(/root/reference/src/MOBPY/plot/__init__.py); these are the engine-new
+metrics a training pipeline runs on every scored slice.
+
+Scale design: every metric here reduces the data in ONE
+`groupBy` scan with map-side combine, then finishes on the bounded
+aggregated frame:
+
+- :func:`gains_table` buckets by caller-provided cut points (fixed
+  literals — reproducible by an ANSI oracle and by a resumed job;
+  derive them once from ``approxQuantile`` if you want deciles), so the
+  scan is a k-bucket hash aggregate and everything after is k rows.
+- :func:`ks_auc` aggregates per DISTINCT score, then runs the ordered
+  prefix on the aggregated frame.  For binned/WoE scores that frame is
+  k rows (k = number of bins) and the single-partition window is free.
+  For raw continuous scores the distinct frame can approach the row
+  count — pass ``cuts=`` to pre-bucket (KS/AUC over binned scores is
+  the standard reporting convention anyway, and the binned statistic is
+  a deterministic function of the cuts, which an oracle can replay).
+
+Ties are handled exactly: AUC uses the trapezoidal / mid-rank
+correction ``0.5 * pos_i * neg_i`` inside each tied score group, which
+equals the Mann-Whitney U statistic with average ranks.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _bucketize(score, cuts: Sequence[float]):
+    """Bucket index from fixed cut points: bucket i means
+    cuts[i-1] <= score < cuts[i]; scores below cuts[0] -> 0,
+    >= cuts[-1] -> len(cuts); NULL scores -> -1 (their own bucket)."""
+    expr = F.when(score.isNull(), F.lit(-1))
+    prev = None
+    for i, c in enumerate(cuts):
+        expr = expr.when(score < F.lit(float(c)), F.lit(i))
+        prev = c
+        if i and float(c) <= float(cuts[i - 1]):
+            raise ValueError("cuts must be strictly increasing")
+    _ = prev
+    return expr.otherwise(F.lit(len(cuts)))
+
+
+def gains_table(
+    df: DataFrame,
+    score_col: str,
+    y_col: str,
+    cuts: Sequence[float],
+    *,
+    descending: bool = True,
+) -> DataFrame:
+    """Per-bucket gains/lift table over fixed score cut points.
+
+    One hash-aggregate scan -> (len(cuts)+1)-row frame with, per bucket
+    (ordered best-score-first when ``descending``):
+
+    - ``bucket``        index (len(cuts) = top open interval),
+    - ``n``, ``n_pos``  rows / positives in the bucket,
+    - ``pos_rate``      bucket precision,
+    - ``cum_n``, ``cum_pos``  running totals in score order,
+    - ``capture_rate``  cum_pos / total positives (gains),
+    - ``lift``          pos_rate / overall rate,
+    - ``cum_lift``      (cum_pos/cum_n) / overall rate.
+
+    ``y_col`` must be 0/1 (NULL labels are excluded from every count).
+    NULL scores get bucket -1, ordered last, excluded from cumulative
+    sums (they contribute no ordering information).
+    """
+    if not cuts:
+        raise ValueError("gains_table: cuts must be non-empty")
+    y = F.col(y_col).cast("double")
+    agg = (
+        df.select(
+            _bucketize(F.col(score_col).cast("double"), cuts).alias("bucket"),
+            y.alias("__y"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("__y").alias("n"),
+            F.coalesce(F.sum("__y"), F.lit(0.0)).cast("long").alias("n_pos"),
+        )
+    )
+    order = F.col("bucket").desc() if descending else F.col("bucket").asc()
+    # the frame is <= len(cuts)+2 rows: a single-partition window is free
+    w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, 0)
+    real = F.col("bucket") >= 0
+    tot_n = F.sum(F.when(real, F.col("n"))).over(
+        Window.partitionBy(F.lit(1))
+    )
+    tot_pos = F.sum(F.when(real, F.col("n_pos"))).over(
+        Window.partitionBy(F.lit(1))
+    )
+    cum_n = F.sum(F.when(real, F.col("n"))).over(w)
+    cum_pos = F.sum(F.when(real, F.col("n_pos"))).over(w)
+    rate = F.col("n_pos") / F.col("n")
+    overall = tot_pos / tot_n
+    out = agg.select(
+        "bucket",
+        "n",
+        "n_pos",
+        rate.alias("pos_rate"),
+        F.when(real, cum_n).alias("cum_n"),
+        F.when(real, cum_pos).alias("cum_pos"),
+        F.when(real, cum_pos / tot_pos).alias("capture_rate"),
+        F.when(real, rate / overall).alias("lift"),
+        F.when(real, (cum_pos / cum_n) / overall).alias("cum_lift"),
+    )
+    return out.orderBy(F.col("bucket") == -1, order)
+
+
+def ks_auc(
+    df: DataFrame,
+    score_col: str,
+    y_col: str,
+    *,
+    cuts: Optional[Sequence[float]] = None,
+) -> DataFrame:
+    """Exact KS statistic and tie-aware AUC in one scan + one bounded
+    prefix pass.  Returns a single row ``(ks, auc, n_pos, n_neg)``.
+
+    - KS = max over score thresholds of |F_pos(s) − F_neg(s)|.
+    - AUC = P(score_pos > score_neg) + 0.5·P(tie)  (Mann-Whitney with
+      average ranks), accumulated per distinct score:
+      ``Σ (neg_below·pos_i + 0.5·neg_i·pos_i) / (P·N)`` ascending.
+
+    NULL scores and NULL labels are excluded (no ordering information).
+    With ``cuts`` the scores are pre-bucketed (bounded distinct frame at
+    any scale — see module docstring); without, the prefix runs over the
+    raw distinct scores, fine when the score is already binned/WoE.
+    """
+    y = F.col(y_col).cast("double")
+    s = F.col(score_col).cast("double")
+    key = _bucketize(s, cuts) if cuts else s
+    agg = (
+        df.filter(s.isNotNull() & y.isNotNull())
+        .select(key.alias("s"), y.alias("__y"))
+        .groupBy("s")
+        .agg(
+            F.sum("__y").cast("long").alias("pos"),
+            (F.count("__y") - F.sum("__y")).cast("long").alias("neg"),
+        )
+    )
+    if cuts:
+        agg = agg.filter(F.col("s") >= 0)  # NULL-score bucket
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy(F.lit(1))
+    cum_pos = F.sum("pos").over(w)
+    cum_neg = F.sum("neg").over(w)
+    p = F.sum("pos").over(tot)
+    n = F.sum("neg").over(tot)
+    neg_below = cum_neg - F.col("neg")
+    per = agg.select(
+        (
+            F.abs(
+                cum_pos.cast("double") / p - cum_neg.cast("double") / n
+            )
+        ).alias("gap"),
+        (
+            neg_below.cast("double") * F.col("pos")
+            + F.lit(0.5) * F.col("neg") * F.col("pos")
+        ).alias("u"),
+        p.alias("p"),
+        n.alias("n"),
+    )
+    return per.agg(
+        F.max("gap").alias("ks"),
+        (F.sum("u") / (F.first("p") * F.first("n"))).alias("auc"),
+        F.first("p").alias("n_pos"),
+        F.first("n").alias("n_neg"),
+    )

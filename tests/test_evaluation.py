@@ -1,0 +1,147 @@
+"""gains_table / ks_auc: scorecard evaluation metrics
+(operators/evaluation.py) vs slow row-wise numpy truth."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from monotonic_optimal_binning_spark.operators.evaluation import (
+    gains_table,
+    ks_auc,
+)
+
+
+def _auc_truth(scores, labels):
+    """Mann-Whitney AUC with average ranks, O(n^2) obvious version."""
+    pos = scores[labels == 1]
+    neg = scores[labels == 0]
+    wins = 0.0
+    for sp in pos:
+        wins += (sp > neg).sum() + 0.5 * (sp == neg).sum()
+    return wins / (len(pos) * len(neg))
+
+
+def _ks_truth(scores, labels):
+    pos = np.sort(scores[labels == 1])
+    neg = np.sort(scores[labels == 0])
+    best = 0.0
+    for t in np.unique(scores):
+        fp = (pos <= t).mean()
+        fn = (neg <= t).mean()
+        best = max(best, abs(fp - fn))
+    return best
+
+
+@pytest.fixture(scope="module")
+def scored(spark):
+    rng = np.random.RandomState(11)
+    n = 4000
+    y = (rng.uniform(size=n) < 0.3).astype("int64")
+    # discrete-ish score with heavy ties + informative signal
+    score = np.round(rng.normal(loc=y * 0.8, scale=1.0), 1)
+    pdf = pd.DataFrame({"score": score, "y": y.astype("float64")})
+    pdf.loc[pdf.index % 23 == 0, "y"] = np.nan     # unlabeled rows
+    pdf.loc[pdf.index % 31 == 0, "score"] = np.nan  # unscorable rows
+    return spark.createDataFrame(pdf).repartition(8), pdf
+
+
+def test_ks_auc_matches_truth(scored):
+    df, pdf = scored
+    got = ks_auc(df, "score", "y").collect()[0]
+    lab = pdf.dropna(subset=["y", "score"])
+    s, y = lab["score"].to_numpy(), lab["y"].to_numpy().astype(int)
+    assert got["n_pos"] == int((y == 1).sum())
+    assert got["n_neg"] == int((y == 0).sum())
+    assert got["auc"] == pytest.approx(_auc_truth(s, y), abs=1e-12)
+    assert got["ks"] == pytest.approx(_ks_truth(s, y), abs=1e-12)
+
+
+def test_ks_auc_with_cuts_equals_bucketed_scores(scored):
+    df, pdf = scored
+    cuts = [-1.0, -0.3, 0.2, 0.8, 1.5]
+    got = ks_auc(df, "score", "y", cuts=cuts).collect()[0]
+    lab = pdf.dropna(subset=["y", "score"])
+    b = np.digitize(lab["score"].to_numpy(), cuts)  # same bucket ids
+    y = lab["y"].to_numpy().astype(int)
+    assert got["auc"] == pytest.approx(_auc_truth(b.astype(float), y), abs=1e-12)
+    assert got["ks"] == pytest.approx(_ks_truth(b.astype(float), y), abs=1e-12)
+
+
+def test_auc_extremes(spark):
+    pdf = pd.DataFrame(
+        {"score": [0.1, 0.2, 0.3, 0.7, 0.8, 0.9],
+         "y": [0.0, 0.0, 0.0, 1.0, 1.0, 1.0]}
+    )
+    df = spark.createDataFrame(pdf)
+    r = ks_auc(df, "score", "y").collect()[0]
+    assert r["auc"] == pytest.approx(1.0)
+    assert r["ks"] == pytest.approx(1.0)
+    # all-tied scores: AUC 0.5, KS 0
+    df2 = spark.createDataFrame(pdf.assign(score=0.5))
+    r2 = ks_auc(df2, "score", "y").collect()[0]
+    assert r2["auc"] == pytest.approx(0.5)
+    assert r2["ks"] == pytest.approx(0.0)
+
+
+def test_gains_table_matches_truth(scored):
+    df, pdf = scored
+    cuts = [-0.3, 0.4, 1.1]
+    got = (
+        gains_table(df, "score", "y", cuts)
+        .toPandas()
+        .set_index("bucket")
+    )
+    lab = pdf.dropna(subset=["y"])
+    scores = lab["score"].to_numpy()
+    b = np.where(
+        np.isnan(scores), -1, np.digitize(scores, cuts)
+    )
+    y = lab["y"].to_numpy()
+    overall = y[b >= 0].sum() / (b >= 0).sum()
+    tot_pos = y[b >= 0].sum()
+    cum_n = cum_pos = 0
+    for bucket in [3, 2, 1, 0]:
+        m = b == bucket
+        n, npos = int(m.sum()), y[m].sum()
+        cum_n += n
+        cum_pos += npos
+        r = got.loc[bucket]
+        assert r["n"] == n
+        assert r["n_pos"] == npos
+        assert r["pos_rate"] == pytest.approx(npos / n)
+        assert r["cum_n"] == cum_n
+        assert r["cum_pos"] == cum_pos
+        assert r["capture_rate"] == pytest.approx(cum_pos / tot_pos)
+        assert r["lift"] == pytest.approx((npos / n) / overall)
+        assert r["cum_lift"] == pytest.approx((cum_pos / cum_n) / overall)
+    # null-score bucket present, rows counted, cumulative columns NULL
+    r = got.loc[-1]
+    assert r["n"] == int((b == -1).sum())
+    assert np.isnan(r["capture_rate"]) and np.isnan(r["lift"])
+    # ordering: best bucket first, null bucket last
+    assert list(got.index) == [3, 2, 1, 0, -1]
+
+
+def test_gains_table_one_scan(scored):
+    """One hash-aggregate scan; everything after runs on the k-row frame."""
+    df, _ = scored
+    out = gains_table(df, "score", "y", [-0.3, 0.4, 1.1])
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    n_scans = (
+        plan.count("Scan ExistingRDD")
+        + plan.count("FileScan")
+        + plan.count("LocalTableScan")
+    )
+    assert n_scans == 1, plan
+
+
+def test_errors(scored):
+    df, _ = scored
+    with pytest.raises(ValueError):
+        gains_table(df, "score", "y", [])
+    with pytest.raises(ValueError):
+        gains_table(df, "score", "y", [1.0, 1.0])
