@@ -430,6 +430,37 @@ def q_target_encode(spark, sf_dir):
     return out.select("id", "cat", F.round("cat_te", _R).alias("te"))
 
 
+def q_scorecard_points(spark, sf_dir):
+    """PDO points scaling value-checked end-to-end: on the no-merge
+    monotone construction every x is its own bin with a plain-SQL WoE,
+    so the card's integer points (factor/offset arithmetic + half-up
+    rounding, coef=1, intercept=0) are exactly reproducible by the
+    oracle."""
+    from monotonic_optimal_binning_spark.scorecard import Scorecard
+
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.select(
+        F.pmod(F.col("user_id"), F.lit(5)).cast("double").alias("x"),
+        (
+            F.pmod(F.col("event_id"), F.lit(100))
+            < (F.pmod(F.col("user_id"), F.lit(5)) + 1) * 15
+        ).cast("int").alias("y"),
+    )
+    b = SparkMonotonicBinner(
+        "x", "y", prebins="exact",
+        constraints=BinningConstraints(max_bins=10, min_bins=2),
+    ).fit(df)
+    card = Scorecard(
+        {"x": b._model()}, intercept=0.0, pdo=20.0,
+        base_points=600.0, base_odds=50.0,
+    )
+    out = card.transform(df)
+    return out.groupBy(F.col("x").cast("long").alias("x")).agg(
+        F.max("score").alias("points"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def q_gains_table(spark, sf_dir):
     """Scorecard gains/lift table over fixed discount cut points
     (y = returned line items): one hash-aggregate scan, k-row finish."""
@@ -1636,6 +1667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encode": q_target_encode,
         "gains_table": q_gains_table,
         "ks_auc": q_ks_auc,
+        "scorecard_points": q_scorecard_points,
         # --- (b) green in r4, oldest prior verification first ---
         "media_features": q_media_features,
         "tpch_q1": q_tpch_q1,
@@ -1917,6 +1949,26 @@ def oracle_sql() -> dict[str, str]:
                    a.mean, a.std, t.top_value, t.top_freq
             FROM agg a LEFT JOIN top t ON a.col = t.col AND t.rk = 1
             ORDER BY a.col
+        """,
+        "scorecard_points": """
+            WITH d AS (
+              SELECT CAST(user_id % 5 AS DOUBLE) AS x,
+                     CAST((event_id % 100) < (user_id % 5 + 1) * 15 AS INT) AS y
+              FROM events),
+            g AS (
+              SELECT x, count(*) AS count, CAST(sum(y) AS DOUBLE) AS bads
+              FROM d GROUP BY x),
+            tot AS (SELECT sum(count) AS tc, sum(bads) AS tb,
+                           count(*) AS k FROM g)
+            SELECT CAST(x AS BIGINT) AS x,
+                   CAST(floor(
+                     (600.0 - (20.0 / ln(2.0)) * ln(50.0))
+                     - (20.0 / ln(2.0)) *
+                       ln(((count - bads + 0.5) / (tc - tb + 0.5*k)) /
+                          ((bads + 0.5) / (tb + 0.5*k)))
+                     + 0.5) AS BIGINT) AS points,
+                   CAST(count AS BIGINT) AS n
+            FROM g CROSS JOIN tot
         """,
         "gains_table": """
             WITH base AS (

@@ -26,6 +26,7 @@ from .operators.binning import (
     SparkMonotonicBinner,
     fit_binners_per_group,
 )
+from .scorecard import Scorecard
 
 __version__ = "0.1.0"
 
@@ -44,6 +45,7 @@ __all__ = [
     "MergeStrategy",
     "MOBSparkError",
     "NotFittedError",
+    "Scorecard",
     "SparkMonotonicBinner",
     "fit_binners_per_group",
 ]
