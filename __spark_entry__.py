@@ -430,6 +430,34 @@ def q_target_encode(spark, sf_dir):
     return out.select("id", "cat", F.round("cat_te", _R).alias("te"))
 
 
+def q_frequency_encode(spark, sf_dir):
+    """Label-free frequency encoding of documents.source: one aggregate
+    scan + null-safe join-back."""
+    from monotonic_optimal_binning_spark.operators.encoding import (
+        frequency_encode,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    out = frequency_encode(docs, "source")
+    return out.select(
+        "doc_id", "source", F.round("source_freq", _R).alias("freq")
+    )
+
+
+def q_hash_encode(spark, sf_dir):
+    """Feature-hashing trick on documents.lang: md5-derived bucket in
+    [0,64) — engine-version-independent, reproduced bit-exactly by the
+    oracle's manual hex parse."""
+    from monotonic_optimal_binning_spark.operators.encoding import (
+        hash_encode,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return hash_encode(docs, ["lang"], 64).select(
+        "doc_id", "lang", F.col("lang_hash").alias("bucket")
+    )
+
+
 def q_scorecard_points(spark, sf_dir):
     """PDO points scaling value-checked end-to-end: on the no-merge
     monotone construction every x is its own bin with a plain-SQL WoE,
@@ -1668,6 +1696,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gains_table": q_gains_table,
         "ks_auc": q_ks_auc,
         "scorecard_points": q_scorecard_points,
+        "frequency_encode": q_frequency_encode,
+        "hash_encode": q_hash_encode,
         # --- (b) green in r4, oldest prior verification first ---
         "media_features": q_media_features,
         "tpch_q1": q_tpch_q1,
@@ -1949,6 +1979,29 @@ def oracle_sql() -> dict[str, str]:
                    a.mean, a.std, t.top_value, t.top_freq
             FROM agg a LEFT JOIN top t ON a.col = t.col AND t.rk = 1
             ORDER BY a.col
+        """,
+        "frequency_encode": """
+            WITH c AS (
+              SELECT source AS k, count(*) AS n FROM documents
+              GROUP BY source),
+            t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM c)
+            SELECT d.doc_id, d.source,
+                   round(c.n / t.tot, 6) AS freq
+            FROM documents d
+            JOIN c ON d.source IS NOT DISTINCT FROM c.k
+            CROSS JOIN t
+        """,
+        "hash_encode": """
+            SELECT doc_id, lang,
+                   CASE WHEN lang IS NULL THEN NULL ELSE
+                     CAST(list_sum(list_transform(range(1, 9),
+                       i -> (strpos('0123456789abcdef',
+                               substring(md5('hash:lang:' || lang),
+                                         CAST(i AS INT), 1)) - 1)
+                            * CAST(16 AS BIGINT) ** (8 - i)))
+                          AS BIGINT) % 64
+                   END AS bucket
+            FROM documents
         """,
         "scorecard_points": """
             WITH d AS (

@@ -37,9 +37,9 @@ Explorations 3(1), 2001).
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Sequence
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .sampling import _bucket_hex, split_thresholds
 
@@ -66,6 +66,82 @@ def fold_assignment(
         expr = F.when(cond, fid) if expr is None else expr.when(cond, fid)
     last_fid = F.lit(int(items[-1][0]))
     return last_fid if expr is None else expr.otherwise(last_fid)
+
+
+def frequency_encode(
+    df: DataFrame,
+    x_col: str,
+    *,
+    normalize: bool = True,
+    output_col: Optional[str] = None,
+) -> DataFrame:
+    """Append the category's frequency (share of rows when ``normalize``,
+    raw count otherwise) as ``output_col`` (default ``{x_col}_freq``).
+
+    One hash-aggregate scan with map-side combine to the (category,
+    count) frame, then an AQE-splittable null-safe join back (the
+    runtime broadcasts it whenever the category side is small). NULL is
+    its own category. Unlike target encoding this uses no label, so
+    there is nothing to leak — no folds needed.
+    """
+    out = output_col or f"{x_col}_freq"
+    if out in df.columns:
+        raise ValueError(f"frequency_encode: column {out!r} already exists")
+    counts = df.groupBy(x_col).agg(F.count(F.lit(1)).alias("__n"))
+    if normalize:
+        total = F.sum("__n").over(Window.partitionBy(F.lit(1)))
+        counts = counts.select(
+            F.col(x_col).alias("__k"),
+            (F.col("__n").cast("double") / total).alias(out),
+        )
+    else:
+        counts = counts.select(
+            F.col(x_col).alias("__k"), F.col("__n").alias(out)
+        )
+    b, e = df.alias("__fe_b"), counts.alias("__fe_e")
+    return b.join(
+        e, on=F.col(f"__fe_b.{x_col}").eqNullSafe(F.col("__fe_e.__k"))
+    ).select([F.col(f"__fe_b.{c}") for c in df.columns] + [F.col(out)])
+
+
+def hash_bucket(col: Column, n_buckets: int, salt: str = "hash") -> Column:
+    """Deterministic hash bucket in [0, n_buckets) — the hashing trick
+    for unbounded-cardinality categoricals.
+
+    md5-based (first 8 hex chars as an integer, mod n_buckets) rather
+    than the JVM's Murmur `F.hash`: the bucket is then a pure function
+    of the VALUE — stable across Spark versions, reproducible by any
+    ANSI engine, safe to persist in artifacts. NULL hashes to NULL (its
+    own signal, don't fold it into bucket 0).
+    """
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    h = _bucket_hex(col, salt)  # NULL-propagating
+    return F.conv(h, 16, 10).cast("long") % F.lit(int(n_buckets))
+
+
+def hash_encode(
+    df: DataFrame,
+    cols: Sequence[str],
+    n_buckets: int,
+    *,
+    salt: str = "hash",
+    suffix: str = "_hash",
+) -> DataFrame:
+    """Append ``{col}{suffix}`` hash buckets for each column — the
+    feature-hashing trick: bounded output domain at ANY cardinality,
+    zero state to fit/store/broadcast, one codegen-only projection
+    (no shuffle, no aggregate). Each column is salted with its own name
+    so identical values in different columns land independently."""
+    out = df
+    for c in cols:
+        name = f"{c}{suffix}"
+        if name in df.columns:
+            raise ValueError(f"hash_encode: column {name!r} already exists")
+        out = out.withColumn(
+            name, hash_bucket(F.col(c), n_buckets, salt=f"{salt}:{c}:")
+        )
+    return out
 
 
 def target_encode_oof(

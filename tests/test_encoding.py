@@ -11,6 +11,9 @@ from pyspark.sql import functions as F
 
 from monotonic_optimal_binning_spark.operators.encoding import (
     fold_assignment,
+    frequency_encode,
+    hash_bucket,
+    hash_encode,
     target_encode_oof,
 )
 from monotonic_optimal_binning_spark.operators.sampling import (
@@ -151,6 +154,69 @@ def test_single_scan_bounded_aggregates(toy):
     )
     assert n_scans <= 2, plan  # never one scan per aggregate / per fold
     assert "ReusedExchange" in plan, plan
+
+
+def test_frequency_encode(toy):
+    df, pdf = toy
+    got = (
+        frequency_encode(df, "cat")
+        .select("id", "cat_freq")
+        .toPandas().set_index("id")["cat_freq"].sort_index()
+    )
+    vc = pdf["cat"].value_counts(normalize=False)
+    null_n = int(pdf["cat"].isna().sum())
+    want = pdf.set_index("id")["cat"].map(
+        lambda c: (vc[c] if pd.notna(c) else null_n) / len(pdf)
+    ).sort_index()
+    assert len(got) == len(pdf)  # NULL categories encoded, not dropped
+    assert np.allclose(got.to_numpy(), want.to_numpy())
+    counts = (
+        frequency_encode(df, "cat", normalize=False)
+        .filter(F.col("cat").isNull()).select("cat_freq").distinct().collect()
+    )
+    assert counts[0][0] == int(pdf["cat"].isna().sum())
+
+
+def test_hash_encode_matches_python_md5(toy):
+    df, pdf = toy
+    got = (
+        hash_encode(df, ["cat"], 64)
+        .select("id", "cat", "cat_hash")
+        .toPandas()
+    )
+
+    def truth(v):
+        if pd.isna(v):
+            return None
+        h = hashlib.md5(f"hash:cat:{v}".encode()).hexdigest()[:8]
+        return int(h, 16) % 64
+
+    for _, r in got.iterrows():
+        assert (None if pd.isna(r["cat_hash"]) else int(r["cat_hash"])) \
+            == truth(r["cat"])
+    # buckets bounded, NULLs stay NULL
+    real = got["cat_hash"].dropna()
+    assert real.between(0, 63).all()
+    assert got.loc[got["cat"].isna(), "cat_hash"].isna().all()
+
+
+def test_hash_encode_no_shuffle(toy, spark):
+    _, pdf = toy
+    df = spark.createDataFrame(pdf)  # no fixture repartition() exchange
+    out = hash_encode(df, ["cat"], 1024)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_hash_bucket_distribution(spark):
+    df = spark.range(50_000).select(
+        hash_bucket(F.col("id").cast("string"), 16).alias("b")
+    )
+    counts = [r["n"] for r in
+              df.groupBy("b").agg(F.count("*").alias("n")).collect()]
+    assert len(counts) == 16
+    for c in counts:
+        assert abs(c - 50_000 / 16) < 400
 
 
 def test_errors_and_options(toy):
