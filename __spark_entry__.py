@@ -430,6 +430,36 @@ def q_target_encode(spark, sf_dir):
     return out.select("id", "cat", F.round("cat_te", _R).alias("te"))
 
 
+def q_reason_codes(spark, sf_dir):
+    """Adverse-action reason codes from a bring-your-own-bins scorecard
+    (literal cuts + WoEs, so the oracle replays the whole points/deficit/
+    ordering pipeline in ANSI SQL): per line item, the features costing
+    the most points vs their best bin, deficit-descending."""
+    from monotonic_optimal_binning_spark import FittedBins, Scorecard
+
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").alias("x1"),
+        F.col("l_discount").alias("x2"),
+    )
+    card = Scorecard(
+        {
+            "x1": FittedBins.from_cuts("x1", [25.0], [0.4, -0.4]),
+            "x2": FittedBins.from_cuts("x2", [0.05], [0.3, -0.3]),
+        },
+        intercept=0.0,
+    )
+    out = card.reason_codes(df, top_k=2)
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "score",
+        F.array_join("reasons", ",").alias("reasons"),
+    )
+
+
 def q_frequency_encode(spark, sf_dir):
     """Label-free frequency encoding of documents.source: one aggregate
     scan + null-safe join-back."""
@@ -1696,6 +1726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gains_table": q_gains_table,
         "ks_auc": q_ks_auc,
         "scorecard_points": q_scorecard_points,
+        "reason_codes": q_reason_codes,
         "frequency_encode": q_frequency_encode,
         "hash_encode": q_hash_encode,
         # --- (b) green in r4, oldest prior verification first ---
@@ -1980,6 +2011,36 @@ def oracle_sql() -> dict[str, str]:
             FROM agg a LEFT JOIN top t ON a.col = t.col AND t.rk = 1
             ORDER BY a.col
         """,
+        "reason_codes": """
+            WITH p AS (
+              SELECT l_orderkey, l_linenumber,
+                     CAST(floor(
+                       (600.0 - (20.0/ln(2.0))*ln(50.0)) / 2
+                       + (20.0/ln(2.0)) *
+                         (CASE WHEN l_quantity < 25.0 THEN 0.4
+                               ELSE -0.4 END) + 0.5) AS BIGINT) AS p1,
+                     CAST(floor(
+                       (600.0 - (20.0/ln(2.0))*ln(50.0)) / 2
+                       + (20.0/ln(2.0)) *
+                         (CASE WHEN l_discount < 0.05 THEN 0.3
+                               ELSE -0.3 END) + 0.5) AS BIGINT) AS p2,
+                     CAST(floor(
+                       (600.0 - (20.0/ln(2.0))*ln(50.0)) / 2
+                       + (20.0/ln(2.0)) * 0.4 + 0.5) AS BIGINT) AS b1,
+                     CAST(floor(
+                       (600.0 - (20.0/ln(2.0))*ln(50.0)) / 2
+                       + (20.0/ln(2.0)) * 0.3 + 0.5) AS BIGINT) AS b2
+              FROM lineitem)
+            SELECT l_orderkey, l_linenumber,
+                   p1 + p2 AS score,
+                   CASE WHEN b1 > p1 AND b2 > p2 THEN
+                          CASE WHEN b2 - p2 > b1 - p1 THEN 'x2,x1'
+                               ELSE 'x1,x2' END
+                        WHEN b1 > p1 THEN 'x1'
+                        WHEN b2 > p2 THEN 'x2'
+                        ELSE '' END AS reasons
+            FROM p
+        """,
         "frequency_encode": """
             WITH c AS (
               SELECT source AS k, count(*) AS n FROM documents
@@ -2016,7 +2077,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(x AS BIGINT) AS x,
                    CAST(floor(
                      (600.0 - (20.0 / ln(2.0)) * ln(50.0))
-                     - (20.0 / ln(2.0)) *
+                     + (20.0 / ln(2.0)) *
                        ln(((count - bads + 0.5) / (tc - tb + 0.5*k)) /
                           ((bads + 0.5) / (tb + 0.5*k)))
                      + 0.5) AS BIGINT) AS points,

@@ -325,6 +325,60 @@ class FittedBins:
             diagnostics=d.get("diagnostics", {}),
         )
 
+    @classmethod
+    def from_cuts(
+        cls,
+        x: str,
+        cuts: Sequence[float],
+        woes: Sequence[float],
+        *,
+        y: str = "y",
+        exclude_values: Optional[List[Any]] = None,
+    ) -> "FittedBins":
+        """Bring-your-own-bins serving artifact: build a transform-ready
+        model from explicit interior cut points and per-bin WoE values
+        (len(woes) == len(cuts) + 1), no fit required.
+
+        The use case is serving bins fixed by policy, regulation, or an
+        external modeling system: the resulting artifact supports the
+        same ``transform`` / ``save_json`` / :class:`Scorecard` surface
+        as a fitted one. Edges use the fitter's half-open [left, right)
+        sentinel convention (reference semantics:
+        /root/reference/src/MOBPY/binning/mob.py:60-63).
+        """
+        from ..functions.labels import bucket_labels
+
+        cuts = [float(c) for c in cuts]
+        if sorted(cuts) != cuts or len(set(cuts)) != len(cuts):
+            raise ValueError("from_cuts: cuts must be strictly increasing")
+        if len(woes) != len(cuts) + 1:
+            raise ValueError(
+                "from_cuts: need len(cuts)+1 woes "
+                f"(got {len(woes)} for {len(cuts)} cuts)"
+            )
+        lefts = np.asarray([-np.inf] + cuts, dtype=float)
+        rights = np.asarray(cuts + [np.inf], dtype=float)
+        labels = bucket_labels(lefts, rights)
+        w = np.asarray(woes, dtype=float)
+        bins = pd.DataFrame({"left": lefts, "right": rights, "woe": w})
+        summary = pd.DataFrame({"bucket": labels, "woe": w})
+        return cls(
+            x=x,
+            y=y,
+            lefts=lefts,
+            rights=rights,
+            labels=labels,
+            is_binary=True,
+            resolved_sign="manual",
+            woes=w,
+            exclude_values=(
+                list(exclude_values) if exclude_values else None
+            ),
+            bins_df=bins,
+            summary_df=summary,
+            diagnostics={"constructed": "from_cuts"},
+        )
+
     def save_json(self, path: str) -> None:
         import json
 

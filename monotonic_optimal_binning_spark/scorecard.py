@@ -8,11 +8,15 @@ doubling the odds:
 
     factor = pdo / ln 2
     offset = base_points - factor * ln(base_odds)
-    points_i(bin) = offset/k - factor * (coef_i * woe_bin + intercept/k)
+    points_i(bin) = offset/k + factor * (coef_i * woe_bin + intercept/k)
 
-so that  sum_i points_i = offset - factor * (intercept + sum coef*woe)
+so that  sum_i points_i = offset + factor * (intercept + sum coef*woe)
 = offset + factor * ln(odds_good) — the textbook allocation that spreads
-the intercept and offset evenly over the k features.
+the intercept and offset evenly over the k features.  The engine's WoE
+is ln(good_dist/bad_dist), so the model here is framed on the log-odds
+of GOOD (``intercept`` = ln(odds good:bad) at WoE zero): with the
+default ``coef=1`` a good-heavy bin earns MORE points, and a logistic
+fit on P(bad) plugs in with its coefficients and intercept negated.
 
 Missing / excluded values carry no evidence (WoE 0 = population prior)
 and receive each feature's *neutral* points ``points_i(woe=0)`` — an
@@ -62,9 +66,11 @@ class Scorecard:
 
     Args:
         models: feature name -> fitted binary model (WoE present).
-        coefs: logistic coefficient per feature (default 1.0 each —
-            the single-feature / expert-scorecard convention).
-        intercept: logistic intercept (log-odds of BAD at WoE zero).
+        coefs: coefficient per feature in the log-odds-of-GOOD model
+            (default 1.0 each — the expert-scorecard convention; negate
+            a logistic-on-bad fit's coefficients).
+        intercept: log-odds of GOOD at WoE zero (negate a
+            logistic-on-bad fit's intercept).
         pdo: points to double the odds.
         base_points: score anchored at ``base_odds``.
         base_odds: good:bad odds at ``base_points``.
@@ -112,7 +118,7 @@ class Scorecard:
         k = len(self.models)
         raw = (
             self.offset / k
-            - self.factor * (self._coefs[feature] * woe + self.intercept / k)
+            + self.factor * (self._coefs[feature] * woe + self.intercept / k)
         )
         return _round_half_up(raw) if self.round_points else raw
 
@@ -188,6 +194,66 @@ class Scorecard:
         out = out.withColumn(output_col, total)
         if not keep_feature_points:
             out = out.drop(*parts)
+        return out
+
+    def best_points(self, feature: str) -> float:
+        """Max attainable points for the feature (best bin or neutral)."""
+        m = self.models[feature]
+        pts = self._points_of_woe(feature, np.asarray(m.woes, dtype=float))
+        return float(max(pts.max(), self.neutral_points(feature)))
+
+    def reason_codes(
+        self,
+        df: DataFrame,
+        *,
+        top_k: int = 3,
+        output_col: str = "reasons",
+        score_col: Optional[str] = "score",
+        input_cols: Optional[Dict[str, str]] = None,
+        keep_feature_points: bool = False,
+    ) -> DataFrame:
+        """Append per-row adverse-action reason codes: the ``top_k``
+        features costing the most points versus their best attainable
+        bin (deficit > 0 only), ordered deficit-descending with
+        feature-name tie-break — the FCRA/ECOA serving requirement that
+        every declined score be explainable.
+
+        Row-local after the same one-stage points lookup as
+        :meth:`transform`: deficits are plain column arithmetic against
+        driver-constant per-feature maxima, and the top-k is an
+        ``array_sort``/``slice`` over k elements — no shuffle, no
+        per-row Python. ``score_col=None`` skips the total score.
+        """
+        if top_k < 1:
+            raise ValueError("top_k must be >= 1")
+        out = self.transform(
+            df,
+            output_col=score_col or "__score_tmp",
+            keep_feature_points=True,
+            input_cols=input_cols,
+        )
+        if score_col is None:
+            out = out.drop("__score_tmp")
+        entries = F.array(
+            *[
+                F.struct(
+                    # negated deficit: ascending struct sort = largest
+                    # deficit first, name-ascending tie-break
+                    (
+                        F.col(f"{name}_points") - F.lit(self.best_points(name))
+                    ).alias("nd"),
+                    F.lit(name).alias("f"),
+                )
+                for name in self.models
+            ]
+        )
+        adverse = F.filter(F.array_sort(entries), lambda s: s["nd"] < 0)
+        reasons = F.transform(
+            F.slice(adverse, 1, top_k), lambda s: s["f"]
+        )
+        out = out.withColumn(output_col, reasons)
+        if not keep_feature_points:
+            out = out.drop(*[f"{n}_points" for n in self.models])
         return out
 
     # ------------------------------------------------------ persistence --

@@ -35,10 +35,11 @@ def two_feature_models(spark):
 
 def test_neutral_applicant_anchors_at_base(two_feature_models):
     """All-unknown applicant (WoE 0 everywhere) scores exactly
-    base_points when the model's intercept sits at -ln(base_odds)."""
+    base_points when the model's good-odds intercept sits at
+    ln(base_odds)."""
     _, _, models = two_feature_models
     card = Scorecard(
-        models, intercept=-math.log(50.0), pdo=20.0,
+        models, intercept=math.log(50.0), pdo=20.0,
         base_points=600.0, base_odds=50.0, round_points=False,
     )
     total = sum(card.neutral_points(f) for f in models)
@@ -46,13 +47,13 @@ def test_neutral_applicant_anchors_at_base(two_feature_models):
 
 
 def test_pdo_semantics(two_feature_models):
-    """A woe shift of -ln(2)/coef on one feature adds exactly pdo points
+    """A woe shift of +ln(2)/coef on one feature adds exactly pdo points
     (odds of good double)."""
     _, _, models = two_feature_models
     card = Scorecard(models, coefs={"x1": 0.8, "x2": 1.2},
                      round_points=False)
     p0 = card._points_of_woe("x1", np.array([0.3]))[0]
-    p1 = card._points_of_woe("x1", np.array([0.3 - math.log(2) / 0.8]))[0]
+    p1 = card._points_of_woe("x1", np.array([0.3 + math.log(2) / 0.8]))[0]
     assert p1 - p0 == pytest.approx(20.0)
 
 
@@ -114,6 +115,65 @@ def test_round_trip_json(two_feature_models, tmp_path):
 def test_transform_is_shuffle_free(two_feature_models):
     df, _, models = two_feature_models
     out = Scorecard(models).transform(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_from_cuts_transform_and_card(spark):
+    """Bring-your-own-bins artifact: explicit cuts + woes serve the same
+    transform/Scorecard surface as a fitted model."""
+    from monotonic_optimal_binning_spark import FittedBins
+
+    m = FittedBins.from_cuts("x", [10.0, 25.0], [0.6, 0.0, -0.7])
+    pdf = pd.DataFrame({"x": [5.0, 10.0, 24.9, 25.0, 99.0, np.nan]})
+    df = spark.createDataFrame(pdf)
+    woe = m.transform(df, assign="woe", output_col="w").toPandas()["w"]
+    assert np.allclose(
+        woe.to_numpy(), [0.6, 0.0, 0.0, -0.7, -0.7, np.nan], equal_nan=True
+    )
+    with pytest.raises(ValueError):
+        FittedBins.from_cuts("x", [10.0, 5.0], [0.1, 0.2, 0.3])
+    with pytest.raises(ValueError):
+        FittedBins.from_cuts("x", [10.0], [0.1, 0.2, 0.3])
+    # JSON round-trip of the constructed artifact
+    d = m.to_dict()
+    m2 = FittedBins.from_dict(d)
+    woe2 = m2.transform(df, assign="woe", output_col="w").toPandas()["w"]
+    assert np.allclose(woe.to_numpy(), woe2.to_numpy(), equal_nan=True)
+
+
+def test_reason_codes(spark):
+    from monotonic_optimal_binning_spark import FittedBins
+
+    m1 = FittedBins.from_cuts("x1", [10.0], [0.5, -0.5])   # swing 1.0
+    m2 = FittedBins.from_cuts("x2", [0.5], [0.2, -0.2])    # swing 0.4
+    card = Scorecard({"x1": m1, "x2": m2}, round_points=False)
+    pdf = pd.DataFrame(
+        {
+            "x1": [5.0, 20.0, 20.0, 5.0, np.nan],
+            "x2": [0.1, 0.9, 0.1, 0.9, 0.9],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = card.reason_codes(df, top_k=2).toPandas()
+    # row 0: both at best bins -> no reasons
+    assert list(got.loc[0, "reasons"]) == []
+    # row 1: both at worst; x1's deficit (factor*1.0) > x2's (factor*0.4)
+    assert list(got.loc[1, "reasons"]) == ["x1", "x2"]
+    # row 2: only x1 adverse
+    assert list(got.loc[2, "reasons"]) == ["x1"]
+    # row 3: only x2 adverse
+    assert list(got.loc[3, "reasons"]) == ["x2"]
+    # row 4: x1 missing -> neutral (deficit factor*0.5), x2 worst
+    # (deficit factor*0.4): x1 costs more
+    assert list(got.loc[4, "reasons"]) == ["x1", "x2"]
+    # top_k truncation
+    got1 = card.reason_codes(df, top_k=1).toPandas()
+    assert list(got1.loc[1, "reasons"]) == ["x1"]
+    # score column still correct and present
+    assert "score" in got.columns
+    # no shuffle anywhere
+    out = card.reason_codes(df)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
 
