@@ -430,6 +430,35 @@ def q_target_encode(spark, sf_dir):
     return out.select("id", "cat", F.round("cat_te", _R).alias("te"))
 
 
+def q_cv_metrics(spark, sf_dir):
+    """Per-fold KS/AUC (cross-validated metric stability): deterministic
+    md5 folds composed with the grouped evaluation operator — the oracle
+    re-derives both the folds and the per-fold Mann-Whitney math."""
+    from monotonic_optimal_binning_spark.operators.encoding import (
+        fold_assignment,
+    )
+    from monotonic_optimal_binning_spark.operators.evaluation import (
+        ks_auc_grouped,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.select(
+        F.concat_ws(
+            "-", F.col("l_orderkey"), F.col("l_linenumber")
+        ).alias("rid"),
+        F.col("l_discount").alias("score"),
+        (F.col("l_returnflag") == "R").cast("double").alias("y"),
+    ).withColumn("fold", fold_assignment(F.col("rid"), 4))
+    out = ks_auc_grouped(df, "score", "y", "fold")
+    return out.select(
+        "fold",
+        F.round("ks", _R).alias("ks"),
+        F.round("auc", _R).alias("auc"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+    )
+
+
 def q_reason_codes(spark, sf_dir):
     """Adverse-action reason codes from a bring-your-own-bins scorecard
     (literal cuts + WoEs, so the oracle replays the whole points/deficit/
@@ -1727,6 +1756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_auc": q_ks_auc,
         "scorecard_points": q_scorecard_points,
         "reason_codes": q_reason_codes,
+        "cv_metrics": q_cv_metrics,
         "frequency_encode": q_frequency_encode,
         "hash_encode": q_hash_encode,
         # --- (b) green in r4, oldest prior verification first ---
@@ -2010,6 +2040,48 @@ def oracle_sql() -> dict[str, str]:
                    a.mean, a.std, t.top_value, t.top_freq
             FROM agg a LEFT JOIN top t ON a.col = t.col AND t.rk = 1
             ORDER BY a.col
+        """,
+        "cv_metrics": """
+            WITH base AS (
+              SELECT CASE
+                       WHEN substring(md5('folds' ||
+                         (CAST(l_orderkey AS VARCHAR) || '-' ||
+                          CAST(l_linenumber AS VARCHAR))), 1, 8)
+                         < '40000000' THEN 0
+                       WHEN substring(md5('folds' ||
+                         (CAST(l_orderkey AS VARCHAR) || '-' ||
+                          CAST(l_linenumber AS VARCHAR))), 1, 8)
+                         < '80000000' THEN 1
+                       WHEN substring(md5('folds' ||
+                         (CAST(l_orderkey AS VARCHAR) || '-' ||
+                          CAST(l_linenumber AS VARCHAR))), 1, 8)
+                         < 'c0000000' THEN 2
+                       ELSE 3 END AS fold,
+                     l_discount AS s,
+                     CAST(l_returnflag = 'R' AS DOUBLE) AS y
+              FROM lineitem WHERE l_discount IS NOT NULL),
+            agg AS (
+              SELECT fold, s, CAST(sum(y) AS BIGINT) AS pos,
+                     CAST(count(y) - sum(y) AS BIGINT) AS neg
+              FROM base GROUP BY fold, s),
+            wk AS (
+              SELECT fold, s, pos, neg,
+                     CAST(sum(pos) OVER (PARTITION BY fold ORDER BY s)
+                          AS DOUBLE) AS cpos,
+                     CAST(sum(neg) OVER (PARTITION BY fold ORDER BY s)
+                          AS DOUBLE) AS cneg,
+                     CAST(sum(pos) OVER (PARTITION BY fold)
+                          AS DOUBLE) AS p,
+                     CAST(sum(neg) OVER (PARTITION BY fold)
+                          AS DOUBLE) AS n
+              FROM agg)
+            SELECT fold,
+                   round(max(abs(cpos / p - cneg / n)), 6) AS ks,
+                   round(sum((cneg - neg) * pos + 0.5 * neg * pos)
+                         / (max(p) * max(n)), 6) AS auc,
+                   CAST(max(p) AS BIGINT) AS n_pos,
+                   CAST(max(n) AS BIGINT) AS n_neg
+            FROM wk GROUP BY fold
         """,
         "reason_codes": """
             WITH p AS (

@@ -179,3 +179,68 @@ def ks_auc(
         F.first("p").alias("n_pos"),
         F.first("n").alias("n_neg"),
     )
+
+
+def ks_auc_grouped(
+    df: DataFrame,
+    score_col: str,
+    y_col: str,
+    group_col: str,
+    *,
+    cuts: Optional[Sequence[float]] = None,
+) -> DataFrame:
+    """Per-group KS + AUC in one scan: one row per ``group_col`` value
+    with ``(group, ks, auc, n_pos, n_neg)``.
+
+    The group is a monitoring segment (source, time slice) or a CV fold
+    (compose with :func:`..encoding.fold_assignment` for out-of-fold
+    metric stability).  Same math as :func:`ks_auc`; the prefix windows
+    are PARTITIONED by group, so the per-group distinct-score frames
+    process in parallel and no single task sees more than one group's
+    scores (same boundedness caveat as :func:`ks_auc` — pass ``cuts``
+    for raw continuous scores).
+    """
+    y = F.col(y_col).cast("double")
+    s = F.col(score_col).cast("double")
+    key = _bucketize(s, cuts) if cuts else s
+    g = F.col(group_col)
+    agg = (
+        df.filter(s.isNotNull() & y.isNotNull())
+        .select(g.alias("g"), key.alias("s"), y.alias("__y"))
+        .groupBy("g", "s")
+        .agg(
+            F.sum("__y").cast("long").alias("pos"),
+            (F.count("__y") - F.sum("__y")).cast("long").alias("neg"),
+        )
+    )
+    if cuts:
+        agg = agg.filter(F.col("s") >= 0)
+    w = (
+        Window.partitionBy("g")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy("g")
+    cum_pos = F.sum("pos").over(w)
+    cum_neg = F.sum("neg").over(w)
+    p = F.sum("pos").over(tot)
+    n = F.sum("neg").over(tot)
+    neg_below = cum_neg - F.col("neg")
+    per = agg.select(
+        "g",
+        F.abs(
+            cum_pos.cast("double") / p - cum_neg.cast("double") / n
+        ).alias("gap"),
+        (
+            neg_below.cast("double") * F.col("pos")
+            + F.lit(0.5) * F.col("neg") * F.col("pos")
+        ).alias("u"),
+        p.alias("p"),
+        n.alias("n"),
+    )
+    return per.groupBy("g").agg(
+        F.max("gap").alias("ks"),
+        (F.sum("u") / (F.first("p") * F.first("n"))).alias("auc"),
+        F.first("p").alias("n_pos"),
+        F.first("n").alias("n_neg"),
+    ).withColumnRenamed("g", group_col)

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from monotonic_optimal_binning_spark.operators.evaluation import (
     gains_table,
     ks_auc,
+    ks_auc_grouped,
 )
 
 
@@ -83,6 +84,39 @@ def test_auc_extremes(spark):
     r2 = ks_auc(df2, "score", "y").collect()[0]
     assert r2["auc"] == pytest.approx(0.5)
     assert r2["ks"] == pytest.approx(0.0)
+
+
+def test_ks_auc_grouped_matches_per_group_truth(scored):
+    df, pdf = scored
+    df = df.withColumn("seg", (F.col("score") > 0).cast("int"))
+    got = {
+        r["seg"]: r
+        for r in ks_auc_grouped(df, "score", "y", "seg").collect()
+    }
+    lab = pdf.dropna(subset=["y", "score"])
+    for seg in (0, 1):
+        sub = lab[(lab["score"] > 0).astype(int) == seg]
+        s, y = sub["score"].to_numpy(), sub["y"].to_numpy().astype(int)
+        assert got[seg]["auc"] == pytest.approx(_auc_truth(s, y), abs=1e-12)
+        assert got[seg]["ks"] == pytest.approx(_ks_truth(s, y), abs=1e-12)
+        assert got[seg]["n_pos"] == int((y == 1).sum())
+
+
+def test_ks_auc_grouped_cv_folds(scored):
+    """Composed with fold_assignment: per-fold AUC hovers near the
+    pooled AUC (same generator in every fold)."""
+    from monotonic_optimal_binning_spark.operators.encoding import (
+        fold_assignment,
+    )
+
+    df, _ = scored
+    df = df.withColumn("rid", F.monotonically_increasing_id())
+    df = df.withColumn("fold", fold_assignment(F.col("rid"), 4))
+    rows = ks_auc_grouped(df, "score", "y", "fold").collect()
+    pooled = ks_auc(df, "score", "y").collect()[0]["auc"]
+    assert len(rows) == 4
+    for r in rows:
+        assert abs(r["auc"] - pooled) < 0.08
 
 
 def test_gains_table_matches_truth(scored):
