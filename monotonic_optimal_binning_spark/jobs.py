@@ -337,6 +337,19 @@ def quality_filter_job(args) -> None:
     print(run.save())
 
 
+def _bins_artifact_kind(payload: dict, path: str) -> str:
+    """'single' (FittedBins) or 'grouped' (GroupedBins). A Scorecard
+    payload also carries a 'models' key — catch it here with a pointer
+    to the right job instead of failing deep inside GroupedBins
+    parsing."""
+    if "pdo" in payload and "models" in payload:
+        raise SystemExit(
+            f"{path} is a Scorecard artifact (scorecard.json) — "
+            "use the 'score' job to serve it"
+        )
+    return "grouped" if "models" in payload else "single"
+
+
 def drift_job(args) -> None:
     """Production drift monitoring: score a NEW parquet slice against a
     SAVED binning artifact (``FittedBins``/``GroupedBins`` JSON from
@@ -357,7 +370,7 @@ def drift_job(args) -> None:
     df = _read_input(spark, args.input)
     with open(args.model) as f:
         payload = _json.load(f)
-    grouped = "models" in payload
+    grouped = _bins_artifact_kind(payload, args.model) == "grouped"
     if grouped:
         artifact = GroupedBins.load_json(args.model)
         # the override renames grouped_model_psi's OUTPUT group column too —
@@ -429,7 +442,7 @@ def transform_job(args) -> None:
     df = _read_input(spark, args.input)
     with open(args.model) as f:
         payload = _json.load(f)
-    if "models" in payload:
+    if _bins_artifact_kind(payload, args.model) == "grouped":
         artifact = GroupedBins.load_json(args.model)
         gcol = args.group_col or artifact.group_col
         build = lambda: artifact.transform(  # noqa: E731
@@ -453,6 +466,45 @@ def transform_job(args) -> None:
                 "input_col": args.input_col, "output_col": args.output_col,
                 "kind": model_kind},
         partition_by=[args.partition_by] if args.partition_by else None,
+    )
+    run.record(out_dir)
+    print(run.save())
+
+
+def score_job(args) -> None:
+    """Serve a saved ``scorecard.json`` at scale: total integer score per
+    row, optionally per-feature points and top-k adverse-action reason
+    codes, written as an idempotent checkpoint stage. No refit and no
+    shuffle — the card is kilobytes and ships inside the broadcast
+    pandas UDFs (:meth:`scorecard.Scorecard.transform`)."""
+    from .scorecard import Scorecard
+
+    spark = _spark("mob-score")
+    run = PipelineRun(root=args.workdir)
+    df = _read_input(spark, args.input)
+    card = Scorecard.load_json(args.scorecard)
+    if args.reasons:
+        build = lambda: card.reason_codes(  # noqa: E731
+            df, top_k=args.top_k, keep_feature_points=args.keep_points
+        )
+    else:
+        build = lambda: card.transform(  # noqa: E731
+            df, keep_feature_points=args.keep_points
+        )
+
+    out_dir = os.path.join(args.workdir, "stage_score")
+    run_stage(
+        spark, out_dir, "score", build,
+        inputs=[args.input, args.scorecard],
+        params={
+            "scorecard": args.scorecard,
+            "reasons": bool(args.reasons),
+            "top_k": args.top_k if args.reasons else None,
+            "features": sorted(card.models),
+            "pdo": card.pdo,
+            "base_points": card.base_points,
+            "base_odds": card.base_odds,
+        },
     )
     run.record(out_dir)
     print(run.save())
@@ -937,6 +989,21 @@ def main(argv: Optional[list] = None) -> None:
     tr.add_argument("--partition-by", default=None,
                     help="partition the scored output by this column")
     tr.set_defaults(func=transform_job)
+
+    so = sub.add_parser(
+        "score",
+        help="apply a saved scorecard.json: points + adverse reason codes",
+    )
+    so.add_argument("--input", required=True, help="parquet path or table id")
+    so.add_argument("--scorecard", required=True,
+                    help="Scorecard JSON (Scorecard.save_json artifact)")
+    so.add_argument("--workdir", required=True)
+    so.add_argument("--reasons", action="store_true",
+                    help="also emit top-k adverse-action reason codes")
+    so.add_argument("--top-k", type=int, default=3)
+    so.add_argument("--keep-points", action="store_true",
+                    help="keep the per-feature points columns")
+    so.set_defaults(func=score_job)
 
     sc = sub.add_parser(
         "screen", help="rank candidate features by IV before fit-woe"

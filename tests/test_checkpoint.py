@@ -202,6 +202,56 @@ def test_drift_job_end_to_end(spark, tmp_path):
     assert m2.extra_metrics["psi_worst"] > 0.25
 
 
+def test_score_job_end_to_end(spark, tmp_path):
+    """scorecard.json -> score job: integer scores + reason codes land as
+    a checkpoint stage; resume skips; bins-job artifacts are rejected
+    with a pointer and scorecards are rejected by transform/drift."""
+    import pandas as pd
+    import pytest
+
+    from monotonic_optimal_binning_spark import FittedBins, Scorecard
+    from monotonic_optimal_binning_spark.jobs import main
+
+    card = Scorecard(
+        {
+            "x1": FittedBins.from_cuts("x1", [10.0], [0.5, -0.5]),
+            "x2": FittedBins.from_cuts("x2", [0.5], [0.2, -0.2]),
+        }
+    )
+    card_path = str(tmp_path / "scorecard.json")
+    card.save_json(card_path)
+
+    pdf = pd.DataFrame(
+        {"x1": [5.0, 20.0, 20.0], "x2": [0.1, 0.9, 0.1]}
+    )
+    inp = str(tmp_path / "apps.parquet")
+    spark.createDataFrame(pdf).write.parquet(inp)
+
+    wd = str(tmp_path / "score_wd")
+    main(["score", "--input", inp, "--scorecard", card_path,
+          "--workdir", wd, "--reasons", "--top-k", "2"])
+    out = spark.read.parquet(os.path.join(wd, "stage_score", "data"))
+    rows = {r["x1"]: r for r in out.collect()}
+    assert rows[5.0]["score"] > rows[20.0]["score"]
+    worst = [r for r in out.collect()
+             if r["x1"] == 20.0 and r["x2"] == 0.9][0]
+    assert list(worst["reasons"]) == ["x1", "x2"]
+    m = load_manifest(os.path.join(wd, "stage_score"))
+    assert m.params["features"] == ["x1", "x2"]
+
+    # resume: identical invocation must not recompute
+    before = m.completed_at_unix
+    main(["score", "--input", inp, "--scorecard", card_path,
+          "--workdir", wd, "--reasons", "--top-k", "2"])
+    assert load_manifest(
+        os.path.join(wd, "stage_score")).completed_at_unix == before
+
+    # a scorecard handed to transform/drift fails fast with a pointer
+    with pytest.raises(SystemExit, match="score"):
+        main(["transform", "--input", inp, "--model", card_path,
+              "--workdir", str(tmp_path / "wrong")])
+
+
 def test_quality_filter_job_end_to_end(spark, tmp_path):
     """Cleaning-stage job: good docs survive, junk (punct soup, too-short,
     repeated-line spam) is dropped; audit mode records per-reason counts;
