@@ -369,6 +369,43 @@ def test_stateless_textstats_work_under_streaming(spark, tmp_path):
     assert got.loc[1, "n_tokens"] == 8
 
 
+def test_scorecard_transform_under_streaming(spark, tmp_path):
+    """Scorecard scoring is a stateless broadcast lookup, so the same
+    artifact scores a readStream batch-for-batch equal to batch mode —
+    the real-time decisioning path needs zero extra code."""
+    from monotonic_optimal_binning_spark import FittedBins, Scorecard
+
+    card = Scorecard(
+        {
+            "x1": FittedBins.from_cuts("x1", [10.0], [0.5, -0.5]),
+            "x2": FittedBins.from_cuts("x2", [0.5], [0.2, -0.2]),
+        }
+    )
+    src = str(tmp_path / "apps")
+    pdf = pd.DataFrame(
+        {"app_id": [1, 2, 3], "x1": [5.0, 20.0, None],
+         "x2": [0.1, 0.9, 0.9]}
+    )
+    spark.createDataFrame(pdf).write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    out = card.reason_codes(stream, top_k=2)
+    _run_to_memory(out, "score_stream", "append")
+    got = (
+        spark.sql("select * from score_stream")
+        .toPandas().set_index("app_id").sort_index()
+    )
+    want = (
+        card.reason_codes(spark.read.parquet(src), top_k=2)
+        .toPandas().set_index("app_id").sort_index()
+    )
+    assert (got["score"] == want["score"]).all()
+    assert [list(r) for r in got["reasons"]] == [
+        list(r) for r in want["reasons"]
+    ]
+
+
 def _poll(read, pred, seconds=60):
     """Poll a continuous-trigger query's file-sink output until pred(df)
     (wall-clock-driven TTL tests can't use availableNow: processing-time
