@@ -430,6 +430,54 @@ def q_target_encode(spark, sf_dir):
     return out.select("id", "cat", F.round("cat_te", _R).alias("te"))
 
 
+def q_isotonic_calibration(spark, sf_dir):
+    """Distributed isotonic regression value-checked on the no-merge
+    monotone construction: group means already increase, so PAVA pools
+    nothing and calibrated(x) is exactly the per-group mean — plain SQL
+    for the oracle."""
+    from monotonic_optimal_binning_spark.operators.calibration import (
+        isotonic_calibrate,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.select(
+        F.pmod(F.col("user_id"), F.lit(5)).cast("double").alias("score"),
+        (
+            F.pmod(F.col("event_id"), F.lit(100))
+            < (F.pmod(F.col("user_id"), F.lit(5)) + 1) * 15
+        ).cast("double").alias("y"),
+    )
+    cal = isotonic_calibrate(df, "score", "y", prebins="exact")
+    out = cal.transform(df)
+    return out.groupBy(F.col("score").cast("long").alias("score")).agg(
+        F.round(F.avg("score_calibrated"), _R).alias("calibrated"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_calibration_table(spark, sf_dir):
+    """Reliability/ECE table over fixed cut points (p = scaled discount,
+    y = returned): one hash-aggregate scan, SQL-replayable."""
+    from monotonic_optimal_binning_spark.operators.calibration import (
+        calibration_table,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.select(
+        (F.col("l_discount") * 10.0).alias("p"),
+        (F.col("l_returnflag") == "R").cast("double").alias("y"),
+    )
+    out = calibration_table(df, "p", "y", [0.25, 0.5, 0.75])
+    return out.select(
+        "bucket",
+        "n",
+        F.round("avg_p", _R).alias("avg_p"),
+        F.round("avg_y", _R).alias("avg_y"),
+        F.round("gap", _R).alias("gap"),
+        F.round("ece_term", _R).alias("ece_term"),
+    )
+
+
 def q_cv_metrics(spark, sf_dir):
     """Per-fold KS/AUC (cross-validated metric stability): deterministic
     md5 folds composed with the grouped evaluation operator — the oracle
@@ -1757,6 +1805,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scorecard_points": q_scorecard_points,
         "reason_codes": q_reason_codes,
         "cv_metrics": q_cv_metrics,
+        "isotonic_calibration": q_isotonic_calibration,
+        "calibration_table": q_calibration_table,
         "frequency_encode": q_frequency_encode,
         "hash_encode": q_hash_encode,
         # --- (b) green in r4, oldest prior verification first ---
@@ -2040,6 +2090,38 @@ def oracle_sql() -> dict[str, str]:
                    a.mean, a.std, t.top_value, t.top_freq
             FROM agg a LEFT JOIN top t ON a.col = t.col AND t.rk = 1
             ORDER BY a.col
+        """,
+        "isotonic_calibration": """
+            WITH d AS (
+              SELECT CAST(user_id % 5 AS DOUBLE) AS score,
+                     CAST((event_id % 100) < (user_id % 5 + 1) * 15
+                          AS DOUBLE) AS y
+              FROM events)
+            SELECT CAST(score AS BIGINT) AS score,
+                   round(avg(y), 6) AS calibrated,
+                   count(*) AS n
+            FROM d GROUP BY score
+        """,
+        "calibration_table": """
+            WITH base AS (
+              SELECT CASE WHEN l_discount * 10.0 < 0.25 THEN 0
+                          WHEN l_discount * 10.0 < 0.5 THEN 1
+                          WHEN l_discount * 10.0 < 0.75 THEN 2
+                          ELSE 3 END AS bucket,
+                     l_discount * 10.0 AS p,
+                     CAST(l_returnflag = 'R' AS DOUBLE) AS y
+              FROM lineitem),
+            agg AS (
+              SELECT bucket, CAST(count(y) AS BIGINT) AS n,
+                     avg(p) AS avg_p, avg(y) AS avg_y
+              FROM base GROUP BY bucket),
+            t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM agg)
+            SELECT bucket, n,
+                   round(avg_p, 6) AS avg_p,
+                   round(avg_y, 6) AS avg_y,
+                   round(abs(avg_p - avg_y), 6) AS gap,
+                   round(n / tot * abs(avg_p - avg_y), 6) AS ece_term
+            FROM agg CROSS JOIN t
         """,
         "cv_metrics": """
             WITH base AS (

@@ -1,0 +1,286 @@
+"""Score calibration: isotonic regression + reliability/ECE table.
+
+A scored model's last mile before decisions is calibration — making the
+score mean what it says. Two standard tools:
+
+- :func:`isotonic_calibrate`: distributed isotonic regression, the
+  nonparametric monotone calibrator (Zadrozny & Elkan, KDD'02).  Reuses
+  the engine's binning architecture verbatim: ONE ``groupBy(score)``
+  scan reduces to per-distinct-score sufficient statistics, the PAVA
+  pool-adjacent-violators pass runs driver-side on the k collected rows
+  (:mod:`..core.pava` — the same kernel the monotone binner uses, cited
+  to /root/reference/src/MOBPY/core/pava.py:358-406), and serving is a
+  broadcast searchsorted pandas UDF.  Like the binner, a cheap
+  ``approx_count_distinct`` probe keeps the driver collect bounded:
+  high-cardinality raw scores are quantile-prebinned first.
+
+- :func:`calibration_table`: the reliability diagram's data — per fixed
+  score bucket, predicted-vs-observed rate and the bucket's weighted
+  ECE term, in one hash-aggregate scan (fixed cut points, so an ANSI
+  oracle and a resumed job reproduce it exactly).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..core.pava import GroupStats, fit_pava
+from .evaluation import _bucketize
+
+__all__ = [
+    "IsotonicCalibration",
+    "isotonic_calibrate",
+    "calibration_table",
+]
+
+
+@dataclass
+class IsotonicCalibration:
+    """Driver-side fitted step function (kilobytes; ships inside the
+    serving UDF).
+
+    ``bounds`` are the k-1 INNER block boundaries in fit-key space
+    (half-open blocks, the core PAVA convention): a key equal to a
+    boundary belongs to the block to its right, so lookup is
+    ``searchsorted(bounds, key, side='right')`` — which also clamps
+    naturally at both open ends without storing ±inf (JSON-safe).
+    ``cuts`` is non-None for prebinned fits: raw scores are first mapped
+    to their quantile bucket's upper-cut key (top bucket -> a finite
+    sentinel above every cut) before the block lookup.
+    """
+
+    score_col: str
+    bounds: np.ndarray
+    values: np.ndarray
+    resolved_sign: str
+    n_groups: int
+    cuts: Optional[np.ndarray] = None
+    cut_sentinel: Optional[float] = None
+
+    def predict_batch(self, scores: pd.Series) -> pd.Series:
+        vals = scores.to_numpy(dtype=float, na_value=np.nan)
+        nan_mask = np.isnan(vals)
+        keys = vals
+        if self.cuts is not None and len(self.cuts):
+            ki = np.searchsorted(self.cuts, vals, side="right")
+            key_space = np.append(self.cuts, self.cut_sentinel)
+            keys = key_space[np.minimum(ki, len(self.cuts))]
+        idx = np.searchsorted(self.bounds, keys, side="right")
+        out = self.values[idx].astype(float)
+        out[nan_mask] = np.nan  # no score, no calibrated score
+        return pd.Series(out)
+
+    def transform(
+        self,
+        df: DataFrame,
+        input_col: Optional[str] = None,
+        output_col: Optional[str] = None,
+    ) -> DataFrame:
+        input_col = input_col or self.score_col
+        output_col = output_col or f"{input_col}_calibrated"
+        model = self
+
+        @F.pandas_udf("double")
+        def _cal(values: pd.Series) -> pd.Series:
+            return model.predict_batch(values)
+
+        return df.withColumn(output_col, _cal(F.col(input_col)))
+
+    def to_dict(self) -> dict:
+        return {
+            "score_col": self.score_col,
+            "bounds": [float(v) for v in self.bounds],
+            "values": [float(v) for v in self.values],
+            "resolved_sign": self.resolved_sign,
+            "n_groups": int(self.n_groups),
+            "cuts": (
+                [float(v) for v in self.cuts]
+                if self.cuts is not None
+                else None
+            ),
+            "cut_sentinel": (
+                float(self.cut_sentinel)
+                if self.cut_sentinel is not None
+                else None
+            ),
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "IsotonicCalibration":
+        return cls(
+            score_col=d["score_col"],
+            bounds=np.asarray(d["bounds"], dtype=float),
+            values=np.asarray(d["values"], dtype=float),
+            resolved_sign=d["resolved_sign"],
+            n_groups=int(d["n_groups"]),
+            cuts=(
+                np.asarray(d["cuts"], dtype=float)
+                if d.get("cuts") is not None
+                else None
+            ),
+            cut_sentinel=d.get("cut_sentinel"),
+        )
+
+    def save_json(self, path: str) -> None:
+        tmp = f"{path}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.to_dict(), f, indent=2, allow_nan=False)
+        os.replace(tmp, path)
+
+    @classmethod
+    def load_json(cls, path: str) -> "IsotonicCalibration":
+        with open(path) as f:
+            return cls.from_dict(json.load(f))
+
+
+#: "auto" collects exact distinct scores up to this many groups; above,
+#: quantile prebinning bounds the driver collect at any cardinality
+AUTO_EXACT_MAX_GROUPS = 1024
+_PREBIN_DEFAULT = 256
+
+
+def isotonic_calibrate(
+    df: DataFrame,
+    score_col: str,
+    y_col: str,
+    *,
+    sign: str = "auto",
+    strict: bool = False,
+    prebins: object = "auto",
+    prebin_relative_error: float = 0.001,
+) -> IsotonicCalibration:
+    """Fit isotonic regression of ``y_col`` on ``score_col``.
+
+    One distributed ``groupBy`` scan to per-score sufficient statistics;
+    PAVA pools the k collected rows driver-side; NULL scores/labels are
+    excluded (the serving transform passes NULL scores through as NULL).
+    ``strict=False`` (default) keeps PAVA's natural plateaus — a
+    calibrator wants them; ``sign`` as in the binner ('+', '-', 'auto').
+    ``prebins``: 'auto' (exact while the probe says <= 1024 distinct,
+    else 256 quantile buckets), 'exact', or an int bucket count.
+    """
+    s = F.col(score_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.filter(s.isNotNull() & y.isNotNull()).select(
+        s.alias("__s"), y.alias("__y")
+    )
+
+    if prebins == "auto":
+        probe = base.agg(
+            F.approx_count_distinct("__s").alias("n")
+        ).first()["n"]
+        prebins = None if probe <= AUTO_EXACT_MAX_GROUPS else _PREBIN_DEFAULT
+    elif prebins == "exact":
+        prebins = None
+    cuts_arr = None
+    sentinel = None
+    if prebins is not None:
+        n_q = int(prebins)
+        if n_q < 2:
+            raise ValueError("prebins must be >= 2")
+        qs = base.approxQuantile(
+            "__s", [i / n_q for i in range(1, n_q)], prebin_relative_error
+        )
+        cuts = sorted(set(qs))
+        if cuts:
+            # rebin each score to its bucket's UPPER CUT: the fit keys
+            # stay in (cut) score space and serving replays the same
+            # raw->key mapping; the top open bucket gets a finite
+            # sentinel strictly above every cut
+            sentinel = cuts[-1] + max(1.0, abs(cuts[-1]))
+            expr = None
+            for c in cuts:
+                cond = F.col("__s") < F.lit(float(c))
+                expr = (
+                    F.when(cond, F.lit(float(c)))
+                    if expr is None
+                    else expr.when(cond, F.lit(float(c)))
+                )
+            base = base.select(
+                expr.otherwise(F.lit(float(sentinel))).alias("__s"), "__y"
+            )
+            cuts_arr = np.asarray(cuts, dtype=float)
+
+    rows = (
+        base.groupBy("__s")
+        .agg(
+            F.count("__y").alias("n"),
+            F.sum("__y").alias("sy"),
+            F.sum(F.col("__y") * F.col("__y")).alias("sy2"),
+            F.min("__y").alias("mn"),
+            F.max("__y").alias("mx"),
+        )
+        .orderBy("__s")
+        .collect()
+    )
+    groups = [
+        GroupStats(
+            x=float(r["__s"]), count=int(r["n"]), sum=float(r["sy"]),
+            sum2=float(r["sy2"]), ymin=float(r["mn"]), ymax=float(r["mx"]),
+        )
+        for r in rows
+    ]
+    res = fit_pava(groups, sign=sign, strict=strict)
+    # inner boundaries only: block i is [bounds[i-1], bounds[i]) in key
+    # space (core half-open convention); ±inf ends stay implicit
+    bounds = np.asarray([b.right for b in res.blocks[:-1]], dtype=float)
+    values = np.asarray([b.mean for b in res.blocks], dtype=float)
+    return IsotonicCalibration(
+        score_col=score_col,
+        bounds=bounds,
+        values=values,
+        resolved_sign=res.resolved_sign,
+        n_groups=len(groups),
+        cuts=cuts_arr,
+        cut_sentinel=sentinel,
+    )
+
+
+def calibration_table(
+    df: DataFrame,
+    p_col: str,
+    y_col: str,
+    cuts: Sequence[float],
+) -> DataFrame:
+    """Reliability-diagram data over fixed probability cut points: per
+    bucket ``(bucket, n, avg_p, avg_y, gap, ece_term)`` where ``gap =
+    |avg_p - avg_y|`` and ``ece_term = n/total * gap`` (sum of the
+    column = expected calibration error). One hash-aggregate scan;
+    NULL labels excluded, NULL predictions get bucket -1 with NULL
+    calibration columns."""
+    if not cuts:
+        raise ValueError("calibration_table: cuts must be non-empty")
+    p = F.col(p_col).cast("double")
+    y = F.col(y_col).cast("double")
+    agg = (
+        df.filter(y.isNotNull())
+        .select(_bucketize(p, cuts).alias("bucket"), p.alias("__p"),
+                y.alias("__y"))
+        .groupBy("bucket")
+        .agg(
+            F.count("__y").alias("n"),
+            F.avg("__p").alias("avg_p"),
+            F.avg("__y").alias("avg_y"),
+        )
+    )
+    real = F.col("bucket") >= 0
+    total = F.sum(F.when(real, F.col("n"))).over(
+        Window.partitionBy(F.lit(1))
+    )
+    gap = F.abs(F.col("avg_p") - F.col("avg_y"))
+    return agg.select(
+        "bucket",
+        "n",
+        F.when(real, F.col("avg_p")).alias("avg_p"),
+        "avg_y",
+        F.when(real, gap).alias("gap"),
+        F.when(real, F.col("n") / total * gap).alias("ece_term"),
+    ).orderBy("bucket")

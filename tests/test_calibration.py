@@ -1,0 +1,136 @@
+"""isotonic_calibrate / calibration_table (operators/calibration.py) vs
+an independent numpy pool-adjacent-violators reference."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from monotonic_optimal_binning_spark.operators.calibration import (
+    IsotonicCalibration,
+    calibration_table,
+    isotonic_calibrate,
+)
+
+
+def _pava_ref(means, weights):
+    """Plain stack PAVA (increasing), independent of core/pava.py."""
+    vals, w, sizes = [], [], []
+    for m, wt in zip(means, weights):
+        vals.append(float(m)), w.append(float(wt)), sizes.append(1)
+        while len(vals) >= 2 and vals[-1] < vals[-2]:
+            m2, w2, s2 = vals.pop(), w.pop(), sizes.pop()
+            m1, w1, s1 = vals.pop(), w.pop(), sizes.pop()
+            vals.append((m1 * w1 + m2 * w2) / (w1 + w2))
+            w.append(w1 + w2)
+            sizes.append(s1 + s2)
+    out = []
+    for v, s in zip(vals, sizes):
+        out.extend([v] * s)
+    return np.asarray(out)
+
+
+@pytest.fixture(scope="module")
+def noisy_monotone(spark):
+    rng = np.random.RandomState(7)
+    n = 6000
+    score = rng.randint(0, 25, n).astype("float64")  # 25 distinct scores
+    p = 0.1 + 0.8 * score / 24.0
+    y = (rng.uniform(size=n) < p).astype("float64")
+    pdf = pd.DataFrame({"score": score, "y": y})
+    pdf.loc[pdf.index % 37 == 0, "score"] = np.nan
+    return spark.createDataFrame(pdf).repartition(8), pdf
+
+
+def test_matches_numpy_pava(noisy_monotone):
+    df, pdf = noisy_monotone
+    cal = isotonic_calibrate(df, "score", "y")
+    assert cal.resolved_sign == "+"
+    lab = pdf.dropna(subset=["score"])
+    g = lab.groupby("score")["y"].agg(["mean", "count"]).sort_index()
+    want = _pava_ref(g["mean"].to_numpy(), g["count"].to_numpy())
+    got = cal.predict_batch(pd.Series(g.index.to_numpy())).to_numpy()
+    assert np.allclose(got, want, atol=1e-12)
+    # calibrated output is monotone non-decreasing in the score
+    assert (np.diff(got) >= -1e-12).all()
+
+
+def test_step_function_between_and_beyond_keys(spark):
+    pdf = pd.DataFrame(
+        {"score": [1.0] * 10 + [2.0] * 10 + [4.0] * 10,
+         "y": [0.1] * 10 + [0.5] * 10 + [0.9] * 10}
+    )
+    cal = isotonic_calibrate(
+        spark.createDataFrame(pdf), "score", "y", prebins="exact"
+    )
+    got = cal.predict_batch(
+        pd.Series([0.0, 1.0, 1.5, 2.0, 3.0, 4.0, 99.0, np.nan])
+    ).to_numpy()
+    # below range clamps low; between keys -> nearest observed below;
+    # above range clamps high; NaN passes through
+    assert np.allclose(
+        got[:7], [0.1, 0.1, 0.1, 0.5, 0.5, 0.9, 0.9], atol=1e-12
+    )
+    assert np.isnan(got[7])
+
+
+def test_decreasing_sign_auto(spark):
+    pdf = pd.DataFrame(
+        {"score": [1.0] * 20 + [2.0] * 20 + [3.0] * 20,
+         "y": [0.9] * 20 + [0.55] * 20 + [0.2] * 20}
+    )
+    cal = isotonic_calibrate(spark.createDataFrame(pdf), "score", "y")
+    assert cal.resolved_sign == "-"
+    got = cal.predict_batch(pd.Series([1.0, 2.0, 3.0])).to_numpy()
+    assert np.allclose(got, [0.9, 0.55, 0.2])
+
+
+def test_prebinned_path_and_round_trip(spark, tmp_path):
+    rng = np.random.RandomState(5)
+    n = 20_000
+    score = rng.uniform(0, 1, n)  # continuous: forces the prebin path
+    y = (rng.uniform(size=n) < score).astype("float64")
+    df = spark.createDataFrame(pd.DataFrame({"score": score, "y": y}))
+    cal = isotonic_calibrate(df, "score", "y")
+    assert cal.cuts is not None and len(cal.cuts) > 50
+    probe = pd.Series(np.linspace(0.01, 0.99, 99))
+    got = cal.predict_batch(probe).to_numpy()
+    assert (np.diff(got) >= -1e-12).all()          # monotone
+    assert abs(got[10] - 0.11) < 0.15              # roughly calibrated
+    assert abs(got[90] - 0.91) < 0.15
+    # JSON round-trip preserves serving exactly (incl. the cut mapping)
+    p = str(tmp_path / "cal.json")
+    cal.save_json(p)
+    loaded = IsotonicCalibration.load_json(p)
+    assert np.allclose(loaded.predict_batch(probe).to_numpy(), got)
+    # transform == predict_batch
+    out = cal.transform(df).select("score", "score_calibrated").toPandas()
+    want = cal.predict_batch(out["score"]).to_numpy()
+    assert np.allclose(out["score_calibrated"].to_numpy(), want)
+
+
+def test_calibration_table_matches_truth(spark):
+    rng = np.random.RandomState(13)
+    n = 5000
+    p = rng.uniform(0, 1, n)
+    y = (rng.uniform(size=n) < np.clip(p + 0.1, 0, 1)).astype("float64")
+    pdf = pd.DataFrame({"p": p, "y": y})
+    pdf.loc[pdf.index % 29 == 0, "y"] = np.nan
+    df = spark.createDataFrame(pdf)
+    cuts = [0.25, 0.5, 0.75]
+    got = calibration_table(df, "p", "y", cuts).toPandas().set_index("bucket")
+    lab = pdf.dropna(subset=["y"])
+    b = np.digitize(lab["p"].to_numpy(), cuts)
+    total = len(lab)
+    for bucket in range(4):
+        m = b == bucket
+        r = got.loc[bucket]
+        assert r["n"] == int(m.sum())
+        assert r["avg_p"] == pytest.approx(lab["p"][m].mean())
+        assert r["avg_y"] == pytest.approx(lab["y"][m].mean())
+        gap = abs(lab["p"][m].mean() - lab["y"][m].mean())
+        assert r["gap"] == pytest.approx(gap)
+        assert r["ece_term"] == pytest.approx(m.sum() / total * gap)
+    # ECE = sum of the terms; miscalibrated-by-construction data
+    assert 0.05 < got["ece_term"].sum() < 0.2
