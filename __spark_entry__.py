@@ -430,6 +430,64 @@ def q_target_encode(spark, sf_dir):
     return out.select("id", "cat", F.round("cat_te", _R).alias("te"))
 
 
+def q_multi_horizon(spark, sf_dir):
+    """Feature-store point-in-time features: per event, the user's
+    activity (sum/count of value) over the trailing 1h and 24h closed
+    windows — all horizons on ONE shuffle. Exact epoch-ms keys
+    (unix_micros // 1000), so the oracle's RANGE frames agree at µs
+    boundaries; values pre-scaled to exact micro-units (floor(v*1e6) as
+    BIGINT) so frame sums are order-independent integers on both
+    engines."""
+    from monotonic_optimal_binning_spark.operators.windows import (
+        multi_horizon_features,
+    )
+
+    pin_utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 1e6).cast("long").alias("v6"),
+    )
+    out = multi_horizon_features(
+        ev, "user_id", "ts", "v6", [3600.0, 86400.0]
+    )
+    return out.select(
+        "event_id",
+        F.col("v6_h3600_sum").alias("h1_sum"),
+        F.col("v6_h3600_count").alias("h1_n"),
+        F.col("v6_h86400_sum").alias("h24_sum"),
+        F.col("v6_h86400_count").alias("h24_n"),
+    )
+
+
+def q_multi_horizon_bucketed(spark, sf_dir):
+    """Skew-safe ghost-row variant of q_multi_horizon — identical result
+    (shares its oracle), but a hot entity is chunked by horizon so no
+    task holds its full history."""
+    from monotonic_optimal_binning_spark.operators.windows import (
+        multi_horizon_features_bucketed,
+    )
+
+    pin_utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 1e6).cast("long").alias("v6"),
+    )
+    out = multi_horizon_features_bucketed(
+        ev, "user_id", "ts", "v6", [3600.0, 86400.0]
+    )
+    return out.select(
+        "event_id",
+        F.col("v6_h3600_sum").alias("h1_sum"),
+        F.col("v6_h3600_count").alias("h1_n"),
+        F.col("v6_h86400_sum").alias("h24_sum"),
+        F.col("v6_h86400_count").alias("h24_n"),
+    )
+
+
 def q_isotonic_calibration(spark, sf_dir):
     """Distributed isotonic regression value-checked on the no-merge
     monotone construction: group means already increase, so PAVA pools
@@ -1807,6 +1865,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cv_metrics": q_cv_metrics,
         "isotonic_calibration": q_isotonic_calibration,
         "calibration_table": q_calibration_table,
+        "multi_horizon": q_multi_horizon,
+        "multi_horizon_bucketed": q_multi_horizon_bucketed,
         "frequency_encode": q_frequency_encode,
         "hash_encode": q_hash_encode,
         # --- (b) green in r4, oldest prior verification first ---
@@ -3407,6 +3467,26 @@ def oracle_sql() -> dict[str, str]:
         # and minhash_pairs_planted / embedding_neardup_planted value-check
         # the LSH machinery on deterministic-recall slices);
         # simhash_dedup: xxhash64-specific fingerprints -> rows-only.
+        "multi_horizon": """
+            -- trailing-horizon point-in-time features: exact epoch-ms
+            -- order keys (µs // 1000) and exact micro-unit BIGINT sums,
+            -- so RANGE frame membership and frame sums are engine-exact
+            WITH e AS (
+              SELECT event_id, user_id,
+                     epoch_us(ts) // 1000 AS ms,
+                     CAST(floor(value * 1e6) AS BIGINT) AS v6
+              FROM events)
+            SELECT event_id,
+                   CAST(sum(v6) OVER w1 AS BIGINT) AS h1_sum,
+                   count(v6) OVER w1 AS h1_n,
+                   CAST(sum(v6) OVER w24 AS BIGINT) AS h24_sum,
+                   count(v6) OVER w24 AS h24_n
+            FROM e
+            WINDOW w1 AS (PARTITION BY user_id ORDER BY ms
+                          RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW),
+                   w24 AS (PARTITION BY user_id ORDER BY ms
+                           RANGE BETWEEN 86400000 PRECEDING AND CURRENT ROW)
+        """,
     }
     # the broadcast as-of computes the SAME result as the shuffle as-of on
     # a different physical plan — one oracle, two engines under test
@@ -3414,4 +3494,7 @@ def oracle_sql() -> dict[str, str]:
     # the loaded-codebook IVF serves the same planted query as the
     # fit-fresh plan — one deterministic oracle, two serving paths
     d["ivf_topk_loaded"] = d["ivf_topk_planted"]
+    # the ghost-row bucketed plan computes the SAME result as the plain
+    # multi-horizon window — one oracle, two physical plans
+    d["multi_horizon_bucketed"] = d["multi_horizon"]
     return d

@@ -26,6 +26,27 @@ def epoch_seconds(df: DataFrame, col: str) -> Column:
     return c.cast("double")
 
 
+def epoch_millis(df: DataFrame, col: str) -> Column:
+    """EXACT epoch milliseconds (long) for a time column.
+
+    Timestamp columns route through ``unix_micros`` + integer division —
+    no floating point anywhere, so a µs-precision event lands in the
+    same millisecond on every engine (the naive
+    ``(double_seconds * 1000).cast(long)`` truncates an FP product whose
+    error sign depends on the value: two engines computing it can
+    disagree by 1 ms at frame boundaries). Numeric columns (already
+    seconds) keep the double path — they carry no hidden precision.
+    """
+    dtype = df.schema[col].dataType
+    c = F.col(col)
+    if isinstance(dtype, (T.TimestampNTZType, T.DateType)):
+        c = c.cast("timestamp_ltz")
+        dtype = T.TimestampType()
+    if isinstance(dtype, T.TimestampType):
+        return F.floor(F.unix_micros(c) / F.lit(1000)).cast("long")
+    return (c.cast("double") * 1000).cast("long")
+
+
 def pin_utc(spark) -> None:
     """Pin the session timezone so NTZ->epoch conversions are tz-stable."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")

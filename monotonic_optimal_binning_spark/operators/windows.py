@@ -14,7 +14,7 @@ from typing import List, Optional, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.timeutil import epoch_seconds
+from ..functions.timeutil import epoch_millis, epoch_seconds
 
 
 def _keys(key: str | Sequence[str]):
@@ -402,6 +402,119 @@ def rolling_stats(
         if s not in fns:
             raise ValueError(f"unknown stat '{s}'; choose from {sorted(fns)}")
         out = out.withColumn(f"{prefix}_{s}", fns[s](F.col(value)).over(w))
+    return out
+
+
+def multi_horizon_features(
+    df: DataFrame,
+    key: str | Sequence[str],
+    ts: str,
+    value: str,
+    horizons_seconds: Sequence[float],
+    *,
+    stats: Sequence[str] = ("sum", "count"),
+    include_current: bool = True,
+    prefix: Optional[str] = None,
+) -> DataFrame:
+    """Point-in-time features at several trailing horizons in ONE pass:
+    for each event, aggregate ``value`` over the entity's events in the
+    closed window ``[t - h, t]`` for every ``h`` — the feature-store
+    "activity in the last hour / day / week as of each event" shape,
+    leakage-free by construction (nothing after ``t`` is visible).
+
+    Scale design: every horizon shares the SAME window partitioning and
+    ordering, so Catalyst plans one shuffle + one sort and evaluates all
+    the frames in a single Window operator — adding a horizon adds zero
+    shuffles.  ``include_current=False`` ends the frame 1 ms before the
+    event (strictly-prior features, e.g. when ``value`` is an outcome of
+    the event itself).  A pathologically hot entity serializes into one
+    task here — see :func:`multi_horizon_features_bucketed`.
+    """
+    keys = _keys(key)
+    prefix = prefix or f"{value}_h"
+    fns = {"sum": F.sum, "count": F.count, "mean": F.avg,
+           "min": F.min, "max": F.max}
+    for s in stats:
+        if s not in fns:
+            raise ValueError(f"unknown stat '{s}'; choose from {sorted(fns)}")
+    end = 0 if include_current else -1
+    ms = epoch_millis(df, ts)  # exact: no FP at frame boundaries
+    out = df
+    for h in horizons_seconds:
+        if h <= 0:
+            raise ValueError("horizons must be > 0 seconds")
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(ms)
+            .rangeBetween(-int(round(float(h) * 1000)), end)
+        )
+        for s in stats:
+            out = out.withColumn(
+                f"{prefix}{int(h)}_{s}", fns[s](F.col(value)).over(w)
+            )
+    return out
+
+
+def multi_horizon_features_bucketed(
+    df: DataFrame,
+    key: str | Sequence[str],
+    ts: str,
+    value: str,
+    horizons_seconds: Sequence[float],
+    *,
+    stats: Sequence[str] = ("sum", "count"),
+    include_current: bool = True,
+    prefix: Optional[str] = None,
+) -> DataFrame:
+    """Skew-safe :func:`multi_horizon_features`: identical output, but no
+    single task ever holds a hot entity's full history.
+
+    Per horizon ``h``, events are chunked by ``floor(t / h)`` and each
+    event is ALSO emitted as a ghost contributor into the next chunk:
+    the trailing window ``[t - h, t]`` can only reach the current and
+    previous chunk, so a range window over the ``(entity, chunk)``
+    partition — real rows query, ghosts only contribute — reproduces the
+    global result exactly while bounding every task at two chunks of one
+    entity.  Cost: 2x shuffled rows and one shuffle per horizon (the
+    chunking differs per ``h``), the standard price of skew immunity.
+    """
+    keys = _keys(key)
+    prefix = prefix or f"{value}_h"
+    fns = {"sum": F.sum, "count": F.count, "mean": F.avg,
+           "min": F.min, "max": F.max}
+    for s in stats:
+        if s not in fns:
+            raise ValueError(f"unknown stat '{s}'; choose from {sorted(fns)}")
+    end = 0 if include_current else -1
+    out = df
+    for h in horizons_seconds:
+        if h <= 0:
+            raise ValueError("horizons must be > 0 seconds")
+        h_ms = int(round(float(h) * 1000))
+        ms = epoch_millis(out, ts)  # exact: no FP at frame boundaries
+        base = out.withColumn("__ms", ms).withColumn(
+            "__chunk", F.floor(F.col("__ms") / F.lit(h_ms))
+        )
+        real = base.withColumn("__is_q", F.lit(1))
+        ghost = base.withColumn(
+            "__chunk", F.col("__chunk") + 1
+        ).withColumn("__is_q", F.lit(0))
+        both = real.unionByName(ghost)
+        w = (
+            Window.partitionBy(*keys, "__chunk")
+            .orderBy("__ms")
+            .rangeBetween(-h_ms, end)
+        )
+        # every row in a partition contributes exactly once: an event's
+        # real copy lives in chunk c and its ghost in c+1, so the two
+        # incarnations never share a partition and nothing double-counts
+        for s in stats:
+            both = both.withColumn(
+                f"{prefix}{int(h)}_{s}", fns[s](F.col(value)).over(w)
+            )
+        out = both.filter(F.col("__is_q") == 1).drop(
+            "__ms", "__chunk", "__is_q"
+        )
     return out
 
 

@@ -266,3 +266,90 @@ def test_lag_lead_bucketed_equals_plain(spark):
             .select("eid", "v_lag1", "v_lead1").toPandas().set_index("eid").sort_index()
         )
         pd.testing.assert_frame_equal(got, plain), bucket
+
+
+def test_multi_horizon_features_vs_truth(spark):
+    """Trailing-horizon point-in-time aggregates vs an O(n^2) pandas
+    truth, plus: all horizons share one shuffle in the executed plan."""
+    import pytest
+
+    from monotonic_optimal_binning_spark.operators.windows import (
+        multi_horizon_features,
+    )
+
+    rng = np.random.default_rng(21)
+    n = 800
+    pdf = pd.DataFrame(
+        {
+            "eid": np.arange(n),
+            "user": rng.integers(0, 5, n),
+            "ts": np.round(rng.uniform(0, 5000, n), 3),
+            "v": rng.uniform(0, 10, n).round(2),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = multi_horizon_features(
+        df, "user", "ts", "v", [60.0, 600.0], stats=("sum", "count")
+    )
+    got = out.toPandas().set_index("eid").sort_index()
+    # truth uses millisecond-truncated timestamps like the operator
+    ms = (pdf["ts"] * 1000).astype("int64")
+    for h in (60.0, 600.0):
+        hm = int(h * 1000)
+        for i, r in pdf.iterrows():
+            m = (
+                (pdf["user"] == r["user"])
+                & (ms >= ms[i] - hm)
+                & (ms <= ms[i])
+            )
+            assert got.loc[r["eid"], f"v_h{int(h)}_sum"] == pytest.approx(
+                pdf.loc[m, "v"].sum()
+            ), (r["eid"], h)
+            assert got.loc[r["eid"], f"v_h{int(h)}_count"] == m.sum()
+    # one shuffle for BOTH horizons (shared partitioning + ordering)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    import re
+
+    shuffles = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert shuffles == 1, plan
+
+
+def test_multi_horizon_bucketed_equals_plain(spark):
+    from monotonic_optimal_binning_spark.operators.windows import (
+        multi_horizon_features,
+        multi_horizon_features_bucketed,
+    )
+
+    rng = np.random.default_rng(22)
+    n = 1500
+    pdf = pd.DataFrame(
+        {
+            "eid": np.arange(n),
+            # one pathologically hot entity + a few normal ones
+            "user": np.where(rng.uniform(size=n) < 0.7, 0,
+                             rng.integers(1, 4, n)),
+            "ts": np.round(rng.uniform(0, 3000, n), 3),
+            "v": rng.uniform(0, 10, n).round(2),
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(8)
+    for include_current in (True, False):
+        plain = (
+            multi_horizon_features(
+                df, "user", "ts", "v", [45.0, 700.0],
+                include_current=include_current,
+            )
+            .toPandas().set_index("eid").sort_index()
+        )
+        bucketed = (
+            multi_horizon_features_bucketed(
+                df, "user", "ts", "v", [45.0, 700.0],
+                include_current=include_current,
+            )
+            .toPandas().set_index("eid").sort_index()
+        )
+        pd.testing.assert_frame_equal(
+            bucketed[plain.columns], plain, check_dtype=False
+        )
