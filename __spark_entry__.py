@@ -227,6 +227,50 @@ def q_bin_fit_monotone(spark, sf_dir):
     )
 
 
+def q_bin_fit_incremental(spark, sf_dir):
+    """The incremental-fit path value-checked end-to-end: the SAME
+    no-merge monotone construction as bin_fit_monotone, but the fit runs
+    as two per-partition collect_stats scans (events split by event_id
+    parity) merged algebraically on the driver (BinStats.merge), then a
+    Spark-free fit_from_stats solve. Result must equal the single-pass
+    fit, so it shares bin_fit_monotone's SQL oracle — this is the
+    refit-without-rescanning-history loop a 100 TB deployment runs
+    daily."""
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.select(
+        F.col("event_id"),
+        F.pmod(F.col("user_id"), F.lit(5)).cast("double").alias("x"),
+        (
+            F.pmod(F.col("event_id"), F.lit(100))
+            < (F.pmod(F.col("user_id"), F.lit(5)) + 1) * 15
+        ).cast("int").alias("y"),
+    )
+
+    def _binner():
+        return SparkMonotonicBinner(
+            "x", "y", prebins="exact",
+            constraints=BinningConstraints(max_bins=10, min_bins=2),
+        )
+
+    even = df.filter(F.pmod(F.col("event_id"), F.lit(2)) == 0)
+    odd = df.filter(F.pmod(F.col("event_id"), F.lit(2)) == 1)
+    b = _binner()
+    s = b.collect_stats(even, label="even")
+    s = b.collect_stats(odd, prior=s, label="odd")
+    b.fit_from_stats(s)
+    out = b.summary_spark(spark)
+    return out.select(
+        "bucket",
+        F.col("count").cast("long").alias("count"),
+        F.round("count_pct", _R).alias("count_pct"),
+        F.round("sum", _R).alias("sum"),
+        F.round("mean", _R).alias("mean"),
+        F.round("std", _R).alias("std"),
+        F.round("woe", _R).alias("woe"),
+        F.round("iv", _R).alias("iv"),
+    )
+
+
 def q_woe_transform_monotone(spark, sf_dir):
     """The broadcast searchsorted WoE-lookup UDF value-checked: on the
     no-merge monotone construction every x maps to its own bin, so the
@@ -1867,6 +1911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_table": q_calibration_table,
         "multi_horizon": q_multi_horizon,
         "multi_horizon_bucketed": q_multi_horizon_bucketed,
+        "bin_fit_incremental": q_bin_fit_incremental,
         "frequency_encode": q_frequency_encode,
         "hash_encode": q_hash_encode,
         # --- (b) green in r4, oldest prior verification first ---
@@ -3497,4 +3542,7 @@ def oracle_sql() -> dict[str, str]:
     # the ghost-row bucketed plan computes the SAME result as the plain
     # multi-horizon window — one oracle, two physical plans
     d["multi_horizon_bucketed"] = d["multi_horizon"]
+    # the incremental two-partition merged-stats fit must equal the
+    # single-pass fit — one oracle, two fit engines
+    d["bin_fit_incremental"] = d["bin_fit_monotone"]
     return d

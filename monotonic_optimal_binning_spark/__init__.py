@@ -21,6 +21,7 @@ from .exceptions import (
 )
 from .logging_utils import BinningProgressLogger, get_logger, set_verbosity
 from .operators.binning import (
+    BinStats,
     FittedBins,
     GroupedBins,
     SparkMonotonicBinner,
@@ -31,6 +32,7 @@ from .scorecard import Scorecard
 __version__ = "0.1.0"
 
 __all__ = [
+    "BinStats",
     "BinningConstraints",
     "BinningProgressLogger",
     "ConstraintError",

@@ -469,6 +469,256 @@ class FittedBins:
         return df.withColumn(output_col, _assign(F.col(input_col)))
 
 
+#: distinguishes "no frozen bucketing supplied" from "frozen EXACT
+#: grouping" (None) in _collect_stats_rows
+_UNSET = object()
+
+
+def _canon_stats_key(tag: str, gkey):
+    """Driver-side merge key for a stats row. Spark's groupBy pools NaN
+    group keys together and null keys together (but apart from each
+    other) — mirror that exactly so merging per-partition artifacts
+    reproduces what a single groupBy over the union would have built."""
+    if gkey is None:
+        return (tag, "null")
+    g = float(gkey)
+    if math.isnan(g):
+        return (tag, "nan")
+    return (tag, g)  # +0.0 == -0.0 in dict keys, matching Spark groupBy
+
+
+def _merge_opt(a, b, fn):
+    """Fold two nullable stats (Spark aggregates return null over empty
+    y-groups): null is the identity on either side."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return fn(a, b)
+
+
+def _encode_stat(v):
+    """Strict-JSON stats value: like :func:`_json_float` but NaN keeps its
+    identity (Spark groups NaN x apart from null x, and the artifact must
+    round-trip that distinction in ``gkey``)."""
+    if isinstance(v, float) and math.isnan(v):
+        return "nan"
+    return _json_float(v)
+
+
+def _decode_stat(v):
+    """Inverse of :func:`_encode_stat`: None stays None (a Spark null, NOT
+    NaN — ``ymean is None`` drives Missing-row defaults downstream)."""
+    if v is None:
+        return None
+    if isinstance(v, str):
+        return float(v)  # "nan" / "inf" / "-inf"
+    return v
+
+
+#: per-row stats fields in artifact order; (field, merge kind)
+_STATS_FIELDS = (
+    ("n_rows", "sum_int"),
+    ("n_y", "sum_int"),
+    ("sum_y", "sum"),
+    ("sum_y2", "sum"),
+    ("ymin", "min"),
+    ("ymax", "max"),
+    ("ymean", "derived"),
+    ("ystd", "derived"),
+    ("n_nonfinite", "sum_int"),
+    ("x_rep", "min"),
+)
+
+
+@dataclass
+class BinStats:
+    """Mergeable sufficient statistics of a MOB fit — the incremental-refit
+    checkpoint artifact.
+
+    Everything the driver-side solve needs, none of the data: per-(tag,
+    gkey) algebraic aggregates (counts, y sums / squares / extrema) plus
+    the FROZEN bucketing they were computed under. Every statistic is
+    algebraic, so artifacts from disjoint partitions merge associatively
+    in O(k) driver time — refitting yesterday's corpus + today's
+    partition costs ONE scan of today's partition, never a rescan of
+    history (the reference refits from raw rows every time,
+    /root/reference/src/MOBPY/binning/mob.py:229-260):
+
+        day1  = binner.collect_stats(df_day1, label="2024-01-01")
+        both  = binner.collect_stats(df_day2, prior=day1, label="2024-01-02")
+        model = binner.fit_from_stats(both).model_
+
+    ``splits`` is the bucketing the rows were aggregated under (None =
+    exact distinct-x grouping); a ``prior`` freezes it, so the merged
+    artifact equals the stats of one pass over the union with those
+    splits. ``lineage`` keeps one entry per folded partition (per-
+    partition row counts + group counts — the checkpoint/metrics trail).
+    """
+
+    x: str
+    y: str
+    splits: Optional[List[float]]
+    exclude_values: Optional[List[Any]]
+    rows: List[Dict[str, Any]]
+    lineage: List[Dict[str, Any]] = field(default_factory=list)
+
+    # ---------- algebra ----------
+
+    def _check_compatible(self, other: "BinStats") -> None:
+        if (self.x, self.y) != (other.x, other.y):
+            raise ValueError(
+                f"cannot merge stats of ({self.x!r}, {self.y!r}) with "
+                f"({other.x!r}, {other.y!r})"
+            )
+        if (self.exclude_values or None) != (other.exclude_values or None):
+            raise ValueError(
+                "cannot merge stats collected under different "
+                "exclude_values — the partition predicates differ"
+            )
+        a, b = self.splits, other.splits
+        if (a is None) != (b is None) or (
+            a is not None and list(a) != list(b)
+        ):
+            raise ValueError(
+                "cannot merge stats collected under different bucketings; "
+                "pass prior= to collect_stats so new partitions reuse the "
+                "frozen splits"
+            )
+
+    def merge(self, other: "BinStats") -> "BinStats":
+        """Associative fold of two artifacts (neither is mutated): row
+        groups with the same (tag, gkey) combine algebraically; derived
+        stats (mean/std) are recomputed from the merged sums with the
+        same formula the distributed rebucket path uses."""
+        self._check_compatible(other)
+        acc: Dict[Any, Dict[str, Any]] = {}
+        for r in (*self.rows, *other.rows):
+            k = _canon_stats_key(r["tag"], r["gkey"])
+            a = acc.get(k)
+            if a is None:
+                acc[k] = {"tag": r["tag"], "gkey": r["gkey"], **{
+                    f: r[f] for f, _ in _STATS_FIELDS
+                }}
+                continue
+            for f, kind in _STATS_FIELDS:
+                if kind == "sum_int":
+                    a[f] = int(a[f] or 0) + int(r[f] or 0)
+                elif kind == "sum":
+                    a[f] = _merge_opt(a[f], r[f], lambda p, q: p + q)
+                elif kind == "min":
+                    a[f] = _merge_opt(a[f], r[f], min)
+                elif kind == "max":
+                    a[f] = _merge_opt(a[f], r[f], max)
+        rows = []
+        for a in acc.values():
+            n, s, s2 = a["n_y"], a["sum_y"], a["sum_y2"]
+            if n and s is not None:
+                a["ymean"] = s / n
+            else:
+                a["ymean"] = None
+            if n and n > 1 and s is not None and s2 is not None:
+                # same identity as _rebucket_stats' distributed fold
+                var = (s2 / n - (s / n) ** 2) * n / (n - 1)
+                a["ystd"] = math.sqrt(max(var, 0.0))
+            else:
+                a["ystd"] = None
+            rows.append(a)
+        return BinStats(
+            x=self.x,
+            y=self.y,
+            splits=list(self.splits) if self.splits is not None else None,
+            exclude_values=(
+                list(self.exclude_values) if self.exclude_values else None
+            ),
+            rows=rows,
+            lineage=[*self.lineage, *other.lineage],
+        )
+
+    # ---------- (de)serialization ----------
+
+    def to_dict(self) -> Dict[str, Any]:
+        return {
+            "kind": "mob_bin_stats",
+            "version": 1,
+            "x": self.x,
+            "y": self.y,
+            "splits": (
+                [_encode_stat(s) for s in self.splits]
+                if self.splits is not None
+                else None
+            ),
+            "exclude_values": self.exclude_values,
+            "lineage": self.lineage,
+            "rows": [
+                {
+                    "tag": r["tag"],
+                    "gkey": _encode_stat(r["gkey"]),
+                    **{f: _encode_stat(r[f]) for f, _ in _STATS_FIELDS},
+                }
+                for r in self.rows
+            ],
+        }
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "BinStats":
+        if d.get("kind") != "mob_bin_stats":
+            raise ValueError(
+                f"not a BinStats artifact (kind={d.get('kind')!r})"
+            )
+        rows = [
+            {
+                "tag": r["tag"],
+                "gkey": _decode_stat(r["gkey"]),
+                **{
+                    f: (
+                        None
+                        if r[f] is None
+                        else int(r[f]) if kind == "sum_int"
+                        else _decode_stat(r[f])
+                    )
+                    for f, kind in _STATS_FIELDS
+                },
+            }
+            for r in d["rows"]
+        ]
+        return cls(
+            x=d["x"],
+            y=d["y"],
+            splits=(
+                [_decode_stat(s) for s in d["splits"]]
+                if d.get("splits") is not None
+                else None
+            ),
+            exclude_values=d.get("exclude_values"),
+            rows=rows,
+            lineage=list(d.get("lineage") or []),
+        )
+
+    def save_json(self, path: str) -> None:
+        import json
+
+        with open(path, "w") as fh:
+            json.dump(self.to_dict(), fh, indent=2, allow_nan=False)
+
+    @classmethod
+    def load_json(cls, path: str) -> "BinStats":
+        import json
+
+        with open(path) as fh:
+            return cls.from_dict(json.load(fh))
+
+    # ---------- introspection ----------
+
+    def totals(self) -> Dict[str, int]:
+        """Row counts per partition tag across all folded inputs."""
+        out = {"clean": 0, "missing": 0, "excluded": 0}
+        names = {"C": "clean", "M": "missing", "E": "excluded"}
+        for r in self.rows:
+            out[names[r["tag"]]] += int(r["n_rows"] or 0)
+        return out
+
+
 class SparkMonotonicBinner:
     """End-to-end monotonic optimal binning on a Spark DataFrame.
 
@@ -589,14 +839,108 @@ class SparkMonotonicBinner:
 
     def fit(self, df: DataFrame) -> "SparkMonotonicBinner":
         t0 = time.time()
-        x_clean, x_missing, x_excluded, y_val = self._predicates(df)
+        stats, _splits, prebinned = self._collect_stats_rows(df)
+        self.model_ = self._solve_from_stats(stats, prebinned)
+        self.fit_metrics_["fit_seconds"] = time.time() - t0
+        return self
 
-        # Binary detection, and the reference's binary recode
-        # (/root/reference/src/MOBPY/binning/mob.py:216-227, clean partition
-        # only), both happen DRIVER-SIDE on the collected sufficient
-        # statistics (_detect_binary_from_stats/_recode_c_rows) — the fit is
-        # a single full scan of the input (plus one approxQuantile pass when
-        # prebinning explicitly).
+    def collect_stats(
+        self,
+        df: DataFrame,
+        *,
+        prior: Optional[BinStats] = None,
+        label: Optional[str] = None,
+    ) -> BinStats:
+        """One scan of ``df`` → a mergeable :class:`BinStats` artifact
+        (the incremental-fit path; :meth:`fit` = ``collect_stats`` +
+        :meth:`fit_from_stats` in one call).
+
+        With ``prior``, this partition is aggregated under the prior's
+        FROZEN bucketing and folded into it (the prior is not mutated) —
+        the returned artifact equals stats computed in one pass over the
+        union, at the cost of scanning only the new partition.
+        """
+        if prior is not None:
+            if (prior.x, prior.y) != (self.x, self.y):
+                raise ValueError(
+                    f"prior stats are for ({prior.x!r}, {prior.y!r}), "
+                    f"binner is ({self.x!r}, {self.y!r})"
+                )
+            stats, splits, _ = self._collect_stats_rows(
+                df, frozen_splits=prior.splits
+            )
+        else:
+            stats, splits, _ = self._collect_stats_rows(df)
+        rows = [
+            dict(r.asDict()) if hasattr(r, "asDict") else dict(r)
+            for r in stats
+        ]
+        names = {"C": "n_clean", "M": "n_missing", "E": "n_excluded"}
+        entry: Dict[str, Any] = {
+            "label": label,
+            "n_clean": 0,
+            "n_missing": 0,
+            "n_excluded": 0,
+            "n_groups": sum(1 for r in rows if r["tag"] == "C"),
+        }
+        for r in rows:
+            entry[names[r["tag"]]] += int(r["n_rows"] or 0)
+        part = BinStats(
+            x=self.x,
+            y=self.y,
+            splits=splits,
+            exclude_values=(
+                list(self.exclude_values) if self.exclude_values else None
+            ),
+            rows=rows,
+            lineage=[entry],
+        )
+        return prior.merge(part) if prior is not None else part
+
+    def fit_from_stats(self, stats: BinStats) -> "SparkMonotonicBinner":
+        """Driver-only solve from a (possibly merged) artifact: binary
+        detection + PAVA + greedy merge over k rows, NO Spark scan — the
+        refit endpoint of the incremental loop. The artifact's bucketing
+        is authoritative; the binner's prebins policy is not consulted."""
+        if (stats.x, stats.y) != (self.x, self.y):
+            raise ValueError(
+                f"stats are for ({stats.x!r}, {stats.y!r}), binner is "
+                f"({self.x!r}, {self.y!r})"
+            )
+        if (stats.exclude_values or None) != (
+            list(self.exclude_values) if self.exclude_values else None
+        ):
+            raise ValueError(
+                "stats were collected under different exclude_values than "
+                "this binner's — Excluded partitions would disagree"
+            )
+        t0 = time.time()
+        self.model_ = self._solve_from_stats(
+            stats.rows, stats.splits is not None
+        )
+        self.fit_metrics_["fit_seconds"] = time.time() - t0
+        self.fit_metrics_["n_partitions"] = len(stats.lineage)
+        return self
+
+    def _collect_stats_rows(self, df: DataFrame, frozen_splits=_UNSET):
+        """THE distributed pass of the fit, factored out so the incremental
+        path (:meth:`collect_stats`) shares it verbatim: one scan of the
+        input to collected per-(tag, gkey) sufficient-statistic rows.
+
+        Returns ``(stats_rows, splits, prebinned)`` where ``splits`` is the
+        quantile bucketing actually used (None = exact distinct-x
+        grouping). ``frozen_splits`` (incremental refits) bypasses the
+        prebins policy entirely: a prior artifact's bucketing is reused
+        as-is so stats stay algebraically mergeable across partitions.
+
+        Binary detection, and the reference's binary recode
+        (/root/reference/src/MOBPY/binning/mob.py:216-227, clean partition
+        only), both happen DRIVER-SIDE on the collected sufficient
+        statistics (_detect_binary_from_stats/_recode_c_rows) — the fit is
+        a single full scan of the input (plus one approxQuantile pass when
+        prebinning explicitly).
+        """
+        x_clean, x_missing, x_excluded, y_val = self._predicates(df)
         y_eff = y_val
 
         tag = (
@@ -619,6 +963,53 @@ class SparkMonotonicBinner:
                 xd,
             )
 
+        def _bucketed_agg(splits: List[float]) -> DataFrame:
+            from pyspark.ml.feature import Bucketizer
+
+            work = df.withColumn("_mob_tag", tag).withColumn(
+                "_mob_xb", F.when(x_clean, xd)
+            )
+            work = Bucketizer(
+                splits=splits,
+                inputCol="_mob_xb",
+                outputCol="_mob_bucket",
+                handleInvalid="keep",
+            ).transform(work)
+            group_key = F.when(
+                F.col("_mob_tag") == "C", F.col("_mob_bucket")
+            ).otherwise(xd)
+            return _suff_stats_agg(
+                work,
+                [F.col("_mob_tag").alias("tag"), group_key.alias("gkey")],
+                y_eff,
+                nonfinite_y,
+                xd,
+            )
+
+        if frozen_splits is not _UNSET:
+            if frozen_splits is None:
+                # frozen EXACT grouping: a prior artifact grouped by
+                # distinct x, so this partition must too — but an auto
+                # policy only chose exact because cardinality was low, so
+                # keep its guard: a high-cardinality new partition should
+                # fail loudly (refit with int prebins), not OOM the driver
+                if self.prebins == "auto":
+                    guard = self.AUTO_EXACT_MAX_GROUPS
+                    stats = _exact_agg().limit(guard + 1).collect()
+                    if len(stats) > guard:
+                        raise DataError(
+                            f"incremental partition has more than {guard} "
+                            f"distinct ({self.x}, tag) groups but the prior "
+                            f"stats were collected with exact grouping; "
+                            f"refit from scratch with an integer prebins "
+                            f"policy to bound the artifact"
+                        )
+                else:
+                    stats = _exact_agg().collect()
+                return stats, None, False
+            splits = [float(s) for s in frozen_splits]
+            return _bucketed_agg(splits).collect(), splits, True
+
         if self.prebins == "auto":
             # ONE upstream scan on the common path: the exact aggregate is
             # collected behind a LIMIT guard, unpersisted — when it returns
@@ -633,54 +1024,35 @@ class SparkMonotonicBinner:
             guard = self.AUTO_EXACT_MAX_GROUPS
             stats_df = _exact_agg()
             stats = stats_df.limit(guard + 1).collect()
-            prebinned = False
-            if len(stats) > guard:
-                stats_df = stats_df.persist()
-                splits = self._prebin_splits(
-                    df, x_clean, k=self.config.default_prebins
-                )
-                if splits is not None:
-                    stats = _rebucket_stats(stats_df, splits).collect()
-                    stats += stats_df.filter(F.col("tag") != "C").collect()
-                    prebinned = True
-                # else: degenerate x (no finite interior quantiles) — the
-                # guard overflow can then only come from M/E tag rows
-                else:
-                    stats = stats_df.collect()
-                stats_df.unpersist()
-        else:
-            splits = self._prebin_splits(df, x_clean)
+            if len(stats) <= guard:
+                return stats, None, False
+            stats_df = stats_df.persist()
+            splits = self._prebin_splits(
+                df, x_clean, k=self.config.default_prebins
+            )
             if splits is not None:
-                from pyspark.ml.feature import Bucketizer
+                stats = _rebucket_stats(stats_df, splits).collect()
+                stats += stats_df.filter(F.col("tag") != "C").collect()
+                stats_df.unpersist()
+                return stats, splits, True
+            # else: degenerate x (no finite interior quantiles) — the
+            # guard overflow can then only come from M/E tag rows
+            stats = stats_df.collect()
+            stats_df.unpersist()
+            return stats, None, False
 
-                work = df.withColumn("_mob_tag", tag).withColumn(
-                    "_mob_xb", F.when(x_clean, xd)
-                )
-                work = Bucketizer(
-                    splits=splits,
-                    inputCol="_mob_xb",
-                    outputCol="_mob_bucket",
-                    handleInvalid="keep",
-                ).transform(work)
-                group_key = F.when(
-                    F.col("_mob_tag") == "C", F.col("_mob_bucket")
-                ).otherwise(xd)
-                prebinned = True
-            else:
-                work = df.withColumn("_mob_tag", tag)
-                group_key = xd
-                prebinned = False
-            stats = _suff_stats_agg(
-                work,
-                [F.col("_mob_tag").alias("tag"), group_key.alias("gkey")],
-                y_eff,
-                nonfinite_y,
-                xd,
-            ).collect()
-
-        self.model_ = self._solve_from_stats(stats, prebinned)
-        self.fit_metrics_["fit_seconds"] = time.time() - t0
-        return self
+        splits = self._prebin_splits(df, x_clean)
+        if splits is not None:
+            return _bucketed_agg(splits).collect(), splits, True
+        work = df.withColumn("_mob_tag", tag)
+        stats = _suff_stats_agg(
+            work,
+            [F.col("_mob_tag").alias("tag"), xd.alias("gkey")],
+            y_eff,
+            nonfinite_y,
+            xd,
+        ).collect()
+        return stats, None, False
 
     def _solve_from_stats(self, stats, prebinned) -> FittedBins:
         """Driver-side solve over collected (tag, gkey) sufficient-statistic
