@@ -159,6 +159,77 @@ def fit_woe_job(args) -> None:
     print(run.save())
 
 
+def _atomic_json_save(obj, path: str) -> None:
+    """Write-then-rename so a killed job never leaves a torn artifact."""
+    tmp = path + ".tmp"
+    obj.save_json(tmp)
+    os.replace(tmp, path)
+
+
+def fit_incremental_job(args) -> None:
+    """The daily-refit loop at 100 TB: fold ONE new partition's
+    sufficient statistics into the running ``binstats.json`` artifact
+    (one scan of the NEW data only — history is never rescanned), then a
+    driver-side re-solve writes a fresh ``model.json``.
+
+    Idempotent per partition label (default: the input path): re-running
+    with an already-folded label skips the scan and just re-solves, so a
+    killed or duplicated scheduler run can't double-count a partition —
+    the per-partition checkpoint semantics of the north rule, with the
+    lineage trail stored inside the artifact itself."""
+    from .operators.binning import BinStats
+
+    spark = _spark("mob-fit-incremental")
+    pin_utc(spark)
+    os.makedirs(args.workdir, exist_ok=True)
+    stats_path = os.path.join(args.workdir, "binstats.json")
+    model_path = os.path.join(args.workdir, "model.json")
+    label = args.label or args.input
+
+    binner = SparkMonotonicBinner(
+        args.x, args.y, prebins=args.prebins,
+        constraints=BinningConstraints(
+            max_bins=args.max_bins, min_bins=args.min_bins,
+            min_samples=args.min_samples,
+        ),
+        exclude_values=args.exclude_values,
+    )
+
+    prior = (
+        BinStats.load_json(stats_path)
+        if os.path.exists(stats_path)
+        else None
+    )
+    already = prior is not None and any(
+        e.get("label") == label for e in prior.lineage
+    )
+    if already:
+        stats = prior
+    else:
+        df = _read_input(spark, args.input)
+        stats = binner.collect_stats(df, prior=prior, label=label)
+        _atomic_json_save(stats, stats_path)
+
+    binner.fit_from_stats(stats)
+    _atomic_json_save(binner.model_, model_path)
+
+    m = binner.model_
+    print(json.dumps({
+        "job": "fit-incremental",
+        "status": "already_folded" if already else "folded",
+        "label": label,
+        "n_partitions": len(stats.lineage),
+        "totals": stats.totals(),
+        "n_bins": len(m.labels),
+        "merge_iterations": (
+            m.diagnostics["merge_phase1_iterations"]
+            + m.diagnostics["merge_phase2_iterations"]
+        ),
+        "stats": stats_path,
+        "model": model_path,
+    }))
+
+
 def dedup_job(args) -> None:
     """Corpus dedup pipeline: exact pass (byte-identical content) then
     optional MinHash-LSH near-dup pass, each an idempotent checkpoint
@@ -867,6 +938,35 @@ def main(argv: Optional[list] = None) -> None:
     fw.add_argument("--entity-col", default="doc_id")
     fw.add_argument("--ts-col", default="ts")
     fw.set_defaults(func=fit_woe_job)
+
+    fi = sub.add_parser(
+        "fit-incremental",
+        help="fold one new partition into binstats.json and re-solve "
+             "model.json without rescanning history",
+    )
+    fi.add_argument("--input", required=True, help="the NEW partition only")
+    fi.add_argument("--x", required=True)
+    fi.add_argument("--y", required=True)
+    fi.add_argument("--workdir", required=True)
+    fi.add_argument(
+        "--label", default=None,
+        help="partition identity for idempotency (default: input path); "
+             "re-running a folded label skips the scan",
+    )
+    fi.add_argument(
+        "--prebins", type=_parse_prebins, default="auto",
+        help="first partition only — later runs reuse the artifact's "
+             "frozen bucketing",
+    )
+    fi.add_argument("--max-bins", type=int, default=6)
+    fi.add_argument("--min-bins", type=int, default=4)
+    fi.add_argument("--min-samples", type=float, default=None)
+    fi.add_argument(
+        "--exclude-values", default=None,
+        type=lambda s: [float(v) for v in s.split(",")] if s else None,
+        help="comma-separated special codes reported as Excluded rows",
+    )
+    fi.set_defaults(func=fit_incremental_job)
 
     dd = sub.add_parser("dedup", help="exact + optional near-dup corpus dedup")
     dd.add_argument("--input", required=True, help="parquet path or table id")

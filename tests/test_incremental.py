@@ -213,6 +213,48 @@ def test_incompatible_merges_raise(spark):
         SparkMonotonicBinner("other", "y").fit_from_stats(s_plain)
 
 
+def test_fit_incremental_job_resume_safe(spark, tmp_path, capsys):
+    """The job loop: two daily partitions folded in sequence equal the
+    full fit; re-running an already-folded label is a no-op (no
+    double-count), and the artifacts land atomically."""
+    import json
+
+    from monotonic_optimal_binning_spark import FittedBins
+    from monotonic_optimal_binning_spark.jobs import main
+
+    pdf = _make_pdf(n=3000, seed=17, with_specials=False)
+    d1, d2 = str(tmp_path / "day1"), str(tmp_path / "day2")
+    spark.createDataFrame(pdf.iloc[:1500]).write.parquet(d1)
+    spark.createDataFrame(pdf.iloc[1500:]).write.parquet(d2)
+    wd = str(tmp_path / "work")
+
+    common = ["fit-incremental", "--x", "x", "--y", "y", "--workdir", wd,
+              "--max-bins", "6", "--min-bins", "2"]
+    main([*common, "--input", d1, "--label", "day1"])
+    main([*common, "--input", d2, "--label", "day2"])
+    out1 = capsys.readouterr().out.strip().splitlines()
+    r2 = json.loads(out1[-1])
+    assert r2["status"] == "folded" and r2["n_partitions"] == 2
+
+    # replaying day2 (duplicate scheduler run) must not double-count
+    main([*common, "--input", d2, "--label", "day2"])
+    r3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r3["status"] == "already_folded"
+    assert r3["n_partitions"] == 2
+    assert r3["totals"] == r2["totals"]
+
+    stats = BinStats.load_json(str(tmp_path / "work" / "binstats.json"))
+    assert [e["label"] for e in stats.lineage] == ["day1", "day2"]
+
+    served = FittedBins.load_json(str(tmp_path / "work" / "model.json"))
+    full = SparkMonotonicBinner(
+        "x", "y",
+        constraints=BinningConstraints(max_bins=6, min_bins=2),
+    ).fit(spark.createDataFrame(pdf))
+    assert served.labels == full.model_.labels
+    np.testing.assert_allclose(served.woes, full.model_.woes, rtol=1e-12)
+
+
 def test_auto_exact_guard_on_new_partition(spark):
     """A prior collected with auto-resolved exact grouping + a new
     high-cardinality partition must fail loudly, not OOM the driver."""
