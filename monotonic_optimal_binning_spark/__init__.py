@@ -25,7 +25,9 @@ from .operators.binning import (
     FittedBins,
     GroupedBins,
     SparkMonotonicBinner,
+    collect_group_stats,
     fit_binners_per_group,
+    fit_groups_from_stats,
 )
 from .scorecard import Scorecard
 
@@ -49,5 +51,7 @@ __all__ = [
     "NotFittedError",
     "Scorecard",
     "SparkMonotonicBinner",
+    "collect_group_stats",
     "fit_binners_per_group",
+    "fit_groups_from_stats",
 ]

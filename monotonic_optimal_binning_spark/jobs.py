@@ -176,8 +176,14 @@ def fit_incremental_job(args) -> None:
     with an already-folded label skips the scan and just re-solves, so a
     killed or duplicated scheduler run can't double-count a partition —
     the per-partition checkpoint semantics of the north rule, with the
-    lineage trail stored inside the artifact itself."""
-    from .operators.binning import BinStats
+    lineage trail stored inside the artifact itself. ``--group-col``
+    switches to the per-source loop (one model per group, still one scan
+    per new partition for ALL groups)."""
+    from .operators.binning import (
+        BinStats,
+        collect_group_stats,
+        fit_groups_from_stats,
+    )
 
     spark = _spark("mob-fit-incremental")
     pin_utc(spark)
@@ -186,13 +192,9 @@ def fit_incremental_job(args) -> None:
     model_path = os.path.join(args.workdir, "model.json")
     label = args.label or args.input
 
-    binner = SparkMonotonicBinner(
-        args.x, args.y, prebins=args.prebins,
-        constraints=BinningConstraints(
-            max_bins=args.max_bins, min_bins=args.min_bins,
-            min_samples=args.min_samples,
-        ),
-        exclude_values=args.exclude_values,
+    constraints = BinningConstraints(
+        max_bins=args.max_bins, min_bins=args.min_bins,
+        min_samples=args.min_samples,
     )
 
     prior = (
@@ -200,31 +202,75 @@ def fit_incremental_job(args) -> None:
         if os.path.exists(stats_path)
         else None
     )
+    if prior is not None and (prior.group_col or None) != (
+        args.group_col or None
+    ):
+        raise ValueError(
+            f"workdir artifact is grouped by {prior.group_col!r} but "
+            f"--group-col is {args.group_col!r}"
+        )
     already = prior is not None and any(
         e.get("label") == label for e in prior.lineage
     )
-    if already:
-        stats = prior
+
+    if args.group_col:
+        if already:
+            stats = prior
+        else:
+            df = _read_input(spark, args.input)
+            stats = collect_group_stats(
+                df, args.group_col, args.x, args.y,
+                prior=prior, label=label, prebins=args.prebins,
+                constraints=constraints,
+                exclude_values=args.exclude_values,
+            )
+            _atomic_json_save(stats, stats_path)
+        grouped = fit_groups_from_stats(
+            stats, prebins=args.prebins, constraints=constraints,
+            exclude_values=args.exclude_values,
+        )
+        _atomic_json_save(grouped, model_path)
+        per_group = {
+            str(g): {
+                "n_bins": len(m.labels),
+                "merge_iterations": (
+                    m.diagnostics["merge_phase1_iterations"]
+                    + m.diagnostics["merge_phase2_iterations"]
+                ),
+            }
+            for g, m in grouped.items()
+        }
+        report = {"groups": per_group}
     else:
-        df = _read_input(spark, args.input)
-        stats = binner.collect_stats(df, prior=prior, label=label)
-        _atomic_json_save(stats, stats_path)
+        binner = SparkMonotonicBinner(
+            args.x, args.y, prebins=args.prebins,
+            constraints=constraints,
+            exclude_values=args.exclude_values,
+        )
+        if already:
+            stats = prior
+        else:
+            df = _read_input(spark, args.input)
+            stats = binner.collect_stats(df, prior=prior, label=label)
+            _atomic_json_save(stats, stats_path)
+        binner.fit_from_stats(stats)
+        _atomic_json_save(binner.model_, model_path)
+        m = binner.model_
+        report = {
+            "n_bins": len(m.labels),
+            "merge_iterations": (
+                m.diagnostics["merge_phase1_iterations"]
+                + m.diagnostics["merge_phase2_iterations"]
+            ),
+        }
 
-    binner.fit_from_stats(stats)
-    _atomic_json_save(binner.model_, model_path)
-
-    m = binner.model_
     print(json.dumps({
         "job": "fit-incremental",
         "status": "already_folded" if already else "folded",
         "label": label,
         "n_partitions": len(stats.lineage),
         "totals": stats.totals(),
-        "n_bins": len(m.labels),
-        "merge_iterations": (
-            m.diagnostics["merge_phase1_iterations"]
-            + m.diagnostics["merge_phase2_iterations"]
-        ),
+        **report,
         "stats": stats_path,
         "model": model_path,
     }))
@@ -947,6 +993,11 @@ def main(argv: Optional[list] = None) -> None:
     fi.add_argument("--input", required=True, help="the NEW partition only")
     fi.add_argument("--x", required=True)
     fi.add_argument("--y", required=True)
+    fi.add_argument(
+        "--group-col", default=None,
+        help="per-source mode: one model per group, still one scan per "
+             "new partition",
+    )
     fi.add_argument("--workdir", required=True)
     fi.add_argument(
         "--label", default=None,

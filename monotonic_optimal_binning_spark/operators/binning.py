@@ -562,6 +562,9 @@ class BinStats:
     exclude_values: Optional[List[Any]]
     rows: List[Dict[str, Any]]
     lineage: List[Dict[str, Any]] = field(default_factory=list)
+    #: set on per-group artifacts (collect_group_stats): rows then carry a
+    #: "_g" group value and the solve yields one model per group
+    group_col: Optional[str] = None
 
     # ---------- algebra ----------
 
@@ -570,6 +573,11 @@ class BinStats:
             raise ValueError(
                 f"cannot merge stats of ({self.x!r}, {self.y!r}) with "
                 f"({other.x!r}, {other.y!r})"
+            )
+        if self.group_col != other.group_col:
+            raise ValueError(
+                f"cannot merge stats grouped by {self.group_col!r} with "
+                f"stats grouped by {other.group_col!r}"
             )
         if (self.exclude_values or None) != (other.exclude_values or None):
             raise ValueError(
@@ -594,12 +602,19 @@ class BinStats:
         self._check_compatible(other)
         acc: Dict[Any, Dict[str, Any]] = {}
         for r in (*self.rows, *other.rows):
-            k = _canon_stats_key(r["tag"], r["gkey"])
+            g = r.get("_g")
+            if isinstance(g, float) and math.isnan(g):
+                gk = "nan"  # Spark pools NaN group keys; so do we
+            else:
+                gk = g
+            k = (gk, *_canon_stats_key(r["tag"], r["gkey"]))
             a = acc.get(k)
             if a is None:
                 acc[k] = {"tag": r["tag"], "gkey": r["gkey"], **{
                     f: r[f] for f, _ in _STATS_FIELDS
                 }}
+                if self.group_col is not None:
+                    acc[k]["_g"] = g
                 continue
             for f, kind in _STATS_FIELDS:
                 if kind == "sum_int":
@@ -633,6 +648,7 @@ class BinStats:
             ),
             rows=rows,
             lineage=[*self.lineage, *other.lineage],
+            group_col=self.group_col,
         )
 
     # ---------- (de)serialization ----------
@@ -649,9 +665,18 @@ class BinStats:
                 else None
             ),
             "exclude_values": self.exclude_values,
+            "group_col": self.group_col,
             "lineage": self.lineage,
             "rows": [
                 {
+                    **(
+                        # float group values need the NaN/inf-safe string
+                        # codec (plus a marker so a string group that
+                        # LOOKS like "nan" isn't mangled on the way back)
+                        {"g": _encode_stat(r["_g"]), "g_float": True}
+                        if isinstance(r.get("_g"), float)
+                        else {"g": r["_g"]} if "_g" in r else {}
+                    ),
                     "tag": r["tag"],
                     "gkey": _encode_stat(r["gkey"]),
                     **{f: _encode_stat(r[f]) for f, _ in _STATS_FIELDS},
@@ -666,8 +691,20 @@ class BinStats:
             raise ValueError(
                 f"not a BinStats artifact (kind={d.get('kind')!r})"
             )
+        grouped = d.get("group_col") is not None
         rows = [
             {
+                **(
+                    {
+                        "_g": (
+                            _decode_stat(r.get("g"))
+                            if r.get("g_float")
+                            else r.get("g")
+                        )
+                    }
+                    if grouped
+                    else {}
+                ),
                 "tag": r["tag"],
                 "gkey": _decode_stat(r["gkey"]),
                 **{
@@ -693,6 +730,7 @@ class BinStats:
             exclude_values=d.get("exclude_values"),
             rows=rows,
             lineage=list(d.get("lineage") or []),
+            group_col=d.get("group_col"),
         )
 
     def save_json(self, path: str) -> None:
@@ -902,6 +940,11 @@ class SparkMonotonicBinner:
         detection + PAVA + greedy merge over k rows, NO Spark scan — the
         refit endpoint of the incremental loop. The artifact's bucketing
         is authoritative; the binner's prebins policy is not consulted."""
+        if stats.group_col is not None:
+            raise ValueError(
+                f"artifact is grouped by {stats.group_col!r}; solve it "
+                f"with fit_groups_from_stats"
+            )
         if (stats.x, stats.y) != (self.x, self.y):
             raise ValueError(
                 f"stats are for ({stats.x!r}, {stats.y!r}), binner is "
@@ -1499,6 +1542,27 @@ def fit_binners_per_group(
         x, y, prebins=prebins, prebin_relative_error=prebin_relative_error,
         config=config, **binner_kwargs,
     )
+    stats, _splits, prebinned = _collect_group_stats_rows(
+        tmpl, df, group_col
+    )
+    return _solve_groups(
+        stats, prebinned, group_col, x, y,
+        prebins=prebins, prebin_relative_error=prebin_relative_error,
+        config=config, **binner_kwargs,
+    )
+
+
+def _collect_group_stats_rows(
+    tmpl: SparkMonotonicBinner,
+    df: DataFrame,
+    group_col: str,
+    frozen_splits=_UNSET,
+):
+    """Per-group sibling of ``_collect_stats_rows``: ONE
+    groupBy(group, tag, gkey) scan for every group's candidate-bin
+    statistics. Returns ``(stats_rows, splits, prebinned)``; rows carry
+    the group value in ``_g``."""
+    x, y = tmpl.x, tmpl.y
     x_clean, x_missing, x_excluded, y_val = tmpl._predicates(df)
     gcol = F.col(group_col)
 
@@ -1528,7 +1592,47 @@ def fit_binners_per_group(
             xd,
         )
 
-    if prebins == "auto":
+    def _bucketed_agg(splits: List[float]) -> DataFrame:
+        from pyspark.ml.feature import Bucketizer
+
+        work = df.withColumn("_mob_tag", tag).withColumn(
+            "_mob_xb", F.when(x_clean, xd)
+        )
+        work = Bucketizer(
+            splits=splits, inputCol="_mob_xb", outputCol="_mob_bucket",
+            handleInvalid="keep",
+        ).transform(work)
+        group_key = F.when(
+            F.col("_mob_tag") == "C", F.col("_mob_bucket")
+        ).otherwise(xd)
+        return _suff_stats_agg(
+            work,
+            [gcol.alias("_g"), F.col("_mob_tag").alias("tag"),
+             group_key.alias("gkey")],
+            y_eff,
+            nonfinite_y,
+            xd,
+        )
+
+    if frozen_splits is not _UNSET:
+        if frozen_splits is None:
+            if tmpl.prebins == "auto":
+                guard = tmpl.AUTO_EXACT_MAX_GROUPS
+                stats = _exact_agg().limit(guard + 1).collect()
+                if len(stats) > guard:
+                    raise DataError(
+                        f"incremental partition exceeds {guard} total "
+                        f"(group, x) cells but the prior grouped stats "
+                        f"were collected exactly; refit from scratch "
+                        f"with an integer prebins policy"
+                    )
+            else:
+                stats = _exact_agg().collect()
+            return stats, None, False
+        splits = [float(s) for s in frozen_splits]
+        return _bucketed_agg(splits).collect(), splits, True
+
+    if tmpl.prebins == "auto":
         # same persist-free guarded-collect policy as the single fit: the
         # LIMIT probe alone serves the (common) low-cardinality case,
         # bounding the TOTAL (all-groups) collect size; only a tripped
@@ -1537,48 +1641,51 @@ def fit_binners_per_group(
         guard = tmpl.AUTO_EXACT_MAX_GROUPS
         stats_df = _exact_agg()
         stats = stats_df.limit(guard + 1).collect()
-        prebinned = False
-        if len(stats) > guard:
-            stats_df = stats_df.persist()
-            splits = tmpl._prebin_splits(df, x_clean, k=config.default_prebins)
-            if splits is not None:
-                stats = _rebucket_stats(
-                    stats_df, splits, extra_keys=("_g",)
-                ).collect()
-                stats += stats_df.filter(F.col("tag") != "C").collect()
-                prebinned = True
-            else:
-                stats = stats_df.collect()
-            stats_df.unpersist()
-    else:
-        splits = tmpl._prebin_splits(df, x_clean)
+        if len(stats) <= guard:
+            return stats, None, False
+        stats_df = stats_df.persist()
+        splits = tmpl._prebin_splits(
+            df, x_clean, k=tmpl.config.default_prebins
+        )
         if splits is not None:
-            from pyspark.ml.feature import Bucketizer
+            stats = _rebucket_stats(
+                stats_df, splits, extra_keys=("_g",)
+            ).collect()
+            stats += stats_df.filter(F.col("tag") != "C").collect()
+            stats_df.unpersist()
+            return stats, splits, True
+        stats = stats_df.collect()
+        stats_df.unpersist()
+        return stats, None, False
 
-            work = df.withColumn("_mob_tag", tag).withColumn(
-                "_mob_xb", F.when(x_clean, xd)
-            )
-            work = Bucketizer(
-                splits=splits, inputCol="_mob_xb", outputCol="_mob_bucket",
-                handleInvalid="keep",
-            ).transform(work)
-            group_key = F.when(
-                F.col("_mob_tag") == "C", F.col("_mob_bucket")
-            ).otherwise(xd)
-            prebinned = True
-        else:
-            work = df.withColumn("_mob_tag", tag)
-            group_key = xd
-            prebinned = False
-        stats = _suff_stats_agg(
-            work,
-            [gcol.alias("_g"), F.col("_mob_tag").alias("tag"),
-             group_key.alias("gkey")],
-            y_eff,
-            nonfinite_y,
-            xd,
-        ).collect()
+    splits = tmpl._prebin_splits(df, x_clean)
+    if splits is not None:
+        return _bucketed_agg(splits).collect(), splits, True
+    work = df.withColumn("_mob_tag", tag)
+    stats = _suff_stats_agg(
+        work,
+        [gcol.alias("_g"), F.col("_mob_tag").alias("tag"),
+         xd.alias("gkey")],
+        y_eff,
+        nonfinite_y,
+        xd,
+    ).collect()
+    return stats, None, False
 
+
+def _solve_groups(
+    stats,
+    prebinned: bool,
+    group_col: str,
+    x: str,
+    y: str,
+    *,
+    prebins="auto",
+    prebin_relative_error: float = 0.001,
+    config: EngineConfig = DEFAULT_CONFIG,
+    **binner_kwargs,
+) -> GroupedBins:
+    """Driver-side per-group solve over collected (or merged) stats rows."""
     by_group: Dict[Any, list] = {}
     for r in stats:
         by_group.setdefault(r["_g"], []).append(r)
@@ -1593,3 +1700,99 @@ def fit_binners_per_group(
         models[g] = solver._solve_from_stats(by_group[g], prebinned)
         histories[g] = solver.merge_history_
     return GroupedBins(group_col, x, y, models, merge_histories=histories)
+
+
+def collect_group_stats(
+    df: DataFrame,
+    group_col: Optional[str] = None,
+    x: Optional[str] = None,
+    y: Optional[str] = None,
+    *,
+    prior: Optional[BinStats] = None,
+    label: Optional[str] = None,
+    prebins: Union[int, str, None] = "auto",
+    prebin_relative_error: float = 0.001,
+    config: EngineConfig = DEFAULT_CONFIG,
+    **binner_kwargs,
+) -> BinStats:
+    """Per-group sibling of :meth:`SparkMonotonicBinner.collect_stats`:
+    ONE scan collects every group's mergeable sufficient statistics; with
+    ``prior``, this partition folds into it under the prior's frozen
+    bucketing (columns default from the prior). Solve the merged artifact
+    with :func:`fit_groups_from_stats` — the per-source daily refit never
+    rescans history."""
+    if prior is not None:
+        group_col = group_col or prior.group_col
+        x = x or prior.x
+        y = y or prior.y
+        if (prior.group_col, prior.x, prior.y) != (group_col, x, y):
+            raise ValueError(
+                f"prior stats are ({prior.group_col!r}, {prior.x!r}, "
+                f"{prior.y!r}); requested ({group_col!r}, {x!r}, {y!r})"
+            )
+    if not (group_col and x and y):
+        raise ValueError("group_col, x, and y are required without a prior")
+    tmpl = SparkMonotonicBinner(
+        x, y, prebins=prebins, prebin_relative_error=prebin_relative_error,
+        config=config, **binner_kwargs,
+    )
+    if prior is not None:
+        stats, splits, _ = _collect_group_stats_rows(
+            tmpl, df, group_col, frozen_splits=prior.splits
+        )
+    else:
+        stats, splits, _ = _collect_group_stats_rows(tmpl, df, group_col)
+    rows = [
+        dict(r.asDict()) if hasattr(r, "asDict") else dict(r)
+        for r in stats
+    ]
+    names = {"C": "n_clean", "M": "n_missing", "E": "n_excluded"}
+    entry: Dict[str, Any] = {
+        "label": label,
+        "n_clean": 0,
+        "n_missing": 0,
+        "n_excluded": 0,
+        "n_groups": len({r["_g"] for r in rows}),
+    }
+    for r in rows:
+        entry[names[r["tag"]]] += int(r["n_rows"] or 0)
+    part = BinStats(
+        x=x,
+        y=y,
+        splits=splits,
+        exclude_values=(
+            list(tmpl.exclude_values) if tmpl.exclude_values else None
+        ),
+        rows=rows,
+        lineage=[entry],
+        group_col=group_col,
+    )
+    return prior.merge(part) if prior is not None else part
+
+
+def fit_groups_from_stats(
+    stats: BinStats,
+    *,
+    prebins: Union[int, str, None] = "auto",
+    prebin_relative_error: float = 0.001,
+    config: EngineConfig = DEFAULT_CONFIG,
+    **binner_kwargs,
+) -> GroupedBins:
+    """Driver-only per-group solve from a (possibly merged) grouped
+    artifact — no Spark scan."""
+    if stats.group_col is None:
+        raise ValueError(
+            "artifact is ungrouped; use SparkMonotonicBinner.fit_from_stats"
+        )
+    ev = binner_kwargs.get("exclude_values")
+    if (list(ev) if ev else None) != (stats.exclude_values or None):
+        raise ValueError(
+            "stats were collected under different exclude_values than "
+            "requested — Excluded partitions would disagree"
+        )
+    return _solve_groups(
+        stats.rows, stats.splits is not None, stats.group_col,
+        stats.x, stats.y,
+        prebins=prebins, prebin_relative_error=prebin_relative_error,
+        config=config, **binner_kwargs,
+    )

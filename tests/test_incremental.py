@@ -213,6 +213,65 @@ def test_incompatible_merges_raise(spark):
         SparkMonotonicBinner("other", "y").fit_from_stats(s_plain)
 
 
+def test_grouped_incremental_equals_full_grouped_fit(spark, tmp_path):
+    """Per-source incremental fit: two partition artifacts merged equal
+    the one-scan fit_binners_per_group on the union, per group — through
+    a JSON round-trip."""
+    from monotonic_optimal_binning_spark import (
+        collect_group_stats,
+        fit_binners_per_group,
+        fit_groups_from_stats,
+    )
+
+    rng = np.random.default_rng(29)
+    n = 5000
+    pdf = pd.DataFrame(
+        {
+            "src": rng.choice(["web", "code", "books"], n),
+            "x": rng.integers(0, 25, n).astype(float),
+            "y": 0,
+        }
+    )
+    base = {"web": 0.1, "code": 0.3, "books": 0.2}
+    for s, b0 in base.items():
+        m = pdf["src"] == s
+        p = b0 + 0.6 * pdf.loc[m, "x"] / 25.0
+        pdf.loc[m, "y"] = (
+            rng.uniform(0, 1, int(m.sum())) < p
+        ).astype(int)
+    pdf.loc[pdf.index % 19 == 0, "x"] = np.nan
+
+    kw = dict(
+        prebins="exact",
+        constraints=BinningConstraints(max_bins=5, min_bins=2),
+    )
+    full = fit_binners_per_group(
+        spark.createDataFrame(pdf), "src", "x", "y", **kw
+    )
+
+    p1 = spark.createDataFrame(pdf.iloc[: n // 2])
+    p2 = spark.createDataFrame(pdf.iloc[n // 2:])
+    s1 = collect_group_stats(p1, "src", "x", "y", label="p1", **kw)
+    s12 = collect_group_stats(p2, prior=s1, label="p2", **kw)
+    assert s12.group_col == "src"
+    assert [e["label"] for e in s12.lineage] == ["p1", "p2"]
+
+    path = str(tmp_path / "grouped_stats.json")
+    s12.save_json(path)
+    inc = fit_groups_from_stats(BinStats.load_json(path), **kw)
+
+    assert sorted(inc.models) == sorted(full.models)
+    for g in full.models:
+        _assert_models_equal(full.models[g], inc.models[g])
+
+    # a grouped artifact refuses the single-model solve and vice versa
+    with pytest.raises(ValueError, match="grouped"):
+        SparkMonotonicBinner("x", "y").fit_from_stats(s12)
+    b = SparkMonotonicBinner("x", "y", prebins="exact")
+    with pytest.raises(ValueError, match="ungrouped"):
+        fit_groups_from_stats(b.collect_stats(p1))
+
+
 def test_fit_incremental_job_resume_safe(spark, tmp_path, capsys):
     """The job loop: two daily partitions folded in sequence equal the
     full fit; re-running an already-folded label is a no-op (no
@@ -253,6 +312,56 @@ def test_fit_incremental_job_resume_safe(spark, tmp_path, capsys):
     ).fit(spark.createDataFrame(pdf))
     assert served.labels == full.model_.labels
     np.testing.assert_allclose(served.woes, full.model_.woes, rtol=1e-12)
+
+
+def test_fit_incremental_job_grouped(spark, tmp_path, capsys):
+    """--group-col mode: per-source incremental job equals the one-scan
+    grouped fit; mixing grouped/ungrouped workdirs fails loudly."""
+    import json
+
+    from monotonic_optimal_binning_spark import (
+        GroupedBins,
+        fit_binners_per_group,
+    )
+    from monotonic_optimal_binning_spark.jobs import main
+
+    rng = np.random.default_rng(31)
+    n = 2400
+    pdf = pd.DataFrame(
+        {
+            "src": rng.choice(["a", "b"], n),
+            "x": rng.integers(0, 15, n).astype(float),
+        }
+    )
+    pdf["y"] = (
+        rng.uniform(0, 1, n) < 0.15 + 0.6 * pdf["x"] / 15.0
+    ).astype(int)
+    d1, d2 = str(tmp_path / "p1"), str(tmp_path / "p2")
+    spark.createDataFrame(pdf.iloc[: n // 2]).write.parquet(d1)
+    spark.createDataFrame(pdf.iloc[n // 2:]).write.parquet(d2)
+    wd = str(tmp_path / "work")
+
+    common = ["fit-incremental", "--x", "x", "--y", "y", "--group-col",
+              "src", "--workdir", wd, "--max-bins", "5", "--min-bins", "2",
+              "--prebins", "exact"]
+    main([*common, "--input", d1, "--label", "p1"])
+    main([*common, "--input", d2, "--label", "p2"])
+    r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r["n_partitions"] == 2 and set(r["groups"]) == {"a", "b"}
+
+    served = GroupedBins.load_json(str(tmp_path / "work" / "model.json"))
+    full = fit_binners_per_group(
+        spark.createDataFrame(pdf), "src", "x", "y", prebins="exact",
+        constraints=BinningConstraints(max_bins=5, min_bins=2),
+    )
+    for g in full.models:
+        assert served[g].labels == full[g].labels
+        np.testing.assert_allclose(served[g].woes, full[g].woes, rtol=1e-9)
+
+    # ungrouped run against the grouped workdir must refuse
+    with pytest.raises(ValueError, match="grouped by"):
+        main(["fit-incremental", "--x", "x", "--y", "y", "--workdir", wd,
+              "--input", d1, "--label", "again"])
 
 
 def test_auto_exact_guard_on_new_partition(spark):
