@@ -1825,6 +1825,53 @@ def q_per_source_fit_monotone(spark, sf_dir):
     )
 
 
+def q_per_source_fit_incremental(spark, sf_dir):
+    """The grouped INCREMENTAL fit value-checked: same no-merge monotone
+    construction as per_source_fit_monotone, but every source's stats are
+    collected as two per-partition artifacts (event_id parity) merged
+    algebraically on the driver, then solved with fit_groups_from_stats —
+    must equal the one-scan grouped fit, so it shares its oracle."""
+    from monotonic_optimal_binning_spark import (
+        collect_group_stats,
+        fit_groups_from_stats,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.select(
+        F.col("event_id"),
+        F.pmod(F.col("user_id"), F.lit(3)).alias("source"),
+        F.pmod(F.col("user_id"), F.lit(5)).cast("double").alias("x"),
+        (
+            F.pmod(F.col("event_id"), F.lit(100))
+            < (F.pmod(F.col("user_id"), F.lit(5)) + 1) * 15
+        ).cast("int").alias("y"),
+    )
+    kw = dict(
+        prebins="exact",
+        constraints=BinningConstraints(max_bins=10, min_bins=2),
+    )
+    even = df.filter(F.pmod(F.col("event_id"), F.lit(2)) == 0)
+    odd = df.filter(F.pmod(F.col("event_id"), F.lit(2)) == 1)
+    s = collect_group_stats(even, "source", "x", "y", label="even", **kw)
+    s = collect_group_stats(odd, prior=s, label="odd", **kw)
+    binners = fit_groups_from_stats(s, **kw)
+    rows = []
+    for src, b in sorted(binners.items()):
+        for _, r in b.bins_df.iterrows():
+            rows.append(
+                (
+                    int(src),
+                    float(r["left"]),
+                    float(r["right"]),
+                    int(r["n"]),
+                    round(float(r["mean"]), _R),
+                )
+            )
+    return spark.createDataFrame(
+        rows, "source long, left double, right double, n long, mean double"
+    )
+
+
 def q_psi_drift_grouped(spark, sf_dir):
     """Per-source PSI against a fitted grouped artifact, value-checked via
     the deterministic no-merge construction of q_per_source_fit_monotone:
@@ -1912,6 +1959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_horizon": q_multi_horizon,
         "multi_horizon_bucketed": q_multi_horizon_bucketed,
         "bin_fit_incremental": q_bin_fit_incremental,
+        "per_source_fit_incremental": q_per_source_fit_incremental,
         "frequency_encode": q_frequency_encode,
         "hash_encode": q_hash_encode,
         # --- (b) green in r4, oldest prior verification first ---
@@ -3545,4 +3593,7 @@ def oracle_sql() -> dict[str, str]:
     # the incremental two-partition merged-stats fit must equal the
     # single-pass fit — one oracle, two fit engines
     d["bin_fit_incremental"] = d["bin_fit_monotone"]
+    # the grouped incremental merged-stats fit must equal the one-scan
+    # grouped fit — same oracle as the per-source monotone construction
+    d["per_source_fit_incremental"] = d["per_source_fit_monotone"]
     return d
