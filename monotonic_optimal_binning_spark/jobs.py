@@ -543,6 +543,100 @@ def drift_job(args) -> None:
     print(run.save())
 
 
+def drift_stream_job(args) -> None:
+    """Incremental streaming drift monitor: every invocation processes
+    only the files ADDED to --input since the last run (the Structured
+    Streaming checkpoint is the cursor), appends closed event-time
+    windows' bin counts to the parquet sink exactly-once, then refreshes
+    the per-window PSI table and prints the alert summary.
+
+    Run it from cron/Airflow as often as you like — no refit, no
+    training-data rescan, no reprocessing of old traffic. Windows only
+    emit once the watermark passes their end, so late data inside the
+    allowance is counted, and a window's counts never change after they
+    land (append semantics end-to-end)."""
+    from pyspark.errors import AnalysisException
+
+    from .operators.binning import FittedBins
+    from .streaming.drift import psi_over_windows, streaming_bucket_counts
+
+    spark = _spark("mob-drift-stream")
+    pin_utc(spark)
+    with open(args.model) as f:
+        payload = json.load(f)
+    if _bins_artifact_kind(payload, args.model) == "grouped":
+        raise ValueError(
+            "drift-stream monitors a single FittedBins artifact; "
+            "per-group streaming monitoring: run one job per group's "
+            "model (GroupedBins[g].save_json)"
+        )
+    model = FittedBins.from_dict(payload)
+
+    os.makedirs(args.workdir, exist_ok=True)
+    sink = os.path.join(args.workdir, "counts")
+    ckpt = os.path.join(args.workdir, "checkpoint")
+
+    schema = spark.read.parquet(args.input).schema
+    stream = spark.readStream.schema(schema).parquet(args.input)
+    counts = streaming_bucket_counts(
+        model, stream, args.ts_col,
+        input_col=args.input_col, window=args.window,
+        watermark=args.watermark,
+    )
+    q = (
+        counts.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    try:
+        all_counts = spark.read.parquet(sink)
+        have_rows = all_counts.limit(1).count() > 0
+    except AnalysisException:
+        have_rows = False
+    if not have_rows:
+        print(json.dumps({
+            "job": "drift-stream", "windows": 0,
+            "note": "no closed windows yet (watermark has not passed "
+                    "any window end)",
+        }))
+        return
+
+    psi = psi_over_windows(all_counts, model, smoothing=args.smoothing)
+    psi_dir = os.path.join(args.workdir, "psi")
+    psi.write.mode("overwrite").parquet(psi_dir)
+
+    heads = (
+        spark.read.parquet(psi_dir)
+        .select("window_start", "psi")
+        .distinct()
+        .orderBy("window_start")
+        .collect()
+    )
+    windows = {
+        str(r["window_start"]): {
+            "psi": round(float(r["psi"]), 6),
+            "status": (
+                "stable" if r["psi"] < 0.1 else
+                "shifting" if r["psi"] <= 0.25 else "shifted"
+            ),
+        }
+        for r in heads
+    }
+    print(json.dumps({
+        "job": "drift-stream",
+        "windows": len(windows),
+        "worst_psi": round(max(w["psi"] for w in windows.values()), 6),
+        "per_window": windows,
+        "counts": sink,
+        "psi": psi_dir,
+    }))
+
+
 def transform_job(args) -> None:
     """Serving-side scoring: assign bins/WoE to a FRESH slice from a saved
     ``model.json`` artifact (``fit-woe`` output) — no refit, no training
@@ -1082,6 +1176,24 @@ def main(argv: Optional[list] = None) -> None:
                     help="group column override for GroupedBins artifacts")
     dr.add_argument("--smoothing", type=float, default=0.5)
     dr.set_defaults(func=drift_job)
+
+    ds = sub.add_parser(
+        "drift-stream",
+        help="incremental streaming PSI monitor: each run processes only "
+             "files added since the last (streaming checkpoint cursor)",
+    )
+    ds.add_argument("--input", required=True,
+                    help="parquet DIRECTORY being appended to")
+    ds.add_argument("--model", required=True, help="FittedBins JSON")
+    ds.add_argument("--workdir", required=True)
+    ds.add_argument("--ts-col", default="ts")
+    ds.add_argument("--input-col", default=None,
+                    help="column to score (default: the artifact's x)")
+    ds.add_argument("--window", default="1 hour")
+    ds.add_argument("--watermark", default="10 minutes",
+                    help="late-data allowance before a window closes")
+    ds.add_argument("--smoothing", type=float, default=0.5)
+    ds.set_defaults(func=drift_stream_job)
 
     pk = sub.add_parser("pack", help="concat-then-chunk sequence packing")
     pk.add_argument("--input", required=True, help="parquet path or table id")
