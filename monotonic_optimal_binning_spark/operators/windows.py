@@ -439,7 +439,13 @@ def multi_horizon_features(
             raise ValueError(f"unknown stat '{s}'; choose from {sorted(fns)}")
     end = 0 if include_current else -1
     ms = epoch_millis(df, ts)  # exact: no FP at frame boundaries
-    out = df
+    # ALL horizon columns in one projection: sequential withColumn would
+    # leave one physical Window operator per expression (CollapseWindow
+    # can't merge across the interleaved Projects), i.e. one sort per
+    # horizon; a single select groups every frame under ONE Window node
+    # (same partitioning+ordering, frames differ per expression) — plan
+    # shape pinned in tests/test_plans.py
+    new_cols = []
     for h in horizons_seconds:
         if h <= 0:
             raise ValueError("horizons must be > 0 seconds")
@@ -449,10 +455,10 @@ def multi_horizon_features(
             .rangeBetween(-int(round(float(h) * 1000)), end)
         )
         for s in stats:
-            out = out.withColumn(
-                f"{prefix}{int(h)}_{s}", fns[s](F.col(value)).over(w)
+            new_cols.append(
+                fns[s](F.col(value)).over(w).alias(f"{prefix}{int(h)}_{s}")
             )
-    return out
+    return df.select("*", *new_cols)
 
 
 def multi_horizon_features_bucketed(
@@ -507,11 +513,16 @@ def multi_horizon_features_bucketed(
         )
         # every row in a partition contributes exactly once: an event's
         # real copy lives in chunk c and its ghost in c+1, so the two
-        # incarnations never share a partition and nothing double-counts
-        for s in stats:
-            both = both.withColumn(
-                f"{prefix}{int(h)}_{s}", fns[s](F.col(value)).over(w)
-            )
+        # incarnations never share a partition and nothing double-counts.
+        # One select -> one Window operator per horizon (see the plain
+        # variant's plan note)
+        both = both.select(
+            "*",
+            *[
+                fns[s](F.col(value)).over(w).alias(f"{prefix}{int(h)}_{s}")
+                for s in stats
+            ],
+        )
         out = both.filter(F.col("__is_q") == 1).drop(
             "__ms", "__chunk", "__is_q"
         )

@@ -233,3 +233,25 @@ def test_bucketed_tables_join_and_agg_without_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_left")
         spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_multi_horizon_single_shuffle_single_window(spark):
+    """All trailing horizons ride ONE hash-partition exchange and ONE
+    Window operator (shared partitioning + ordering) — adding a horizon
+    must not add a shuffle or a sort."""
+    from monotonic_optimal_binning_spark.functions.timeutil import pin_utc
+    from monotonic_optimal_binning_spark.operators.windows import (
+        multi_horizon_features,
+    )
+
+    pin_utc(spark)
+    ev = spark.read.parquet(os.path.join(SF, "events.parquet")).select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = multi_horizon_features(
+        ev, "user_id", "ts", "value", [3600.0, 86400.0, 7 * 86400.0]
+    )
+    plan = plan_of(out, "simple")
+    assert count_exchanges(out) == 1, plan
+    assert plan.count("Window") == 1, plan
+    assert plan.count("Sort") == 1, plan
