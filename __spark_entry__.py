@@ -532,6 +532,36 @@ def q_multi_horizon_bucketed(spark, sf_dir):
     )
 
 
+def q_asof_agg(spark, sf_dir):
+    """Point-in-time aggregation join value-checked: every 5th event is a
+    probe; for each probe, the user's trailing 1h/24h activity over ALL
+    events — exact epoch-ms frame bounds and exact micro-unit BIGINT
+    sums, so the oracle's join+CASE aggregation agrees bit-for-bit."""
+    from monotonic_optimal_binning_spark.operators.asof import asof_agg_join
+
+    pin_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    probes = ev.filter(F.pmod(F.col("event_id"), F.lit(5)) == 0).select(
+        "event_id", "user_id", "ts"
+    )
+    contrib = ev.select(
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 1e6).cast("long").alias("v6"),
+    )
+    out = asof_agg_join(
+        probes, contrib, "user_id", "ts",
+        value="v6", horizons_seconds=[3600.0, 86400.0],
+    )
+    return out.select(
+        "event_id",
+        F.col("v6_h3600_sum").alias("h1_sum"),
+        F.col("v6_h3600_count").alias("h1_n"),
+        F.col("v6_h86400_sum").alias("h24_sum"),
+        F.col("v6_h86400_count").alias("h24_n"),
+    )
+
+
 def q_isotonic_calibration(spark, sf_dir):
     """Distributed isotonic regression value-checked on the no-merge
     monotone construction: group means already increase, so PAVA pools
@@ -1960,6 +1990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_horizon_bucketed": q_multi_horizon_bucketed,
         "bin_fit_incremental": q_bin_fit_incremental,
         "per_source_fit_incremental": q_per_source_fit_incremental,
+        "asof_agg": q_asof_agg,
         "frequency_encode": q_frequency_encode,
         "hash_encode": q_hash_encode,
         # --- (b) green in r4, oldest prior verification first ---
@@ -3560,6 +3591,30 @@ def oracle_sql() -> dict[str, str]:
         # and minhash_pairs_planted / embedding_neardup_planted value-check
         # the LSH machinery on deterministic-recall slices);
         # simhash_dedup: xxhash64-specific fingerprints -> rows-only.
+        "asof_agg": """
+            -- point-in-time aggregation join: trailing-window activity of
+            -- the right stream as of each probe; exact ms bounds + exact
+            -- micro-unit BIGINT sums (count 0 / null sum when no match)
+            WITH e AS (
+              SELECT user_id,
+                     epoch_us(ts) // 1000 AS ms,
+                     CAST(floor(value * 1e6) AS BIGINT) AS v6
+              FROM events),
+            p AS (
+              SELECT event_id, user_id, epoch_us(ts) // 1000 AS ms
+              FROM events WHERE event_id % 5 = 0)
+            SELECT p.event_id,
+                   CAST(sum(CASE WHEN e.ms >= p.ms - 3600000
+                            THEN e.v6 END) AS BIGINT) AS h1_sum,
+                   count(CASE WHEN e.ms >= p.ms - 3600000
+                         THEN e.v6 END) AS h1_n,
+                   CAST(sum(e.v6) AS BIGINT) AS h24_sum,
+                   count(e.v6) AS h24_n
+            FROM p LEFT JOIN e
+              ON e.user_id = p.user_id
+             AND e.ms BETWEEN p.ms - 86400000 AND p.ms
+            GROUP BY p.event_id
+        """,
         "multi_horizon": """
             -- trailing-horizon point-in-time features: exact epoch-ms
             -- order keys (µs // 1000) and exact micro-unit BIGINT sums,

@@ -553,3 +553,187 @@ def _bucketed_union_window(
     for c in out_names:
         filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return filled.filter(F.col(_SIDE) == left_side).drop(_SIDE, "__ts", "__bkt")
+
+
+def _agg_fns():
+    return {
+        "sum": F.sum,
+        "count": F.count,
+        "mean": F.avg,
+        "min": F.min,
+        "max": F.max,
+    }
+
+
+def asof_agg_join(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    left_ts: str,
+    right_ts: Optional[str] = None,
+    *,
+    value: str,
+    horizons_seconds: Sequence[float],
+    stats: Sequence[str] = ("sum", "count"),
+    include_current: bool = True,
+    prefix: Optional[str] = None,
+) -> DataFrame:
+    """Point-in-time AGGREGATION join: for each left observation at time
+    ``t``, aggregate the right table's ``value`` over the entity's right
+    rows in ``[t - h, t]`` for every horizon ``h`` — "the user's activity
+    in the last hour / day as of this observation", leakage-free by
+    construction (nothing after ``t`` is visible; the as-of join carries
+    the LATEST value, this carries trailing aggregates).
+
+    Plan (one shuffle of |L|+|R| for ALL horizons): union left probes
+    with right contributor rows on exact epoch-ms keys, then every
+    horizon is a range frame over the SAME (key, ms) window partitioning
+    — aggregates see only contributor values (probe rows carry null), so
+    nothing double-counts, and Catalyst plans a single Window operator.
+
+    Semantics: a null/invalid left timestamp matches nothing (count 0,
+    null sums — the engine-wide as-of convention); null-ts right rows
+    never contribute. ``include_current=False`` ends frames 1 ms before
+    the probe (strictly-prior features — use when the right stream can
+    contain the observation itself). Ties at the same millisecond are all
+    included (range frames are value-based).
+
+    Skew: a hot entity serializes into one task — see
+    :func:`asof_agg_join_bucketed`.
+    """
+    from ..functions.timeutil import epoch_millis
+
+    keys = [on] if isinstance(on, str) else list(on)
+    right_ts = right_ts or left_ts
+    fns = _agg_fns()
+    for s in stats:
+        if s not in fns:
+            raise ValueError(f"unknown stat '{s}'; choose from {sorted(fns)}")
+    prefix = prefix or f"{value}_h"
+    out_names = [
+        f"{prefix}{int(h)}_{s}" for h in horizons_seconds for s in stats
+    ]
+    for c in out_names:
+        if c in left.columns:
+            raise ValueError(
+                f"output column '{c}' collides with a left column; set "
+                f"prefix"
+            )
+    for h in horizons_seconds:
+        if h <= 0:
+            raise ValueError("horizons must be > 0 seconds")
+
+    lms = epoch_millis(left, left_ts)
+    rms = epoch_millis(right, right_ts)
+    probes = left.select(
+        "*", lms.alias("__ms"), F.lit(1).alias("__is_q")
+    )
+    contrib = right.filter(rms.isNotNull()).select(
+        *[F.col(k) for k in keys],
+        rms.alias("__ms"),
+        F.lit(0).alias("__is_q"),
+        F.col(value).alias("__contrib_v"),
+    )
+    # null-ms probes stay in the union: they sort into the null peer
+    # group, whose frame holds no contributor rows (contributors with
+    # null ts were filtered) -> count 0 / null sums with NO second scan
+    # of the probe side
+    both = probes.unionByName(contrib, allowMissingColumns=True)
+
+    end = 0 if include_current else -1
+    new_cols = []
+    for h in horizons_seconds:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__ms"))
+            .rangeBetween(-int(round(float(h) * 1000)), end)
+        )
+        for s in stats:
+            new_cols.append(
+                fns[s](F.col("__contrib_v"))
+                .over(w)
+                .alias(f"{prefix}{int(h)}_{s}")
+            )
+    aggd = both.select("*", *new_cols)
+    return aggd.filter(F.col("__is_q") == 1).drop(
+        "__ms", "__is_q", "__contrib_v"
+    )
+
+
+def asof_agg_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    left_ts: str,
+    right_ts: Optional[str] = None,
+    *,
+    value: str,
+    horizons_seconds: Sequence[float],
+    stats: Sequence[str] = ("sum", "count"),
+    include_current: bool = True,
+    prefix: Optional[str] = None,
+) -> DataFrame:
+    """Skew-safe :func:`asof_agg_join`: identical output, but no task
+    ever holds a hot entity's full history.
+
+    Per horizon ``h``, rows chunk by ``floor(t / h)`` and every
+    contributor is ALSO ghosted into the next chunk: a trailing window
+    ``[t - h, t]`` only reaches the current and previous chunk, so a
+    range window over ``(entity, chunk)`` partitions reproduces the
+    global result exactly while bounding tasks at two chunks of one
+    entity. Cost: one shuffle + one contributor re-read per horizon —
+    the price of skew immunity (the plain plan does all horizons in
+    one).
+    """
+    from ..functions.timeutil import epoch_millis
+
+    keys = [on] if isinstance(on, str) else list(on)
+    right_ts = right_ts or left_ts
+    fns = _agg_fns()
+    for s in stats:
+        if s not in fns:
+            raise ValueError(f"unknown stat '{s}'; choose from {sorted(fns)}")
+    prefix = prefix or f"{value}_h"
+    for h in horizons_seconds:
+        if h <= 0:
+            raise ValueError("horizons must be > 0 seconds")
+    end = 0 if include_current else -1
+
+    rms = epoch_millis(right, right_ts)
+    out = left
+    for h in horizons_seconds:
+        h_ms = int(round(float(h) * 1000))
+        lms = epoch_millis(out, left_ts)
+        probes = out.select(
+            "*",
+            lms.alias("__ms"),
+            F.lit(1).alias("__is_q"),
+        ).withColumn("__chunk", F.floor(F.col("__ms") / F.lit(h_ms)))
+        base = right.filter(rms.isNotNull()).select(
+            *[F.col(k) for k in keys],
+            rms.alias("__ms"),
+            F.lit(0).alias("__is_q"),
+            F.col(value).alias("__contrib_v"),
+        ).withColumn("__chunk", F.floor(F.col("__ms") / F.lit(h_ms)))
+        ghost = base.withColumn("__chunk", F.col("__chunk") + 1)
+        both = probes.unionByName(
+            base.unionByName(ghost), allowMissingColumns=True
+        )
+        w = (
+            Window.partitionBy(*keys, "__chunk")
+            .orderBy(F.col("__ms"))
+            .rangeBetween(-h_ms, end)
+        )
+        both = both.select(
+            "*",
+            *[
+                fns[s](F.col("__contrib_v"))
+                .over(w)
+                .alias(f"{prefix}{int(h)}_{s}")
+                for s in stats
+            ],
+        )
+        out = both.filter(F.col("__is_q") == 1).drop(
+            "__ms", "__is_q", "__chunk", "__contrib_v"
+        )
+    return out
