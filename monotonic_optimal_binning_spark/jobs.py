@@ -56,8 +56,13 @@ def _parse_prebins(v: str):
 
 
 def fit_woe_job(args) -> None:
-    """Stage 1: (optional) as-of join features. Stage 2: per-group fit.
-    Stage 3: WoE transform written partitioned by group."""
+    """Stage 1: (optional) as-of join + trailing-horizon features.
+    Stage 2: per-group fit. Stage 3: WoE transform written partitioned by
+    group. With ``--horizons``, the event table also contributes
+    point-in-time aggregation features (the right stream's activity over
+    each trailing horizon as of every observation) in the same stage —
+    the as-of join carries the LATEST event value, the horizons carry
+    trailing sums/counts; both leakage-free by construction."""
     spark = _spark("mob-fit-woe")
     pin_utc(spark)
     run = PipelineRun(root=args.workdir)
@@ -70,16 +75,30 @@ def fit_woe_job(args) -> None:
     )
 
     if args.asof_right:
+        from .operators.asof import asof_agg_join
+
         right = _read_input(spark, args.asof_right)
         feat_dir = os.path.join(args.workdir, "stage_asof")
-        df = run_stage(
-            spark, feat_dir, "asof_features",
-            lambda: asof_join(
+        horizons = [float(h) for h in (args.horizons or "").split(",") if h]
+
+        def _features():
+            out = asof_join(
                 df, right, on=args.entity_col, left_ts=args.ts_col,
                 value_cols=None, right_prefix="ev_",
-            ),
+            )
+            if horizons:
+                out = asof_agg_join(
+                    out, right, args.entity_col, args.ts_col,
+                    value=args.horizon_value, horizons_seconds=horizons,
+                    prefix=f"ev_{args.horizon_value}_h",
+                )
+            return out
+
+        df = run_stage(
+            spark, feat_dir, "asof_features", _features,
             inputs=[args.input, args.asof_right],
-            params={"entity": args.entity_col, "ts": args.ts_col},
+            params={"entity": args.entity_col, "ts": args.ts_col,
+                    "horizons": horizons or None},
             partition_by=[args.group_col] if args.group_col else None,
         )
         run.record(feat_dir)
@@ -1077,6 +1096,16 @@ def main(argv: Optional[list] = None) -> None:
                     help="optional event table for as-of feature join")
     fw.add_argument("--entity-col", default="doc_id")
     fw.add_argument("--ts-col", default="ts")
+    fw.add_argument(
+        "--horizons", default=None,
+        help="comma-separated trailing horizons in seconds (e.g. "
+             "3600,86400): adds point-in-time aggregation features of "
+             "the --asof-right stream to the feature stage",
+    )
+    fw.add_argument(
+        "--horizon-value", default="value",
+        help="right-table column aggregated over --horizons",
+    )
     fw.set_defaults(func=fit_woe_job)
 
     fi = sub.add_parser(

@@ -126,6 +126,72 @@ def test_dedup_job_end_to_end(spark, tmp_path):
     assert final.count() == report["stages"][1]["rows_written"]
 
 
+def test_fit_woe_job_with_horizons(spark, tmp_path):
+    """fit-woe with --asof-right --horizons: the feature stage carries
+    BOTH the latest event value (as-of join) and trailing-horizon
+    aggregates (as-of aggregation join), then the fit+transform run on
+    the enriched frame — end-to-end point-in-time training-set assembly."""
+    import numpy as np
+    import pandas as pd
+
+    from monotonic_optimal_binning_spark.jobs import main
+
+    rng = np.random.default_rng(61)
+    n = 600
+    obs = pd.DataFrame(
+        {
+            "doc_id": rng.integers(0, 20, n),
+            "ts": pd.Timestamp("2026-01-01")
+            + pd.to_timedelta(rng.uniform(0, 86400, n), unit="s"),
+            "x": rng.integers(0, 12, n).astype(float),
+        }
+    )
+    obs["y"] = (rng.uniform(0, 1, n) < 0.1 + 0.7 * obs["x"] / 12).astype(int)
+    ev = pd.DataFrame(
+        {
+            "doc_id": rng.integers(0, 20, 900),
+            "ts": pd.Timestamp("2026-01-01")
+            + pd.to_timedelta(rng.uniform(0, 86400, 900), unit="s"),
+            "value": rng.uniform(0, 3, 900).round(2),
+        }
+    )
+    src = str(tmp_path / "obs.parquet")
+    rsrc = str(tmp_path / "ev.parquet")
+    spark.createDataFrame(obs).write.parquet(src)
+    spark.createDataFrame(ev).write.parquet(rsrc)
+
+    wd = str(tmp_path / "fwrun")
+    main(["fit-woe", "--input", src, "--x", "x", "--y", "y",
+          "--workdir", wd, "--asof-right", rsrc, "--entity-col", "doc_id",
+          "--ts-col", "ts", "--horizons", "3600,21600",
+          "--min-bins", "2", "--max-bins", "5"])
+
+    feat = spark.read.parquet(os.path.join(wd, "stage_asof", "data"))
+    cols = set(feat.columns)
+    assert {"ev_value", "ev_value_h3600_sum", "ev_value_h3600_count",
+            "ev_value_h21600_sum", "ev_value_h21600_count"} <= cols
+    # trailing counts are leakage-free: h-count at each obs equals the
+    # pandas truth on a sampled row
+    got = feat.toPandas()
+    lms = (got["ts"].astype("int64") // 10**6)  # ns -> ms
+    ems = (ev["ts"].astype("int64") // 10**6)
+    for i in got.index[:5]:
+        m = (
+            (ev["doc_id"] == got.loc[i, "doc_id"])
+            & (ems >= lms[i] - 3600 * 1000)
+            & (ems <= lms[i])
+        )
+        assert int(got.loc[i, "ev_value_h3600_count"]) == int(m.sum())
+
+    with open(os.path.join(wd, "_LINEAGE.json")) as f:
+        report = json.load(f)
+    assert [s["stage"] for s in report["stages"]] == [
+        "asof_features", "woe_transform"
+    ]
+    out = spark.read.parquet(os.path.join(wd, "stage_transform", "data"))
+    assert "x_woe" in out.columns and out.count() == n
+
+
 def test_pack_job_end_to_end(spark, tmp_path):
     """spark-submit packing stage: token-budget chunks written as an
     idempotent checkpoint with row-count lineage."""
