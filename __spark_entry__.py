@@ -562,6 +562,31 @@ def q_asof_agg(spark, sf_dir):
     )
 
 
+def q_token_topk(spark, sf_dir):
+    """Corpus vocabulary heavy hitters: map-side-combinable token counts
+    + TakeOrdered top-k, deterministic tie-break on token text."""
+    from monotonic_optimal_binning_spark.operators.textstats import (
+        token_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_topk(docs, "text", k=50)
+
+
+def q_token_topk_grouped(spark, sf_dir):
+    """Per-source vocabulary top-k: rank window with WindowGroupLimit
+    pushdown; row_number cast to long for the cross-engine hash."""
+    from monotonic_optimal_binning_spark.operators.textstats import (
+        token_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = token_topk(docs, "text", k=10, group_col="source")
+    return out.select(
+        "source", "token", "n", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def q_isotonic_calibration(spark, sf_dir):
     """Distributed isotonic regression value-checked on the no-merge
     monotone construction: group means already increase, so PAVA pools
@@ -1991,6 +2016,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bin_fit_incremental": q_bin_fit_incremental,
         "per_source_fit_incremental": q_per_source_fit_incremental,
         "asof_agg": q_asof_agg,
+        "token_topk": q_token_topk,
+        "token_topk_grouped": q_token_topk_grouped,
         "frequency_encode": q_frequency_encode,
         "hash_encode": q_hash_encode,
         # --- (b) green in r4, oldest prior verification first ---
@@ -3591,6 +3618,39 @@ def oracle_sql() -> dict[str, str]:
         # and minhash_pairs_planted / embedding_neardup_planted value-check
         # the LSH machinery on deterministic-recall slices);
         # simhash_dedup: xxhash64-specific fingerprints -> rows-only.
+        "token_topk": r"""
+            WITH t AS (
+              SELECT unnest(
+                       regexp_split_to_array(lower(trim(text)), '\s+')
+                     ) AS token
+              FROM documents)
+            SELECT token, count(*) AS n
+            FROM t WHERE token <> ''
+            GROUP BY token
+            ORDER BY n DESC, token
+            LIMIT 50
+        """,
+        "token_topk_grouped": r"""
+            WITH t AS (
+              SELECT source,
+                     unnest(
+                       regexp_split_to_array(lower(trim(text)), '\s+')
+                     ) AS token
+              FROM documents),
+            c AS (
+              SELECT source, token, count(*) AS n
+              FROM t WHERE token <> ''
+              GROUP BY source, token),
+            r AS (
+              SELECT source, token, n,
+                     row_number() OVER (
+                       PARTITION BY source ORDER BY n DESC, token
+                     ) AS rank
+              FROM c)
+            SELECT source, token, CAST(n AS BIGINT) AS n,
+                   CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 10
+        """,
         "asof_agg": """
             -- point-in-time aggregation join: trailing-window activity of
             -- the right stream as of each probe; exact ms bounds + exact

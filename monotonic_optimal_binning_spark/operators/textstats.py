@@ -7,9 +7,9 @@ scan is one codegen stage; nothing leaves the JVM.
 
 from __future__ import annotations
 
-from typing import Dict, Sequence
+from typing import Dict, Optional, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny, deliberately-public stopword seeds per language (top function words).
@@ -329,3 +329,53 @@ def fingerprint(
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"[^\p{L}\p{N} ]", "")
     norm = F.regexp_replace(F.trim(norm), r"\s+", " ")
     return df.withColumn(out_col, F.xxhash64(norm))
+
+
+def token_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 100,
+    *,
+    lowercase: bool = True,
+    group_col: Optional[str] = None,
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary heavy hitters: the top-``k`` whitespace tokens by
+    frequency (globally, or per ``group_col`` — e.g. per source/language).
+
+    Plan at 100 TB: explode → ONE ``groupBy(token)`` aggregate whose
+    partial (map-side) combine collapses stop-word skew before the
+    shuffle — the shuffle carries one row per distinct (task, token), not
+    per occurrence. The global top-k then runs as TakeOrdered over
+    vocab-sized rows (no full sort shuffle); the per-group variant is a
+    rank window on (count desc, token) where Spark's WindowGroupLimit
+    pushes the k-limit below the sort. Ties break on token text, so the
+    result is deterministic on both engines (oracle-checkable).
+    """
+    tok = F.explode(
+        whitespace_tokens(
+            F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+        )
+    ).alias("token")
+    keys = [F.col(group_col)] if group_col else []
+    counts = (
+        df.select(*keys, tok)
+        .groupBy(*([group_col] if group_col else []), "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    if min_count > 1:
+        counts = counts.filter(F.col("n") >= min_count)
+    if group_col:
+        w = Window.partitionBy(group_col).orderBy(
+            F.col("n").desc(), F.col("token")
+        )
+        return (
+            counts.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(group_col, "token", "n", "rank")
+        )
+    return (
+        counts.orderBy(F.col("n").desc(), F.col("token"))
+        .limit(k)
+        .select("token", "n")
+    )

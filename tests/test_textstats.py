@@ -188,3 +188,49 @@ def test_pii_scrub_counts_and_replacement(spark):
     assert "<NUM>" in got[2]["text_scrubbed"]
     assert got[3]["n_email"] == got[3]["n_ipv4"] == got[3]["n_digit_run"] == 0
     assert got[3]["text_scrubbed"] == docs[2][1]
+
+
+def test_token_topk_exact_and_plan(spark):
+    import re
+
+    import pandas as pd
+
+    from monotonic_optimal_binning_spark.operators.textstats import (
+        token_topk,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "src": ["a", "a", "b", "b"],
+            "text": [
+                "the cat sat on the mat",
+                "The   dog\tand the cat",
+                "spark spark spark rdd",
+                None,
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    top = token_topk(df, "text", k=3).toPandas()
+    assert [tuple(r) for r in top.itertuples(index=False)] == [
+        ("the", 4), ("spark", 3), ("cat", 2)
+    ]
+
+    grouped = token_topk(df, "text", k=2, group_col="src").toPandas()
+    a = grouped[grouped["src"] == "a"]
+    assert [tuple(r) for r in a[["token", "n", "rank"]].itertuples(index=False)] == [
+        ("the", 4, 1), ("cat", 2, 2)
+    ]
+    b = grouped[grouped["src"] == "b"]
+    assert b.iloc[0]["token"] == "spark"
+
+    # plan: global top-k is TakeOrdered (no full sort shuffle); counts
+    # aggregate has a map-side partial
+    out = token_topk(df, "text", k=3)
+    jqe = out._jdf.queryExecution()
+    plan = out.sparkSession._jvm.PythonSQLUtils.explainString(jqe, "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    g = token_topk(df, "text", k=2, group_col="src")
+    jqe = g._jdf.queryExecution()
+    gplan = g.sparkSession._jvm.PythonSQLUtils.explainString(jqe, "simple")
+    assert "WindowGroupLimit" in gplan, gplan
