@@ -619,6 +619,9 @@ def asof_agg_join(
                 f"output column '{c}' collides with a left column; set "
                 f"prefix"
             )
+    for c in ("__ms", "__is_q", "__contrib_v"):
+        if c in left.columns:
+            raise ValueError(f"left column '{c}' shadows an internal name")
     for h in horizons_seconds:
         if h <= 0:
             raise ValueError("horizons must be > 0 seconds")
@@ -697,6 +700,9 @@ def asof_agg_join_bucketed(
     for h in horizons_seconds:
         if h <= 0:
             raise ValueError("horizons must be > 0 seconds")
+    for c in ("__ms", "__is_q", "__chunk", "__contrib_v"):
+        if c in left.columns:
+            raise ValueError(f"left column '{c}' shadows an internal name")
     end = 0 if include_current else -1
 
     rms = epoch_millis(right, right_ts)
