@@ -1,0 +1,213 @@
+"""Streaming trailing-horizon features: the real-time counterpart of
+``operators.windows.multi_horizon_features`` ("the user's activity over
+the last hour/day as of this event"), as a custom stateful operator.
+
+No built-in streaming construct computes per-EVENT trailing aggregates
+(windowed aggregation emits per-window rows, stream-stream joins can't
+aggregate), so this is ``applyInPandasWithState``: each key's state is a
+time-sorted buffer of (event_ms, value) pairs bounded by the largest
+horizon (+ the disorder allowance), and every arriving event is answered
+with prefix-sum lookups over that buffer — fully vectorized per
+micro-batch, no per-row Python.
+
+Ordering semantics (the append-mode reality): an event is scored at
+ARRIVAL against everything currently buffered for its key. Because the
+buffer retains ``max(horizons) + disorder_seconds`` of history, any event
+arriving within ``disorder_seconds`` of its key's frontier is scored
+EXACTLY (its full trailing window is still in the buffer, late
+contributors included); rows already emitted are never revised (no
+retraction in append mode). Null event times match nothing and
+contribute nothing — the engine-wide convention.
+
+State discipline (environment notes in CLAUDE.md): buffers are plain
+Python lists of floats — numpy scalars crash the JVM-side Pyrolite
+unpickler, and ints written into double state fields would be silently
+nulled.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_trailing_agg(
+    events: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    horizons_seconds: Sequence[float],
+    *,
+    stats: Sequence[str] = ("sum", "count"),
+    include_current: bool = True,
+    disorder_seconds: float = 0.0,
+    prefix: Optional[str] = None,
+    output_mode: str = "append",
+) -> DataFrame:
+    """Per-event trailing aggregates over a stream, exact for any
+    disorder within ``disorder_seconds`` of each key's frontier.
+
+    Output: every input row (original columns) plus
+    ``{prefix}{h}_{stat}`` columns — sums as nullable doubles (null when
+    the window holds nothing), counts as longs. State per key is bounded
+    by event rate × (max horizon + disorder) — independent of stream
+    length.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    allowed = {"sum", "count", "mean", "min", "max"}
+    for s in stats:
+        if s not in allowed:
+            raise ValueError(
+                f"unknown stat '{s}'; choose from {sorted(allowed)}"
+            )
+    for h in horizons_seconds:
+        if h <= 0:
+            raise ValueError("horizons must be > 0 seconds")
+    prefix = prefix or f"{value}_h"
+    out_specs = [
+        (f"{prefix}{int(h)}_{s}", h, s)
+        for h in horizons_seconds
+        for s in stats
+    ]
+    for name, _, _ in out_specs:
+        if name in events.columns:
+            raise ValueError(
+                f"output column '{name}' collides with an input column; "
+                f"set prefix"
+            )
+
+    keep_ms = int(
+        round((max(horizons_seconds) + float(disorder_seconds)) * 1000)
+    )
+    end_off = 0 if include_current else -1
+
+    in_fields = list(events.schema.fields)
+    field_names = [f.name for f in in_fields]
+    out_schema = T.StructType(
+        list(in_fields)
+        + [
+            T.StructField(
+                name, T.LongType() if s == "count" else T.DoubleType()
+            )
+            for name, _, s in out_specs
+        ]
+    )
+    state_schema = "ts array<double>, v array<double>"
+
+    # exact epoch-ms like the batch operator: timestamps via unix_micros
+    # integer division (no FP at frame boundaries), numerics as seconds
+    dtype = events.schema[ts].dataType
+    tcol = F.col(ts)
+    if isinstance(dtype, T.TimestampNTZType):
+        tcol = tcol.cast("timestamp")
+        dtype = T.TimestampType()
+    if isinstance(dtype, T.TimestampType):
+        ms_expr = F.floor(F.unix_micros(tcol) / F.lit(1000)).cast("double")
+    else:
+        ms_expr = (tcol.cast("double") * 1000).cast("long").cast("double")
+
+    tagged = events.select(
+        F.col(key).alias("__k"),
+        ms_expr.alias("__ms"),
+        F.col(value).cast("double").alias("__v"),
+        F.struct(*[F.col(c) for c in events.columns]).alias("__payload"),
+    )
+
+    def _payload_tuple(p):
+        if p is None:
+            return tuple([None] * len(field_names))
+        if isinstance(p, dict):
+            return tuple(p.get(f) for f in field_names)
+        if hasattr(p, "asDict"):
+            return tuple(p.asDict().get(f) for f in field_names)
+        return tuple(p)
+
+    def _score(key_, pdf_iter, state: GroupState):
+        import numpy as np
+
+        if state.hasTimedOut:  # pragma: no cover - no TTL armed here
+            state.remove()
+            return
+        buf_ts, buf_v = (
+            (list(state.get[0] or []), list(state.get[1] or []))
+            if state.exists
+            else ([], [])
+        )
+        chunks = list(pdf_iter)
+        if not chunks:
+            state.update((buf_ts, buf_v))
+            return
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(
+            chunks, ignore_index=True
+        )
+        # stable sort; null-ms rows sort last and are excluded from the
+        # buffer AND from every frame (they emit with empty-window stats)
+        pdf = pdf.sort_values("__ms", kind="mergesort")
+        ev_ms = pdf["__ms"].to_numpy(dtype=float)
+        ev_v = pdf["__v"].to_numpy(dtype=float)
+        valid = ~np.isnan(ev_ms)
+
+        # merged timeline: buffered history + this batch's valid events
+        # (value null -> contributes nothing: excluded from sums/counts
+        # but the event itself is still scored)
+        m_ts = np.concatenate([np.asarray(buf_ts, dtype=float), ev_ms[valid]])
+        m_v = np.concatenate([np.asarray(buf_v, dtype=float), ev_v[valid]])
+        order = np.argsort(m_ts, kind="mergesort")
+        m_ts, m_v = m_ts[order], m_v[order]
+        has_v = ~np.isnan(m_v)
+        # prefix aggregates over contributors only
+        pv = np.concatenate([[0.0], np.cumsum(np.where(has_v, m_v, 0.0))])
+        pc = np.concatenate([[0], np.cumsum(has_v.astype(np.int64))])
+
+        out = pd.DataFrame(
+            [_payload_tuple(p) for p in pdf["__payload"].to_numpy()],
+            columns=field_names,
+        )
+        need_minmax = any(s in ("min", "max") for _, _, s in out_specs)
+        for name, h, s in out_specs:
+            h_ms = int(round(float(h) * 1000))
+            lo = np.searchsorted(m_ts, ev_ms - h_ms, side="left")
+            hi = np.searchsorted(m_ts, ev_ms + end_off, side="right")
+            cnt = np.where(valid, pc[np.clip(hi, 0, None)] - pc[lo], 0)
+            if s == "count":
+                out[name] = pd.array(cnt, dtype="Int64")
+                continue
+            sm = np.where(valid, pv[hi] - pv[lo], 0.0)
+            if s == "sum":
+                col = np.where(cnt > 0, sm, np.nan)
+            elif s == "mean":
+                col = np.where(cnt > 0, sm / np.maximum(cnt, 1), np.nan)
+            else:  # min / max: exact but O(window) per event — rare path
+                col = np.full(len(ev_ms), np.nan)
+                for i in range(len(ev_ms)):
+                    if not valid[i] or cnt[i] == 0:
+                        continue
+                    w = m_v[lo[i]:hi[i]]
+                    w = w[~np.isnan(w)]
+                    if len(w):
+                        col[i] = w.min() if s == "min" else w.max()
+            out[name] = pd.array(col, dtype="Float64")
+
+        # prune the buffer to the retention horizon behind the frontier
+        if len(m_ts):
+            cut = m_ts[-1] - keep_ms
+            keep = m_ts >= cut
+            buf_ts = [float(x) for x in m_ts[keep]]
+            buf_v = [
+                None if np.isnan(x) else float(x) for x in m_v[keep]
+            ]
+        state.update((buf_ts, buf_v))
+        yield out
+
+    return tagged.groupBy("__k").applyInPandasWithState(
+        _score,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode=output_mode,
+        timeoutConf="NoTimeout",
+    )
