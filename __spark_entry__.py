@@ -587,6 +587,30 @@ def q_token_topk_grouped(spark, sf_dir):
     )
 
 
+def q_time_decayed(spark, sf_dir):
+    """Half-life decayed activity features (recency-weighted sum/count,
+    H=1h, truncated at 24 half-lives = exactly the oracle's 24h join
+    window). Weights are irrational (2^{dt/H}) so cross-engine float
+    identity is impossible — both sides round to 4dp; the FP gap is
+    ~1e-13 abs vs a 1e-4 grid (per-row flip risk ~1e-9)."""
+    from monotonic_optimal_binning_spark.operators.windows import (
+        time_decayed_features,
+    )
+
+    pin_utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = time_decayed_features(
+        ev, "user_id", "ts", "value", [3600.0], truncate_half_lives=24
+    )
+    return out.select(
+        "event_id",
+        F.round(F.col("value_hl3600_sum"), 4).alias("d_sum"),
+        F.round(F.col("value_hl3600_count"), 4).alias("d_cnt"),
+    )
+
+
 def q_isotonic_calibration(spark, sf_dir):
     """Distributed isotonic regression value-checked on the no-merge
     monotone construction: group means already increase, so PAVA pools
@@ -2013,6 +2037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_table": q_calibration_table,
         "multi_horizon": q_multi_horizon,
         "multi_horizon_bucketed": q_multi_horizon_bucketed,
+        "time_decayed": q_time_decayed,
         "bin_fit_incremental": q_bin_fit_incremental,
         "per_source_fit_incremental": q_per_source_fit_incremental,
         "asof_agg": q_asof_agg,
@@ -3673,6 +3698,32 @@ def oracle_sql() -> dict[str, str]:
             FROM p LEFT JOIN e
               ON e.user_id = p.user_id
              AND e.ms BETWEEN p.ms - 86400000 AND p.ms
+            GROUP BY p.event_id
+        """,
+        "time_decayed": """
+            -- half-life decayed features: the 24-half-life truncation is
+            -- exactly a 24h join window at H=1h, so the oracle is a
+            -- bounded range self-join; both sides round to 4dp (weights
+            -- are irrational — see q_time_decayed)
+            WITH e AS (
+              SELECT event_id, user_id,
+                     epoch_us(ts) // 1000 AS ms,
+                     value
+              FROM events)
+            SELECT p.event_id,
+                   round(sum(c.value
+                             * pow(2.0, (c.ms - p.ms) / 3600000.0)), 4)
+                       AS d_sum,
+                   round(coalesce(
+                       sum(pow(2.0, (c.ms - p.ms) / 3600000.0)), 0), 4)
+                       AS d_cnt
+            FROM e p
+            LEFT JOIN e c
+              ON c.user_id = p.user_id
+             AND c.ms IS NOT NULL AND p.ms IS NOT NULL
+             AND c.value IS NOT NULL
+             AND c.ms <= p.ms
+             AND c.ms >= p.ms - 86400000
             GROUP BY p.event_id
         """,
         "multi_horizon": """

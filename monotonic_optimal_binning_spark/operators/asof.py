@@ -715,16 +715,22 @@ def asof_agg_join_bucketed(
             lms.alias("__ms"),
             F.lit(1).alias("__is_q"),
         ).withColumn("__chunk", F.floor(F.col("__ms") / F.lit(h_ms)))
+        # contributor + its next-chunk ghost via explode, NOT a
+        # base-union-ghost self-union (which scans the right side twice
+        # per horizon); both copies are is_q=0 so a plain array explode
+        # does it in one right-side pass
         base = right.filter(rms.isNotNull()).select(
             *[F.col(k) for k in keys],
             rms.alias("__ms"),
             F.lit(0).alias("__is_q"),
             F.col(value).alias("__contrib_v"),
-        ).withColumn("__chunk", F.floor(F.col("__ms") / F.lit(h_ms)))
-        ghost = base.withColumn("__chunk", F.col("__chunk") + 1)
-        both = probes.unionByName(
-            base.unionByName(ghost), allowMissingColumns=True
         )
+        rchunk = F.floor(F.col("__ms") / F.lit(h_ms))
+        contribs = base.select(
+            "*",
+            F.explode(F.array(rchunk, rchunk + F.lit(1))).alias("__chunk"),
+        )
+        both = probes.unionByName(contribs, allowMissingColumns=True)
         w = (
             Window.partitionBy(*keys, "__chunk")
             .orderBy(F.col("__ms"))

@@ -498,14 +498,29 @@ def multi_horizon_features_bucketed(
             raise ValueError("horizons must be > 0 seconds")
         h_ms = int(round(float(h) * 1000))
         ms = epoch_millis(out, ts)  # exact: no FP at frame boundaries
-        base = out.withColumn("__ms", ms).withColumn(
-            "__chunk", F.floor(F.col("__ms") / F.lit(h_ms))
-        )
-        real = base.withColumn("__is_q", F.lit(1))
-        ghost = base.withColumn(
-            "__chunk", F.col("__chunk") + 1
-        ).withColumn("__is_q", F.lit(0))
-        both = real.unionByName(ghost)
+        base = out.withColumn("__ms", ms)
+        chunk0 = F.floor(F.col("__ms") / F.lit(h_ms))
+        # ghost rows via explode, NOT a self-union: a union embeds the
+        # upstream plan — including every PREVIOUS horizon's Window —
+        # into both branches and re-executes it per branch (2^k blowup
+        # across k horizons: 3 horizons planned 7 Windows / 8 scans).
+        # Generate emits the (chunk, query) and (chunk+1, ghost) copies
+        # in one pass over an upstream computed once.
+        both = base.select(
+            "*",
+            F.explode(
+                F.array(
+                    F.struct(chunk0.alias("c"), F.lit(1).alias("q")),
+                    F.struct(
+                        (chunk0 + F.lit(1)).alias("c"), F.lit(0).alias("q")
+                    ),
+                )
+            ).alias("__g"),
+        ).select(
+            "*",
+            F.col("__g.c").alias("__chunk"),
+            F.col("__g.q").alias("__is_q"),
+        ).drop("__g")
         w = (
             Window.partitionBy(*keys, "__chunk")
             .orderBy("__ms")
@@ -571,3 +586,131 @@ def sliding_window_agg(
             *aggs.keys(),
         )
     )
+
+
+def time_decayed_features(
+    df: DataFrame,
+    key: str | Sequence[str],
+    ts: str,
+    value: str,
+    half_lives_seconds: Sequence[float],
+    *,
+    stats: Sequence[str] = ("sum", "count"),
+    include_current: bool = True,
+    prefix: Optional[str] = None,
+    truncate_half_lives: int = 96,
+) -> DataFrame:
+    """Exponentially time-decayed trailing features: for each event at
+    time ``t``, ``sum_i v_i * 2^{-(t - t_i) / H}`` over the entity's
+    events at ``t_i <= t`` — the recency-weighted activity counters
+    ("decayed transaction count / volume") that fraud and credit feature
+    stores serve next to the hard-window :func:`multi_horizon_features`.
+    ``count`` is the decayed event count (weight 1 per non-null value,
+    fractional by nature); ``mean`` is decayed sum / decayed count.
+
+    Numerics + scale in ONE construction: a windowed aggregate cannot
+    reference the probe row, so the decay must factor as
+    ``2^{-t/H} * sum(v_i * 2^{t_i/H})`` — whose terms overflow double
+    for any real epoch. Events are therefore chunked by
+    ``C = truncate_half_lives * H`` with each event re-emitted as a
+    ghost contributor into the next chunk (the
+    :func:`multi_horizon_features_bucketed` construction): within a
+    ``(entity, chunk)`` partition every exponent is re-centered on the
+    chunk start and stays in ``[-T, T)`` (default ±96 — far inside
+    double range), and the trailing frame ``[t - C, t]`` never reaches
+    past the previous chunk, so the partition is self-contained. The
+    same chunking bounds any hot entity's task at two chunks — the skew
+    story is free.
+
+    Truncation is exact to double precision, not an approximation knob:
+    a contributor older than ``T = truncate_half_lives`` half-lives
+    carries weight ``< 2^-T`` (default ``2^-96 ~ 1.3e-29``) — adding it
+    to any realistically-scaled accumulator cannot change one ulp.
+    Lowering ``T`` trades tail mass for chunk width. Null event times
+    and null values match nothing and contribute nothing (engine-wide
+    convention): a null-time probe emits count 0 / null sum.
+    """
+    keys = _keys(key)
+    prefix = prefix or f"{value}_hl"
+    allowed = ("sum", "count", "mean")
+    for s in stats:
+        if s not in allowed:
+            raise ValueError(f"unknown stat '{s}'; choose from {sorted(allowed)}")
+    if truncate_half_lives < 1:
+        raise ValueError("truncate_half_lives must be >= 1")
+    for c in ("__ms", "__chunk", "__is_q", "__e", "__wv", "__w1", "__g"):
+        if c in df.columns:
+            raise ValueError(f"input column '{c}' shadows an internal name")
+    end = 0 if include_current else -1
+    out = df
+    for h in half_lives_seconds:
+        if h <= 0:
+            raise ValueError("half-lives must be > 0 seconds")
+        h_ms = int(round(float(h) * 1000))
+        c_ms = truncate_half_lives * h_ms
+        ms = epoch_millis(out, ts)  # exact: no FP at frame boundaries
+        base = out.withColumn("__ms", ms)
+        chunk0 = F.floor(F.col("__ms") / F.lit(c_ms))
+        # ghost rows via explode, NOT a self-union: a union would embed
+        # the upstream plan (including every previous half-life's Window)
+        # into BOTH branches and re-execute it per branch; Generate emits
+        # the (chunk, is_query) and (chunk+1, is_ghost) copies in one
+        # pass over an upstream computed once — and is a project-collapse
+        # barrier, so the weight exprs below aren't re-inlined either
+        both = base.select(
+            "*",
+            F.explode(
+                F.array(
+                    F.struct(chunk0.alias("c"), F.lit(1).alias("q")),
+                    F.struct(
+                        (chunk0 + F.lit(1)).alias("c"), F.lit(0).alias("q")
+                    ),
+                )
+            ).alias("__g"),
+        ).select(
+            "*",
+            F.col("__g.c").alias("__chunk"),
+            F.col("__g.q").alias("__is_q"),
+        ).drop("__g")
+        # exponent re-centered on the row's own chunk start: real rows
+        # in [0, T), ghosts in [-T, 0) — pow(2, .) never leaves double
+        e = (F.col("__ms") - F.col("__chunk") * F.lit(c_ms)) / F.lit(
+            float(h_ms)
+        )
+        contrib_ok = F.col("__ms").isNotNull() & F.col(value).isNotNull()
+        both = (
+            both.withColumn("__e", e)
+            .withColumn(
+                "__w1",
+                F.when(contrib_ok, F.pow(F.lit(2.0), F.col("__e"))),
+            )
+            .withColumn("__wv", F.col("__w1") * F.col(value))
+        )
+        w = (
+            Window.partitionBy(*keys, "__chunk")
+            .orderBy("__ms")
+            .rangeBetween(-c_ms, end)
+        )
+        # all stats in one select -> ONE Window operator per half-life
+        # (see multi_horizon_features' CollapseWindow note); the probe's
+        # own 2^-e undoes the re-centering, so sum terms are exactly
+        # v_i * 2^{(t_i - t)/H}
+        unbase = F.pow(F.lit(2.0), -F.col("__e"))
+        exprs = {
+            "sum": lambda: F.sum("__wv").over(w) * unbase,
+            "count": lambda: F.coalesce(
+                F.sum("__w1").over(w) * unbase, F.lit(0.0)
+            ),
+            "mean": lambda: F.sum("__wv").over(w) / F.sum("__w1").over(w),
+        }
+        both = both.select(
+            "*",
+            *[
+                exprs[s]().alias(f"{prefix}{int(h)}_{s}")
+                for s in stats
+            ],
+        )
+        out = both.filter(F.col("__is_q") == 1).drop(
+            "__ms", "__chunk", "__is_q", "__e", "__w1", "__wv"
+        )
+    return out

@@ -255,3 +255,51 @@ def test_multi_horizon_single_shuffle_single_window(spark):
     assert count_exchanges(out) == 1, plan
     assert plan.count("Window") == 1, plan
     assert plan.count("Sort") == 1, plan
+
+
+def test_ghost_chunk_ops_scale_linearly_in_horizons(spark):
+    """Ghost rows must ride a Generate, not a self-union: a union embeds
+    the upstream plan (including every previous horizon's Window) into
+    both branches — 3 horizons used to plan 7 Windows and 8 file scans.
+    Linear shape: k Windows, k exchanges, ONE scan (left + one right
+    scan per horizon for the two-table op)."""
+    from monotonic_optimal_binning_spark.functions.timeutil import pin_utc
+    from monotonic_optimal_binning_spark.operators.asof import (
+        asof_agg_join_bucketed,
+    )
+    from monotonic_optimal_binning_spark.operators.windows import (
+        multi_horizon_features_bucketed,
+        time_decayed_features,
+    )
+
+    pin_utc(spark)
+    ev = spark.read.parquet(os.path.join(SF, "events.parquet")).select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = multi_horizon_features_bucketed(
+        ev, "user_id", "ts", "value", [3600.0, 86400.0, 7 * 86400.0]
+    )
+    plan = plan_of(out, "simple")
+    assert plan.count("Window") == 3, plan
+    assert plan.count("FileScan") == 1, plan
+    assert count_exchanges(out) == 3, plan
+
+    two = asof_agg_join_bucketed(
+        ev.select("event_id", "user_id", "ts"),
+        ev.select("user_id", "ts", "value"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value="value",
+        horizons_seconds=[3600.0, 86400.0],
+    )
+    plan2 = plan_of(two, "simple")
+    assert plan2.count("Window") == 2, plan2
+    assert plan2.count("FileScan") == 3, plan2
+
+    dec = time_decayed_features(
+        ev, "user_id", "ts", "value", [3600.0, 86400.0]
+    )
+    plan3 = plan_of(dec, "simple")
+    assert plan3.count("Window") == 2, plan3
+    assert plan3.count("FileScan") == 1, plan3
