@@ -611,6 +611,33 @@ def q_time_decayed(spark, sf_dir):
     )
 
 
+def q_asof_decayed(spark, sf_dir):
+    """Two-table decayed aggregation join: every 5th event is a probe;
+    for each probe, the user's recency-weighted (H=1h) activity over
+    ALL events, truncated at 24 half-lives = the oracle's 24h join
+    window. 4dp rounding on both sides (see q_time_decayed)."""
+    from monotonic_optimal_binning_spark.operators.asof import (
+        asof_decayed_join,
+    )
+
+    pin_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    probes = ev.filter(F.pmod(F.col("event_id"), F.lit(5)) == 0).select(
+        "event_id", "user_id", "ts"
+    )
+    contrib = ev.select("user_id", "ts", "value")
+    out = asof_decayed_join(
+        probes, contrib, "user_id", "ts",
+        value="value", half_lives_seconds=[3600.0],
+        truncate_half_lives=24,
+    )
+    return out.select(
+        "event_id",
+        F.round(F.col("value_hl3600_sum"), 4).alias("d_sum"),
+        F.round(F.col("value_hl3600_count"), 4).alias("d_cnt"),
+    )
+
+
 def q_isotonic_calibration(spark, sf_dir):
     """Distributed isotonic regression value-checked on the no-merge
     monotone construction: group means already increase, so PAVA pools
@@ -2038,6 +2065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_horizon": q_multi_horizon,
         "multi_horizon_bucketed": q_multi_horizon_bucketed,
         "time_decayed": q_time_decayed,
+        "asof_decayed": q_asof_decayed,
         "bin_fit_incremental": q_bin_fit_incremental,
         "per_source_fit_incremental": q_per_source_fit_incremental,
         "asof_agg": q_asof_agg,
@@ -3718,6 +3746,31 @@ def oracle_sql() -> dict[str, str]:
                        sum(pow(2.0, (c.ms - p.ms) / 3600000.0)), 0), 4)
                        AS d_cnt
             FROM e p
+            LEFT JOIN e c
+              ON c.user_id = p.user_id
+             AND c.ms IS NOT NULL AND p.ms IS NOT NULL
+             AND c.value IS NOT NULL
+             AND c.ms <= p.ms
+             AND c.ms >= p.ms - 86400000
+            GROUP BY p.event_id
+        """,
+        "asof_decayed": """
+            -- two-table decayed aggregation join: probes = every 5th
+            -- event, contributors = all events; 24 half-lives at H=1h
+            -- is exactly a 24h range join (see time_decayed)
+            WITH e AS (
+              SELECT event_id, user_id,
+                     epoch_us(ts) // 1000 AS ms,
+                     value
+              FROM events)
+            SELECT p.event_id,
+                   round(sum(c.value
+                             * pow(2.0, (c.ms - p.ms) / 3600000.0)), 4)
+                       AS d_sum,
+                   round(coalesce(
+                       sum(pow(2.0, (c.ms - p.ms) / 3600000.0)), 0), 4)
+                       AS d_cnt
+            FROM (SELECT * FROM e WHERE event_id % 5 = 0) p
             LEFT JOIN e c
               ON c.user_id = p.user_id
              AND c.ms IS NOT NULL AND p.ms IS NOT NULL

@@ -75,11 +75,14 @@ def fit_woe_job(args) -> None:
     )
 
     if args.asof_right:
-        from .operators.asof import asof_agg_join
+        from .operators.asof import asof_agg_join, asof_decayed_join
 
         right = _read_input(spark, args.asof_right)
         feat_dir = os.path.join(args.workdir, "stage_asof")
         horizons = [float(h) for h in (args.horizons or "").split(",") if h]
+        half_lives = [
+            float(h) for h in (args.half_lives or "").split(",") if h
+        ]
 
         def _features():
             out = asof_join(
@@ -92,13 +95,21 @@ def fit_woe_job(args) -> None:
                     value=args.horizon_value, horizons_seconds=horizons,
                     prefix=f"ev_{args.horizon_value}_h",
                 )
+            if half_lives:
+                out = asof_decayed_join(
+                    out, right, args.entity_col, args.ts_col,
+                    value=args.horizon_value,
+                    half_lives_seconds=half_lives,
+                    prefix=f"ev_{args.horizon_value}_hl",
+                )
             return out
 
         df = run_stage(
             spark, feat_dir, "asof_features", _features,
             inputs=[args.input, args.asof_right],
             params={"entity": args.entity_col, "ts": args.ts_col,
-                    "horizons": horizons or None},
+                    "horizons": horizons or None,
+                    "half_lives": half_lives or None},
             partition_by=[args.group_col] if args.group_col else None,
         )
         run.record(feat_dir)
@@ -1104,7 +1115,13 @@ def main(argv: Optional[list] = None) -> None:
     )
     fw.add_argument(
         "--horizon-value", default="value",
-        help="right-table column aggregated over --horizons",
+        help="right-table column aggregated over --horizons/--half-lives",
+    )
+    fw.add_argument(
+        "--half-lives", default=None,
+        help="comma-separated decay half-lives in seconds (e.g. "
+             "3600,86400): adds recency-weighted (2^-(t-ti)/H) "
+             "aggregation features of the --asof-right stream",
     )
     fw.set_defaults(func=fit_woe_job)
 

@@ -749,3 +749,130 @@ def asof_agg_join_bucketed(
             "__ms", "__is_q", "__chunk", "__contrib_v"
         )
     return out
+
+
+def asof_decayed_join(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    left_ts: str,
+    right_ts: Optional[str] = None,
+    *,
+    value: str,
+    half_lives_seconds: Sequence[float],
+    stats: Sequence[str] = ("sum", "count"),
+    include_current: bool = True,
+    prefix: Optional[str] = None,
+    truncate_half_lives: int = 96,
+) -> DataFrame:
+    """Point-in-time DECAYED aggregation join: for each left observation
+    at time ``t``, the right table's recency-weighted activity
+    ``sum_i v_i * 2^{-(t - t_i)/H}`` over the entity's right rows at
+    ``t_i <= t`` — the two-table member of the feature matrix
+    (:func:`asof_agg_join` = hard window / two tables,
+    :func:`~..windows.time_decayed_features` = decayed / one table).
+    ``count`` is the decayed event count (fractional), ``mean`` their
+    ratio. Leakage-free by construction.
+
+    Numerics + skew (one construction, see ``time_decayed_features``):
+    the decay must factor through the probe row, so contributors carry
+    ``v_i * 2^{t_i/H}`` re-centered on ghost chunks of width
+    ``C = truncate_half_lives * H`` — exponents stay in ``[-T, T)`` and
+    a hot entity is bounded at two chunks per task. The chunking is
+    load-bearing for the exponent range, so each half-life costs one
+    shuffle of |L|+|R| (there is no all-half-lives-one-shuffle variant);
+    contributors ghost via explode, so the right side is scanned once
+    per half-life. Truncation at the default 96 half-lives is below
+    double precision (weight < 2^-96). Null/invalid left timestamps
+    match nothing (count 0, null sums); null-ts or null-value right rows
+    never contribute — the engine-wide as-of convention.
+    """
+    from ..functions.timeutil import epoch_millis
+
+    keys = [on] if isinstance(on, str) else list(on)
+    right_ts = right_ts or left_ts
+    allowed = ("sum", "count", "mean")
+    for s in stats:
+        if s not in allowed:
+            raise ValueError(
+                f"unknown stat '{s}'; choose from {sorted(allowed)}"
+            )
+    if truncate_half_lives < 1:
+        raise ValueError("truncate_half_lives must be >= 1")
+    prefix = prefix or f"{value}_hl"
+    out_names = [
+        f"{prefix}{int(h)}_{s}" for h in half_lives_seconds for s in stats
+    ]
+    for c in out_names:
+        if c in left.columns:
+            raise ValueError(
+                f"output column '{c}' collides with a left column; set "
+                f"prefix"
+            )
+    for c in ("__ms", "__is_q", "__chunk", "__e", "__w1", "__wv"):
+        if c in left.columns:
+            raise ValueError(f"left column '{c}' shadows an internal name")
+    for h in half_lives_seconds:
+        if h <= 0:
+            raise ValueError("half-lives must be > 0 seconds")
+    end = 0 if include_current else -1
+
+    rms = epoch_millis(right, right_ts)
+    out = left
+    for h in half_lives_seconds:
+        h_ms = int(round(float(h) * 1000))
+        c_ms = truncate_half_lives * h_ms
+        lms = epoch_millis(out, left_ts)
+        probes = out.select(
+            "*", lms.alias("__ms"), F.lit(1).alias("__is_q")
+        ).withColumn("__chunk", F.floor(F.col("__ms") / F.lit(c_ms)))
+        base = right.filter(
+            rms.isNotNull() & F.col(value).isNotNull()
+        ).select(
+            *[F.col(k) for k in keys],
+            rms.alias("__ms"),
+            F.lit(0).alias("__is_q"),
+            F.col(value).alias("__cv"),
+        )
+        rchunk = F.floor(F.col("__ms") / F.lit(c_ms))
+        # contributor + next-chunk ghost in one right-side pass
+        contribs = base.select(
+            "*",
+            F.explode(F.array(rchunk, rchunk + F.lit(1))).alias("__chunk"),
+        )
+        # re-centered exponent: contributors in [-T, T), probes use their
+        # own chunk so the un-base multiplier exponent is in (-T, 0]
+        e = (F.col("__ms") - F.col("__chunk") * F.lit(c_ms)) / F.lit(
+            float(h_ms)
+        )
+        contribs = contribs.withColumn(
+            "__w1", F.pow(F.lit(2.0), e)
+        ).withColumn("__wv", F.col("__w1") * F.col("__cv")).drop("__cv")
+        # probe rows carry null __w1/__wv -> contribute nothing; null-ms
+        # probes sort into the null peer group (no contributors there:
+        # null-ts right rows were filtered) -> count 0 / null sums
+        both = probes.unionByName(contribs, allowMissingColumns=True)
+        w = (
+            Window.partitionBy(*keys, "__chunk")
+            .orderBy(F.col("__ms"))
+            .rangeBetween(-c_ms, end)
+        )
+        unbase = F.pow(F.lit(2.0), -e)
+        exprs = {
+            "sum": lambda: F.sum("__wv").over(w) * unbase,
+            "count": lambda: F.coalesce(
+                F.sum("__w1").over(w) * unbase, F.lit(0.0)
+            ),
+            "mean": lambda: F.sum("__wv").over(w) / F.sum("__w1").over(w),
+        }
+        both = both.select(
+            "*",
+            *[
+                exprs[s]().alias(f"{prefix}{int(h)}_{s}")
+                for s in stats
+            ],
+        )
+        out = both.filter(F.col("__is_q") == 1).drop(
+            "__ms", "__is_q", "__chunk", "__w1", "__wv"
+        )
+    return out

@@ -164,12 +164,14 @@ def test_fit_woe_job_with_horizons(spark, tmp_path):
     main(["fit-woe", "--input", src, "--x", "x", "--y", "y",
           "--workdir", wd, "--asof-right", rsrc, "--entity-col", "doc_id",
           "--ts-col", "ts", "--horizons", "3600,21600",
+          "--half-lives", "3600",
           "--min-bins", "2", "--max-bins", "5"])
 
     feat = spark.read.parquet(os.path.join(wd, "stage_asof", "data"))
     cols = set(feat.columns)
     assert {"ev_value", "ev_value_h3600_sum", "ev_value_h3600_count",
-            "ev_value_h21600_sum", "ev_value_h21600_count"} <= cols
+            "ev_value_h21600_sum", "ev_value_h21600_count",
+            "ev_value_hl3600_sum", "ev_value_hl3600_count"} <= cols
     # trailing counts are leakage-free: h-count at each obs equals the
     # pandas truth on a sampled row
     got = feat.toPandas()
@@ -182,6 +184,11 @@ def test_fit_woe_job_with_horizons(spark, tmp_path):
             & (ems <= lms[i])
         )
         assert int(got.loc[i, "ev_value_h3600_count"]) == int(m.sum())
+        # decayed count: 96-half-life truncation window (96h) spans the
+        # whole 24h of data, so the truth is the untruncated decay
+        md = (ev["doc_id"] == got.loc[i, "doc_id"]) & (ems <= lms[i])
+        wts = 2.0 ** ((ems[md] - lms[i]) / 3600000.0)
+        assert abs(got.loc[i, "ev_value_hl3600_count"] - wts.sum()) < 1e-9
 
     with open(os.path.join(wd, "_LINEAGE.json")) as f:
         report = json.load(f)

@@ -216,3 +216,105 @@ def test_decayed_plan_one_window_per_half_life(spark):
     assert plan2.count("Window") == 2, plan2
     assert count_exchanges(two) == 2, plan2
     assert plan2.count("FileScan") == 1, plan2
+
+
+def test_asof_decayed_join_equals_brute_force(spark):
+    """Two-table decayed aggregation: probes vs an independent
+    contributor stream, nulls on both sides, frames crossing chunk
+    boundaries (H=10s, T=4 -> 40s chunks over a 400s span)."""
+    from monotonic_optimal_binning_spark.operators.asof import (
+        asof_decayed_join,
+    )
+
+    rng = np.random.default_rng(91)
+    nl, nr = 150, 400
+    left = pd.DataFrame(
+        {
+            "pid": np.arange(nl),
+            "user": rng.integers(0, 4, nl),
+            "ts": rng.uniform(0, 400, nl).round(3),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "user": rng.integers(0, 4, nr),
+            "ts": rng.uniform(0, 400, nr).round(3),
+            "v": rng.uniform(0.1, 5, nr).round(2),
+        }
+    )
+    left.loc[rng.choice(nl, 5, replace=False), "ts"] = np.nan
+    right.loc[rng.choice(nr, 10, replace=False), "ts"] = np.nan
+    right.loc[rng.choice(nr, 10, replace=False), "v"] = np.nan
+
+    out = (
+        asof_decayed_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            "user",
+            "ts",
+            value="v",
+            half_lives_seconds=[10.0],
+            stats=("sum", "count", "mean"),
+            truncate_half_lives=4,
+        )
+        .toPandas()
+        .set_index("pid")
+        .sort_index()
+    )
+    h_ms, c_ms = 10_000.0, 40_000.0
+    r_ms = np.trunc(right["ts"].to_numpy(dtype=np.float64) * 1000)
+    r_ok = right["ts"].notna().to_numpy() & right["v"].notna().to_numpy()
+    exp_s, exp_c = [], []
+    for _, p in left.sort_values("pid").iterrows():
+        if pd.isna(p["ts"]):
+            exp_s.append(np.nan)
+            exp_c.append(0.0)
+            continue
+        t = np.trunc(np.float64(p["ts"]) * 1000)
+        m = (
+            r_ok
+            & (right["user"].to_numpy() == p["user"])
+            & (r_ms <= t)
+            & (r_ms >= t - c_ms)
+        )
+        w = np.power(2.0, (r_ms[m] - t) / h_ms)
+        v = right["v"].to_numpy(dtype=float)[m]
+        exp_s.append(float((v * w).sum()) if m.any() else np.nan)
+        exp_c.append(float(w.sum()))
+    exp_s, exp_c = np.array(exp_s), np.array(exp_c)
+    np.testing.assert_allclose(
+        out["v_hl10_sum"].to_numpy(dtype=float), exp_s,
+        rtol=1e-9, equal_nan=True,
+    )
+    np.testing.assert_allclose(
+        out["v_hl10_count"].to_numpy(dtype=float), exp_c, rtol=1e-9
+    )
+    exp_m = np.where(exp_c > 0, exp_s / np.where(exp_c > 0, exp_c, 1), np.nan)
+    np.testing.assert_allclose(
+        out["v_hl10_mean"].to_numpy(dtype=float), exp_m,
+        rtol=1e-9, equal_nan=True,
+    )
+
+
+def test_asof_decayed_join_plan_linear(spark):
+    """Two half-lives: 2 Windows, left scanned once, right once per
+    half-life (contributor ghosts ride the explode, not a self-union)."""
+    import os
+
+    from monotonic_optimal_binning_spark.operators.asof import (
+        asof_decayed_join,
+    )
+    from tests.test_plans import SF, plan_of
+
+    ev = spark.read.parquet(os.path.join(SF, "events.parquet"))
+    out = asof_decayed_join(
+        ev.select("event_id", "user_id", "ts"),
+        ev.select("user_id", "ts", "value"),
+        "user_id",
+        "ts",
+        value="value",
+        half_lives_seconds=[3600.0, 86400.0],
+    )
+    plan = plan_of(out, "simple")
+    assert plan.count("Window") == 2, plan
+    assert plan.count("FileScan") == 3, plan
