@@ -38,9 +38,12 @@ def streaming_trailing_agg(
     key: str,
     ts: str,
     value: str,
-    horizons_seconds: Sequence[float],
+    horizons_seconds: Sequence[float] = (),
     *,
     stats: Sequence[str] = ("sum", "count"),
+    half_lives_seconds: Sequence[float] = (),
+    decay_stats: Sequence[str] = ("sum", "count"),
+    truncate_half_lives: int = 96,
     include_current: bool = True,
     disorder_seconds: float = 0.0,
     prefix: Optional[str] = None,
@@ -49,11 +52,18 @@ def streaming_trailing_agg(
     """Per-event trailing aggregates over a stream, exact for any
     disorder within ``disorder_seconds`` of each key's frontier.
 
+    ``horizons_seconds`` emit hard-window aggregates; ``half_lives_seconds``
+    emit 2^{-(t-t_i)/H} decayed aggregates (``{prefix_base}hl{H}_{stat}``,
+    the streaming counterpart of ``operators.windows.time_decayed_features``
+    — same per-chunk exponent re-centering, same below-double-precision
+    truncation at ``truncate_half_lives``).
+
     Output: every input row (original columns) plus
     ``{prefix}{h}_{stat}`` columns — sums as nullable doubles (null when
-    the window holds nothing), counts as longs. State per key is bounded
-    by event rate × (max horizon + disorder) — independent of stream
-    length.
+    the window holds nothing), counts as longs (decayed counts as
+    doubles — they are fractional). State per key is bounded by event
+    rate × (max horizon, truncated decay window, + disorder) —
+    independent of stream length.
     """
     import pandas as pd
     from pyspark.sql import types as T
@@ -65,25 +75,41 @@ def streaming_trailing_agg(
             raise ValueError(
                 f"unknown stat '{s}'; choose from {sorted(allowed)}"
             )
-    for h in horizons_seconds:
+    dallowed = {"sum", "count", "mean"}
+    for s in decay_stats:
+        if s not in dallowed:
+            raise ValueError(
+                f"unknown decay stat '{s}'; choose from {sorted(dallowed)}"
+            )
+    if not horizons_seconds and not half_lives_seconds:
+        raise ValueError("need at least one horizon or half-life")
+    for h in list(horizons_seconds) + list(half_lives_seconds):
         if h <= 0:
-            raise ValueError("horizons must be > 0 seconds")
-    prefix = prefix or f"{value}_h"
+            raise ValueError("horizons/half-lives must be > 0 seconds")
+    if truncate_half_lives < 1:
+        raise ValueError("truncate_half_lives must be >= 1")
+    base_prefix = prefix if prefix is not None else f"{value}_"
     out_specs = [
-        (f"{prefix}{int(h)}_{s}", h, s)
+        (f"{base_prefix}h{int(h)}_{s}", h, s)
         for h in horizons_seconds
         for s in stats
     ]
-    for name, _, _ in out_specs:
+    decay_specs = [
+        (f"{base_prefix}hl{int(h)}_{s}", h, s)
+        for h in half_lives_seconds
+        for s in decay_stats
+    ]
+    for name, _, _ in out_specs + decay_specs:
         if name in events.columns:
             raise ValueError(
                 f"output column '{name}' collides with an input column; "
                 f"set prefix"
             )
 
-    keep_ms = int(
-        round((max(horizons_seconds) + float(disorder_seconds)) * 1000)
-    )
+    spans = [float(h) for h in horizons_seconds] + [
+        truncate_half_lives * float(h) for h in half_lives_seconds
+    ]
+    keep_ms = int(round((max(spans) + float(disorder_seconds)) * 1000))
     end_off = 0 if include_current else -1
 
     in_fields = list(events.schema.fields)
@@ -96,6 +122,8 @@ def streaming_trailing_agg(
             )
             for name, _, s in out_specs
         ]
+        # decayed counts are fractional -> all decayed stats are doubles
+        + [T.StructField(name, T.DoubleType()) for name, _, _ in decay_specs]
     )
     state_schema = "ts array<double>, v array<double>"
 
@@ -191,6 +219,48 @@ def streaming_trailing_agg(
                     w = w[~np.isnan(w)]
                     if len(w):
                         col[i] = w.min() if s == "min" else w.max()
+            out[name] = pd.array(col, dtype="Float64")
+
+        # decayed stats: same construction as windows.time_decayed_features
+        # — per probe-chunk (width C = T*H), contributors come from the
+        # current + previous chunk slice with exponents re-centered on the
+        # probe's chunk start, so nothing leaves [-T, T) and the chunked
+        # prefix sums never mix scales
+        hl_done = {}
+        for h in {h for _, h, _ in decay_specs}:
+            h_ms = float(h) * 1000.0
+            c_width = truncate_half_lives * h_ms
+            d_sum = np.full(len(ev_ms), np.nan)
+            d_cnt = np.zeros(len(ev_ms))
+            qc = np.floor(np.where(valid, ev_ms, 0.0) / c_width)
+            for q in np.unique(qc[valid]):
+                pm = valid & (qc == q)
+                a = np.searchsorted(m_ts, (q - 1) * c_width, side="left")
+                b = np.searchsorted(m_ts, (q + 1) * c_width, side="left")
+                t_loc, v_loc = m_ts[a:b], m_v[a:b]
+                hv = ~np.isnan(v_loc)
+                w = np.power(2.0, (t_loc - q * c_width) / h_ms)
+                cs_v = np.concatenate(
+                    [[0.0], np.cumsum(np.where(hv, v_loc, 0.0) * w)]
+                )
+                cs_1 = np.concatenate([[0.0], np.cumsum(hv * w)])
+                ev_q = ev_ms[pm]
+                lo = np.searchsorted(t_loc, ev_q - c_width, side="left")
+                hi = np.searchsorted(t_loc, ev_q + end_off, side="right")
+                mult = np.power(2.0, -(ev_q - q * c_width) / h_ms)
+                c = (cs_1[hi] - cs_1[lo]) * mult
+                s = (cs_v[hi] - cs_v[lo]) * mult
+                d_cnt[pm] = c
+                d_sum[pm] = np.where(c > 0, s, np.nan)
+            hl_done[h] = (d_sum, d_cnt)
+        for name, h, s in decay_specs:
+            ds, dc = hl_done[h]
+            if s == "sum":
+                col = ds
+            elif s == "count":
+                col = dc
+            else:  # mean
+                col = np.where(dc > 0, ds / np.maximum(dc, 1e-300), np.nan)
             out[name] = pd.array(col, dtype="Float64")
 
         # prune the buffer to the retention horizon behind the frontier

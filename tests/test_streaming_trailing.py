@@ -186,3 +186,74 @@ def test_null_time_and_null_value(spark, tmp_path):
     assert got.loc[2, "v_h10_count"] == 1
     assert got.loc[2, "v_h10_sum"] == 5.0
     assert got.loc[0, "v_h10_count"] == 1
+
+
+def test_streaming_decayed_equals_batch_across_microbatches(spark, tmp_path):
+    """Decayed (half-life) stats match the batch time_decayed_features
+    operator exactly across micro-batch boundaries; hard-window and
+    decayed stats coexist in one state pass."""
+    from monotonic_optimal_binning_spark.operators.windows import (
+        time_decayed_features,
+    )
+
+    pdf = _events(seed=79)
+    src = str(tmp_path / "ev")
+    half = len(pdf) // 2
+    spark.createDataFrame(pdf.iloc[:half]).coalesce(1).write.parquet(
+        src + "/b1"
+    )
+    spark.createDataFrame(pdf.iloc[half:]).coalesce(1).write.parquet(
+        src + "/b2"
+    )
+    schema = spark.read.parquet(src + "/b1").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out = streaming_trailing_agg(
+        stream,
+        "user",
+        "ts",
+        "v",
+        [600.0],
+        half_lives_seconds=[60.0],
+        truncate_half_lives=8,
+    )
+    _run(out, "trail_dec")
+    got = (
+        spark.sql("select * from trail_dec")
+        .toPandas()
+        .set_index("eid")
+        .sort_index()
+    )
+    exp = (
+        time_decayed_features(
+            spark.createDataFrame(pdf),
+            "user",
+            "ts",
+            "v",
+            [60.0],
+            truncate_half_lives=8,
+        )
+        .toPandas()
+        .set_index("eid")
+        .sort_index()
+    )
+    np.testing.assert_allclose(
+        got["v_hl60_sum"].to_numpy(dtype=float),
+        exp["v_hl60_sum"].to_numpy(dtype=float),
+        rtol=1e-9, equal_nan=True,
+    )
+    np.testing.assert_allclose(
+        got["v_hl60_count"].to_numpy(dtype=float),
+        exp["v_hl60_count"].to_numpy(dtype=float),
+        rtol=1e-9,
+    )
+    # the hard-window columns still match the batch multi-horizon truth
+    exp_h = _batch_truth(spark, pdf, [600.0])
+    np.testing.assert_allclose(
+        got["v_h600_sum"].to_numpy(dtype=float),
+        exp_h["v_h600_sum"].to_numpy(dtype=float),
+        rtol=1e-9, equal_nan=True,
+    )
