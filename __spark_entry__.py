@@ -638,6 +638,35 @@ def q_asof_decayed(spark, sf_dir):
     )
 
 
+def q_snapshot(spark, sf_dir):
+    """Point-in-time table state at T: ONE algebraic max_by aggregate
+    (map-side combinable argmax — no window, hot keys merge partials),
+    deterministic same-ms tie-break on event_id."""
+    from monotonic_optimal_binning_spark.operators.asof import snapshot_at
+
+    pin_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return snapshot_at(
+        ev, "user_id", "ts", "2024-01-15",
+        value_cols=["event_type", "value"], tiebreak="event_id",
+    )
+
+
+def q_intervalize(spark, sf_dir):
+    """SCD-2 validity intervals: each update valid from its own ts to
+    the key's next update (closed-open; null = still current)."""
+    from monotonic_optimal_binning_spark.operators.asof import intervalize
+
+    pin_utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    out = intervalize(ev, "user_id", "ts", tiebreak="event_id")
+    return out.select(
+        "event_id", "user_id", "valid_from_ms", "valid_to_ms"
+    )
+
+
 def q_isotonic_calibration(spark, sf_dir):
     """Distributed isotonic regression value-checked on the no-merge
     monotone construction: group means already increase, so PAVA pools
@@ -2066,6 +2095,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_horizon_bucketed": q_multi_horizon_bucketed,
         "time_decayed": q_time_decayed,
         "asof_decayed": q_asof_decayed,
+        "snapshot": q_snapshot,
+        "intervalize": q_intervalize,
         "bin_fit_incremental": q_bin_fit_incremental,
         "per_source_fit_incremental": q_per_source_fit_incremental,
         "asof_agg": q_asof_agg,
@@ -3753,6 +3784,38 @@ def oracle_sql() -> dict[str, str]:
              AND c.ms <= p.ms
              AND c.ms >= p.ms - 86400000
             GROUP BY p.event_id
+        """,
+        "snapshot": """
+            -- point-in-time table state at 2024-01-15T00:00Z
+            -- (epoch ms 1705276800000); Spark plans an algebraic
+            -- max_by((ms, event_id)) — the oracle's rn=1 window is the
+            -- same argmax with a deterministic tie-break
+            WITH e AS (
+              SELECT user_id, event_id, event_type, value,
+                     epoch_us(ts) // 1000 AS ms
+              FROM events
+              WHERE ts IS NOT NULL
+                AND epoch_us(ts) // 1000 <= 1705276800000)
+            SELECT user_id, ms AS as_of_ms, event_type, value
+            FROM (SELECT *,
+                         row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ms DESC, event_id DESC) AS rn
+                  FROM e)
+            WHERE rn = 1
+        """,
+        "intervalize": """
+            -- SCD-2 validity intervals: valid from own ts to the key's
+            -- next update (closed-open; null = still current)
+            WITH e AS (
+              SELECT event_id, user_id, epoch_us(ts) // 1000 AS ms
+              FROM events
+              WHERE ts IS NOT NULL)
+            SELECT event_id, user_id, ms AS valid_from_ms,
+                   lead(ms) OVER (
+                     PARTITION BY user_id
+                     ORDER BY ms, event_id) AS valid_to_ms
+            FROM e
         """,
         "asof_decayed": """
             -- two-table decayed aggregation join: probes = every 5th

@@ -876,3 +876,96 @@ def asof_decayed_join(
             "__ms", "__is_q", "__chunk", "__w1", "__wv"
         )
     return out
+
+
+def snapshot_at(
+    df: DataFrame,
+    key,
+    ts: str,
+    at,
+    *,
+    value_cols: Optional[List[str]] = None,
+    tiebreak: Optional[str] = None,
+    matched_ts_col: str = "as_of_ms",
+) -> DataFrame:
+    """Point-in-time table state: the latest row per key with
+    ``ts <= at`` — "what did each entity look like at T" (training
+    snapshot assembly, SCD reconstruction, backtests).
+
+    Scale design: ONE algebraic aggregate — ``max_by(values,
+    (ms, tiebreak))`` — so the argmax combines map-side and a hot key
+    costs partial-aggregate merges, not a single sorted task (no window,
+    no shuffle beyond the groupBy). ``tiebreak`` makes same-millisecond
+    ties deterministic (pass a unique id column); without it Spark picks
+    an arbitrary tied row. Null event times match nothing. ``at`` is
+    epoch seconds (numeric) or anything ``pandas.Timestamp`` accepts.
+    """
+    from ..functions.timeutil import epoch_millis
+
+    keys = [key] if isinstance(key, str) else list(key)
+    if value_cols is None:
+        value_cols = [
+            c for c in df.columns if c not in keys and c != ts
+        ]
+    if isinstance(at, (int, float)):
+        at_ms = int(round(float(at) * 1000))
+    else:
+        import pandas as pd
+
+        at_ms = pd.Timestamp(at).value // 1_000_000
+    ms = epoch_millis(df, ts)
+    ordcols = [ms] + ([F.col(tiebreak)] if tiebreak else [])
+    picked = (
+        df.filter(ms.isNotNull() & (ms <= F.lit(at_ms)))
+        .groupBy(*[F.col(k) for k in keys])
+        .agg(
+            F.max_by(
+                F.struct(
+                    ms.alias("__ms"), *[F.col(c) for c in value_cols]
+                ),
+                F.struct(*ordcols),
+            ).alias("__best")
+        )
+    )
+    return picked.select(
+        *keys,
+        F.col("__best.__ms").alias(matched_ts_col),
+        *[F.col(f"__best.{c}").alias(c) for c in value_cols],
+    )
+
+
+def intervalize(
+    df: DataFrame,
+    key,
+    ts: str,
+    *,
+    tiebreak: Optional[str] = None,
+    from_col: str = "valid_from_ms",
+    to_col: str = "valid_to_ms",
+) -> DataFrame:
+    """Turn an event/update stream into SCD-2 validity intervals: each
+    row becomes valid from its own timestamp until the key's NEXT update
+    (null = still current). ``snapshot_at(T)`` == rows whose interval
+    contains T; a range join on the intervals serves arbitrary-time
+    lookups without per-probe windows.
+
+    One ``lead`` window per key (ordered by exact epoch-ms, then
+    ``tiebreak`` for same-millisecond determinism); null event times are
+    dropped (an update with no time has no validity). Same-ms ties
+    produce zero-length ``[t, t)`` intervals — closed-open semantics
+    keep downstream range joins exact.
+    """
+    from ..functions.timeutil import epoch_millis
+
+    keys = [key] if isinstance(key, str) else list(key)
+    for c in (from_col, to_col):
+        if c in df.columns:
+            raise ValueError(f"output column '{c}' collides; rename")
+    ms = epoch_millis(df, ts)
+    order = [F.col(from_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn(from_col, ms)
+        .filter(F.col(from_col).isNotNull())
+        .withColumn(to_col, F.lead(from_col).over(w))
+    )
