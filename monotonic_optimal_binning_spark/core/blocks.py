@@ -66,10 +66,13 @@ class Block:
         )
 
     def as_dict(self) -> Dict[str, Any]:
+        n = float(self.n)
         return {
             "left": float(self.left),
             "right": float(self.right),
-            "n": int(self.n),
+            # weighted fits carry fractional effective counts; integral
+            # counts stay ints so unweighted history snapshots are unchanged
+            "n": int(n) if n == int(n) else n,
             "sum": float(self.sum),
             "sum2": float(self.sum2),
             "ymin": float(self.ymin),

@@ -76,7 +76,8 @@ def build_initial_blocks(groups: Sequence[GroupStats]) -> List[Block]:
             Block(
                 left=float(g.x),
                 right=float(right),
-                n=int(g.count),
+                # weighted fits pass fractional effective counts through
+                n=int(g.count) if float(g.count) == int(g.count) else float(g.count),
                 sum=float(g.sum),
                 sum2=float(g.sum2),
                 ymin=float(g.ymin),

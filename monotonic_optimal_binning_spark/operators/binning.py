@@ -94,7 +94,7 @@ def _is_binary_values(vals: Sequence[float]) -> bool:
     return set(ints) == {0, 1} or len(vals) == 1
 
 
-def _detect_binary_from_stats(c_rows, eps: float = 1e-9):
+def _detect_binary_from_stats(c_rows, eps: float = 1e-9, weighted: bool = False):
     """Binary-target detection from the collected per-group sufficient
     statistics — costs ZERO extra distributed passes (the obvious
     ``distinct().limit(3)`` probe is a second full scan of the input).
@@ -126,17 +126,24 @@ def _detect_binary_from_stats(c_rows, eps: float = 1e-9):
         lo, hi = svals
         span = hi - lo
         for r in rows:
-            n = int(r["n_y"])
+            n = float(r["n_y"]) if weighted else int(r["n_y"])
             mn, mx = float(r["ymin"]), float(r["ymax"])
             if mn == mx:
                 continue  # single-valued group: trivially two-point
             s, s2 = float(r["sum_y"]), float(r["sum_y2"])
             n_lo = (n * mx - s) / span
-            if abs(n_lo - round(n_lo)) > eps * max(1.0, n):
+            if not weighted:
+                # unweighted counts are integers; a fractional n_lo rules
+                # out a two-point distribution immediately
+                if abs(n_lo - round(n_lo)) > eps * max(1.0, n):
+                    return False, None
+                n_lo = round(n_lo)
+            if n_lo < -eps * max(1.0, n) or n_lo > n * (1.0 + eps):
                 return False, None
-            n_lo = round(n_lo)
-            if n_lo < 0 or n_lo > n:
-                return False, None
+            # two-point support on {mn, mx} MAXIMIZES s2 for the given
+            # (n, s): any interior y mass strictly lowers it, so equality
+            # here discriminates even without the integrality check
+            # (which weighted effective counts cannot use)
             s2_expect = n_lo * mn * mn + (n - n_lo) * mx * mx
             if abs(s2_expect - s2) > eps * max(1.0, abs(s2)):
                 return False, None
@@ -166,21 +173,71 @@ def _recode_c_rows(c_rows, lo: float, hi: float):
     return out
 
 
-def _suff_stats_agg(work: DataFrame, group_cols, y_eff, nonfinite_y, xd) -> DataFrame:
+def _suff_stats_agg(
+    work: DataFrame, group_cols, y_eff, nonfinite_y, xd, w=None
+) -> DataFrame:
     """THE distributed pass: one shuffle on the group columns; every
-    aggregate is algebraic → full map-side partial aggregation."""
-    return work.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.count(y_eff).alias("n_y"),
-        F.sum(y_eff).alias("sum_y"),
-        F.sum(y_eff * y_eff).alias("sum_y2"),
-        F.min(y_eff).alias("ymin"),
-        F.max(y_eff).alias("ymax"),
-        F.avg(y_eff).alias("ymean"),
-        F.stddev_samp(y_eff).alias("ystd"),
-        F.sum(nonfinite_y).alias("n_nonfinite"),
-        F.min(xd).alias("x_rep"),
+    aggregate is algebraic → full map-side partial aggregation.
+
+    With ``w`` (a double Column of sample weights), every count becomes a
+    weight sum — frequency-weight semantics, so an integer weight k is
+    EXACTLY k-fold row replication (the property test pins this). Rows
+    with weight 0 contribute to nothing, including extrema and the group
+    representative; bad weights (null / negative / NaN / ±inf) are tallied
+    per group in ``n_bad_w`` and rejected driver-side, still in ONE scan.
+    """
+    if w is None:
+        return work.groupBy(*group_cols).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(y_eff).alias("n_y"),
+            F.sum(y_eff).alias("sum_y"),
+            F.sum(y_eff * y_eff).alias("sum_y2"),
+            F.min(y_eff).alias("ymin"),
+            F.max(y_eff).alias("ymax"),
+            F.avg(y_eff).alias("ymean"),
+            F.stddev_samp(y_eff).alias("ystd"),
+            F.sum(nonfinite_y).alias("n_nonfinite"),
+            F.min(xd).alias("x_rep"),
+        )
+    bad_w = (
+        w.isNull() | F.isnan(w) | (w < 0) | (F.abs(w) == F.lit(float("inf")))
     )
+    wv = F.when(~bad_w, w)  # null (skipped by sums) when the weight is bad
+    wy = F.when(y_eff.isNotNull(), wv)  # weight carried by observed-y rows
+    pos = wv > 0  # zero-weight rows define no extrema / representative
+    n_y = F.coalesce(F.sum(wy), F.lit(0.0))
+    s = F.sum(wy * y_eff)
+    s2 = F.sum(wy * y_eff * y_eff)
+    # frequency-weight sample variance: matches stddev_samp under k-fold
+    # replication and the _rebucket_stats / BinStats.merge refold identity
+    var = (s2 - s * s / n_y) / (n_y - F.lit(1.0))
+    return work.groupBy(*group_cols).agg(
+        F.coalesce(F.sum(wv), F.lit(0.0)).alias("n_rows"),
+        n_y.alias("n_y"),
+        s.alias("sum_y"),
+        s2.alias("sum_y2"),
+        F.min(F.when(pos, y_eff)).alias("ymin"),
+        F.max(F.when(pos, y_eff)).alias("ymax"),
+        F.when(n_y > 0, s / n_y).alias("ymean"),
+        F.when(
+            n_y > 1, F.sqrt(F.greatest(var, F.lit(0.0)))
+        ).alias("ystd"),
+        F.sum(F.when(pos, nonfinite_y).otherwise(0)).alias("n_nonfinite"),
+        F.min(F.when(pos, xd)).alias("x_rep"),
+        F.sum(F.when(bad_w, 1).otherwise(0)).alias("n_bad_w"),
+    )
+
+
+def _count_val(v):
+    """Count cast that stays exact for weighted (float) counts: integral
+    values render as Python int — unweighted and w==1.0 output is
+    byte-identical to the historical ``int(...)`` cast — while fractional
+    effective counts survive as floats instead of silently truncating."""
+    if v is None:
+        return 0
+    f = float(v)
+    i = int(f)
+    return i if i == f else f
 
 
 def _rebucket_stats(stats_df: DataFrame, splits: List[float], extra_keys=()) -> DataFrame:
@@ -214,6 +271,11 @@ def _rebucket_stats(stats_df: DataFrame, splits: List[float], extra_keys=()) -> 
         F.when(n > 1, F.sqrt(F.greatest(var, F.lit(0.0)))).alias("ystd"),
         F.sum("n_nonfinite").alias("n_nonfinite"),
         F.min("x_rep").alias("x_rep"),
+        *(
+            [F.sum("n_bad_w").alias("n_bad_w")]
+            if "n_bad_w" in stats_df.columns
+            else []
+        ),
     )
 
 
@@ -565,6 +627,10 @@ class BinStats:
     #: set on per-group artifacts (collect_group_stats): rows then carry a
     #: "_g" group value and the solve yields one model per group
     group_col: Optional[str] = None
+    #: set when the stats are frequency-weighted (counts are weight sums,
+    #: possibly fractional); partitions collected under different weight
+    #: columns must not merge
+    weight_col: Optional[str] = None
 
     # ---------- algebra ----------
 
@@ -578,6 +644,11 @@ class BinStats:
             raise ValueError(
                 f"cannot merge stats grouped by {self.group_col!r} with "
                 f"stats grouped by {other.group_col!r}"
+            )
+        if self.weight_col != other.weight_col:
+            raise ValueError(
+                f"cannot merge stats weighted by {self.weight_col!r} with "
+                f"stats weighted by {other.weight_col!r}"
             )
         if (self.exclude_values or None) != (other.exclude_values or None):
             raise ValueError(
@@ -618,7 +689,9 @@ class BinStats:
                 continue
             for f, kind in _STATS_FIELDS:
                 if kind == "sum_int":
-                    a[f] = int(a[f] or 0) + int(r[f] or 0)
+                    # integral-preserving: unweighted artifacts keep exact
+                    # Python ints, weighted ones fold as floats
+                    a[f] = _count_val((a[f] or 0) + (r[f] or 0))
                 elif kind == "sum":
                     a[f] = _merge_opt(a[f], r[f], lambda p, q: p + q)
                 elif kind == "min":
@@ -649,6 +722,7 @@ class BinStats:
             rows=rows,
             lineage=[*self.lineage, *other.lineage],
             group_col=self.group_col,
+            weight_col=self.weight_col,
         )
 
     # ---------- (de)serialization ----------
@@ -666,6 +740,7 @@ class BinStats:
             ),
             "exclude_values": self.exclude_values,
             "group_col": self.group_col,
+            "weight_col": self.weight_col,
             "lineage": self.lineage,
             "rows": [
                 {
@@ -711,7 +786,7 @@ class BinStats:
                     f: (
                         None
                         if r[f] is None
-                        else int(r[f]) if kind == "sum_int"
+                        else _count_val(r[f]) if kind == "sum_int"
                         else _decode_stat(r[f])
                     )
                     for f, kind in _STATS_FIELDS
@@ -731,6 +806,7 @@ class BinStats:
             rows=rows,
             lineage=list(d.get("lineage") or []),
             group_col=d.get("group_col"),
+            weight_col=d.get("weight_col"),
         )
 
     def save_json(self, path: str) -> None:
@@ -748,12 +824,15 @@ class BinStats:
 
     # ---------- introspection ----------
 
-    def totals(self) -> Dict[str, int]:
-        """Row counts per partition tag across all folded inputs."""
+    def totals(self) -> Dict[str, Any]:
+        """Row counts (weight sums when weighted) per partition tag
+        across all folded inputs."""
         out = {"clean": 0, "missing": 0, "excluded": 0}
         names = {"C": "clean", "M": "missing", "E": "excluded"}
         for r in self.rows:
-            out[names[r["tag"]]] += int(r["n_rows"] or 0)
+            out[names[r["tag"]]] += _count_val(r["n_rows"])
+        for k in out:
+            out[k] = _count_val(out[k])
         return out
 
 
@@ -799,11 +878,13 @@ class SparkMonotonicBinner:
         merge_strategy: Union[MergeStrategy, str] = MergeStrategy.HIGHEST_PVALUE,
         prebins: Union[int, str, None] = "auto",
         prebin_relative_error: float = 0.001,
+        weight_col: Optional[str] = None,
         config: EngineConfig = DEFAULT_CONFIG,
     ):
         self.x = x
         self.y = y
         self.sign = sign
+        self.weight_col = weight_col
         self.strict = strict
         self.constraints = constraints or BinningConstraints()
         self.exclude_values = list(exclude_values) if exclude_values else None
@@ -904,6 +985,11 @@ class SparkMonotonicBinner:
                     f"prior stats are for ({prior.x!r}, {prior.y!r}), "
                     f"binner is ({self.x!r}, {self.y!r})"
                 )
+            if prior.weight_col != self.weight_col:
+                raise ValueError(
+                    f"prior stats were weighted by {prior.weight_col!r}, "
+                    f"binner weights by {self.weight_col!r}"
+                )
             stats, splits, _ = self._collect_stats_rows(
                 df, frozen_splits=prior.splits
             )
@@ -922,7 +1008,9 @@ class SparkMonotonicBinner:
             "n_groups": sum(1 for r in rows if r["tag"] == "C"),
         }
         for r in rows:
-            entry[names[r["tag"]]] += int(r["n_rows"] or 0)
+            entry[names[r["tag"]]] += _count_val(r["n_rows"])
+        for k in names.values():
+            entry[k] = _count_val(entry[k])
         part = BinStats(
             x=self.x,
             y=self.y,
@@ -932,6 +1020,7 @@ class SparkMonotonicBinner:
             ),
             rows=rows,
             lineage=[entry],
+            weight_col=self.weight_col,
         )
         return prior.merge(part) if prior is not None else part
 
@@ -959,13 +1048,34 @@ class SparkMonotonicBinner:
             )
         t0 = time.time()
         self.model_ = self._solve_from_stats(
-            stats.rows, stats.splits is not None
+            stats.rows,
+            stats.splits is not None,
+            weighted=stats.weight_col is not None,
         )
         self.fit_metrics_["fit_seconds"] = time.time() - t0
         self.fit_metrics_["n_partitions"] = len(stats.lineage)
         return self
 
     def _collect_stats_rows(self, df: DataFrame, frozen_splits=_UNSET):
+        """Weight-validating wrapper over :meth:`_collect_stats_rows_raw`:
+        with ``weight_col`` set, rejects null/negative/non-finite weights
+        (tallied inside the SAME single scan) and drops groups whose total
+        weight is zero — they carry no effective data, and an all-zero
+        group's extrema/representative are null by construction."""
+        stats, splits, prebinned = self._collect_stats_rows_raw(
+            df, frozen_splits
+        )
+        if self.weight_col is not None:
+            bad = sum(int(r["n_bad_w"] or 0) for r in stats)
+            if bad > 0:
+                raise DataError(
+                    f"weight column '{self.weight_col}' has {bad} "
+                    f"null/negative/non-finite values"
+                )
+            stats = [r for r in stats if (r["n_rows"] or 0) > 0]
+        return stats, splits, prebinned
+
+    def _collect_stats_rows_raw(self, df: DataFrame, frozen_splits=_UNSET):
         """THE distributed pass of the fit, factored out so the incremental
         path (:meth:`collect_stats`) shares it verbatim: one scan of the
         input to collected per-(tag, gkey) sufficient-statistic rows.
@@ -985,6 +1095,11 @@ class SparkMonotonicBinner:
         """
         x_clean, x_missing, x_excluded, y_val = self._predicates(df)
         y_eff = y_val
+        if self.weight_col is not None:
+            _check_numeric(df, self.weight_col)
+            w = F.col(self.weight_col).cast("double")
+        else:
+            w = None
 
         tag = (
             F.when(x_missing, F.lit("M"))
@@ -1004,6 +1119,7 @@ class SparkMonotonicBinner:
                 y_eff,
                 nonfinite_y,
                 xd,
+                w,
             )
 
         def _bucketed_agg(splits: List[float]) -> DataFrame:
@@ -1027,6 +1143,7 @@ class SparkMonotonicBinner:
                 y_eff,
                 nonfinite_y,
                 xd,
+                w,
             )
 
         if frozen_splits is not _UNSET:
@@ -1094,14 +1211,19 @@ class SparkMonotonicBinner:
             y_eff,
             nonfinite_y,
             xd,
+            w,
         ).collect()
         return stats, None, False
 
-    def _solve_from_stats(self, stats, prebinned) -> FittedBins:
+    def _solve_from_stats(self, stats, prebinned, weighted=None) -> FittedBins:
         """Driver-side solve over collected (tag, gkey) sufficient-statistic
         rows: binary detection + PAVA + merge + bins/summary assembly.
         Shared by the single fit and the fused per-group fit (one scan for
-        ALL groups)."""
+        ALL groups). ``weighted`` overrides the binner's own weight flag
+        (fit_from_stats solves ARTIFACT rows, whose weightedness is the
+        artifact's property, not the binner's)."""
+        if weighted is None:
+            weighted = self.weight_col is not None
         c_rows = sorted(
             (r for r in stats if r["tag"] == "C"),
             key=lambda r: (r["x_rep"] is None, r["x_rep"]),
@@ -1109,7 +1231,7 @@ class SparkMonotonicBinner:
         m_rows = [r for r in stats if r["tag"] == "M"]
         e_rows = sorted((r for r in stats if r["tag"] == "E"), key=lambda r: r["gkey"])
 
-        is_binary, recode = _detect_binary_from_stats(c_rows)
+        is_binary, recode = _detect_binary_from_stats(c_rows, weighted=weighted)
         if recode is not None:
             c_rows = _recode_c_rows(c_rows, *recode)
 
@@ -1120,19 +1242,21 @@ class SparkMonotonicBinner:
                 f"(inf or -inf)"
             )
 
-        total_n = int(sum(r["n_rows"] for r in c_rows))
+        total_n = _count_val(sum(r["n_rows"] for r in c_rows))
         if total_n == 0:
             raise DataError(
                 "No clean rows after removing missing/excluded values."
             )
         total_pos = (
-            int(sum(r["sum_y"] or 0.0 for r in c_rows)) if is_binary else 0
+            _count_val(sum(r["sum_y"] or 0.0 for r in c_rows))
+            if is_binary
+            else 0
         )
 
         groups = [
             GroupStats(
                 x=float(r["x_rep"]),
-                count=int(r["n_y"]),
+                count=_count_val(r["n_y"]),
                 sum=float(r["sum_y"]),
                 sum2=float(r["sum_y2"]),
                 ymin=float(r["ymin"]),
@@ -1168,8 +1292,8 @@ class SparkMonotonicBinner:
 
         bins_df = self._blocks_to_df(merged)
         summary_df = self._build_summary(bins_df, m_rows, e_rows, is_binary)
-        total_n_missing = int(sum(r["n_rows"] for r in m_rows))
-        total_n_excluded = int(sum(r["n_rows"] for r in e_rows))
+        total_n_missing = _count_val(sum(r["n_rows"] for r in m_rows))
+        total_n_excluded = _count_val(sum(r["n_rows"] for r in e_rows))
 
         lefts = bins_df["left"].to_numpy(dtype=float)
         rights = bins_df["right"].to_numpy(dtype=float)
@@ -1260,7 +1384,7 @@ class SparkMonotonicBinner:
                     "bucket": bucket_labels(
                         np.array([b["left"]]), np.array([b["right"]])
                     )[0],
-                    "count": int(b["n"]),
+                    "count": _count_val(b["n"]),
                     "sum": b["sum"],
                     "mean": b["mean"],
                     "std": b["std"],
@@ -1278,7 +1402,7 @@ class SparkMonotonicBinner:
                 rows.append(
                     {
                         "bucket": "Missing",
-                        "count": int(r["n_rows"]),
+                        "count": _count_val(r["n_rows"]),
                         # pandas .sum() over all-NaN returns 0.0
                         "sum": r["sum_y"] if r["sum_y"] is not None else 0.0,
                         "mean": _stat(r, "ymean"),
@@ -1295,7 +1419,7 @@ class SparkMonotonicBinner:
             rows.append(
                 {
                     "bucket": f"Excluded:{r['gkey']}",
-                    "count": int(r["n_rows"]),
+                    "count": _count_val(r["n_rows"]),
                     "sum": r["sum_y"] if r["sum_y"] is not None else 0.0,
                     "mean": _stat(r, "ymean"),
                     "std": _stat(r, "ystd"),
@@ -1558,6 +1682,28 @@ def _collect_group_stats_rows(
     group_col: str,
     frozen_splits=_UNSET,
 ):
+    """Weight-validating wrapper over the raw grouped collector (same
+    contract as SparkMonotonicBinner._collect_stats_rows)."""
+    stats, splits, prebinned = _collect_group_stats_rows_raw(
+        tmpl, df, group_col, frozen_splits
+    )
+    if tmpl.weight_col is not None:
+        bad = sum(int(r["n_bad_w"] or 0) for r in stats)
+        if bad > 0:
+            raise DataError(
+                f"weight column '{tmpl.weight_col}' has {bad} "
+                f"null/negative/non-finite values"
+            )
+        stats = [r for r in stats if (r["n_rows"] or 0) > 0]
+    return stats, splits, prebinned
+
+
+def _collect_group_stats_rows_raw(
+    tmpl: SparkMonotonicBinner,
+    df: DataFrame,
+    group_col: str,
+    frozen_splits=_UNSET,
+):
     """Per-group sibling of ``_collect_stats_rows``: ONE
     groupBy(group, tag, gkey) scan for every group's candidate-bin
     statistics. Returns ``(stats_rows, splits, prebinned)``; rows carry
@@ -1565,6 +1711,11 @@ def _collect_group_stats_rows(
     x, y = tmpl.x, tmpl.y
     x_clean, x_missing, x_excluded, y_val = tmpl._predicates(df)
     gcol = F.col(group_col)
+    if tmpl.weight_col is not None:
+        _check_numeric(df, tmpl.weight_col)
+        w = F.col(tmpl.weight_col).cast("double")
+    else:
+        w = None
 
     # per-group binary detection + recode happen driver-side on the
     # collected stats (_detect_binary_from_stats) — the per-group fit is
@@ -1590,6 +1741,7 @@ def _collect_group_stats_rows(
             y_eff,
             nonfinite_y,
             xd,
+            w,
         )
 
     def _bucketed_agg(splits: List[float]) -> DataFrame:
@@ -1612,6 +1764,7 @@ def _collect_group_stats_rows(
             y_eff,
             nonfinite_y,
             xd,
+            w,
         )
 
     if frozen_splits is not _UNSET:
@@ -1669,6 +1822,7 @@ def _collect_group_stats_rows(
         y_eff,
         nonfinite_y,
         xd,
+        w,
     ).collect()
     return stats, None, False
 
@@ -1683,6 +1837,7 @@ def _solve_groups(
     prebins="auto",
     prebin_relative_error: float = 0.001,
     config: EngineConfig = DEFAULT_CONFIG,
+    weighted=None,
     **binner_kwargs,
 ) -> GroupedBins:
     """Driver-side per-group solve over collected (or merged) stats rows."""
@@ -1697,7 +1852,9 @@ def _solve_groups(
         config=config, **binner_kwargs,
     )
     for g in sorted(by_group, key=lambda v: (v is None, str(v))):
-        models[g] = solver._solve_from_stats(by_group[g], prebinned)
+        models[g] = solver._solve_from_stats(
+            by_group[g], prebinned, weighted=weighted
+        )
         histories[g] = solver.merge_history_
     return GroupedBins(group_col, x, y, models, merge_histories=histories)
 
@@ -1737,6 +1894,11 @@ def collect_group_stats(
         config=config, **binner_kwargs,
     )
     if prior is not None:
+        if prior.weight_col != tmpl.weight_col:
+            raise ValueError(
+                f"prior stats were weighted by {prior.weight_col!r}, "
+                f"collector weights by {tmpl.weight_col!r}"
+            )
         stats, splits, _ = _collect_group_stats_rows(
             tmpl, df, group_col, frozen_splits=prior.splits
         )
@@ -1755,7 +1917,9 @@ def collect_group_stats(
         "n_groups": len({r["_g"] for r in rows}),
     }
     for r in rows:
-        entry[names[r["tag"]]] += int(r["n_rows"] or 0)
+        entry[names[r["tag"]]] += _count_val(r["n_rows"])
+    for k in names.values():
+        entry[k] = _count_val(entry[k])
     part = BinStats(
         x=x,
         y=y,
@@ -1766,6 +1930,7 @@ def collect_group_stats(
         rows=rows,
         lineage=[entry],
         group_col=group_col,
+        weight_col=tmpl.weight_col,
     )
     return prior.merge(part) if prior is not None else part
 
@@ -1790,9 +1955,15 @@ def fit_groups_from_stats(
             "stats were collected under different exclude_values than "
             "requested — Excluded partitions would disagree"
         )
+    if binner_kwargs.get("weight_col") != stats.weight_col:
+        raise ValueError(
+            f"stats were weighted by {stats.weight_col!r}, solve "
+            f"requested weight_col={binner_kwargs.get('weight_col')!r}"
+        )
     return _solve_groups(
         stats.rows, stats.splits is not None, stats.group_col,
         stats.x, stats.y,
         prebins=prebins, prebin_relative_error=prebin_relative_error,
-        config=config, **binner_kwargs,
+        config=config, weighted=stats.weight_col is not None,
+        **binner_kwargs,
     )
