@@ -114,10 +114,12 @@ def fit_woe_job(args) -> None:
         )
         run.record(feat_dir)
 
+    weight_col = getattr(args, "weight_col", None)
     if args.group_col:
         grouped = fit_binners_per_group(
             df, args.group_col, args.x, args.y,
             prebins=args.prebins, constraints=constraints,
+            weight_col=weight_col,
         )
         cut_points = {
             str(g): {
@@ -142,7 +144,8 @@ def fit_woe_job(args) -> None:
         partition_by = [args.group_col]
     else:
         binner = SparkMonotonicBinner(
-            args.x, args.y, prebins=args.prebins, constraints=constraints
+            args.x, args.y, prebins=args.prebins, constraints=constraints,
+            weight_col=weight_col,
         ).fit(df)
         m = binner.model_
         cut_points = {
@@ -181,7 +184,8 @@ def fit_woe_job(args) -> None:
     run_stage(
         spark, out_dir, "woe_transform", transform,
         inputs=[args.input],
-        params={"x": args.x, "y": args.y, "group_col": args.group_col},
+        params={"x": args.x, "y": args.y, "group_col": args.group_col,
+                "weight_col": weight_col},
         partition_by=partition_by,
         extra_metrics={"model": "cut_points.json"},
     )
@@ -1116,6 +1120,12 @@ def main(argv: Optional[list] = None) -> None:
     fw.add_argument(
         "--horizon-value", default="value",
         help="right-table column aggregated over --horizons/--half-lives",
+    )
+    fw.add_argument(
+        "--weight-col", default=None, dest="weight_col",
+        help="sample-weight column: counts/WoE/IV use frequency-weight "
+             "sums (integer weight k == k-fold replication) — the "
+             "downsample-reweighted fit path",
     )
     fw.add_argument(
         "--half-lives", default=None,

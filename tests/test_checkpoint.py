@@ -748,3 +748,47 @@ def test_screen_job_grouped_topk_and_type_detection(spark, tmp_path):
     assert [(t["grp"], t["feature"]) for t in top] == [
         ("g0", "a"), ("g1", "a")
     ]
+
+
+def test_fit_woe_job_weighted(spark, tmp_path):
+    """fit-woe --weight-col: the job's model.json is the frequency-weighted
+    fit — equal to running the job on the k-fold replicated input."""
+    import numpy as np
+    import pandas as pd
+
+    from monotonic_optimal_binning_spark.jobs import main
+
+    rng = np.random.default_rng(71)
+    n = 800
+    pdf = pd.DataFrame(
+        {
+            "x": rng.integers(0, 10, n).astype(float),
+            "w": rng.choice([1.0, 2.0, 3.0], n),
+        }
+    )
+    pdf["y"] = (rng.uniform(0, 1, n) < 0.1 + 0.8 * pdf["x"] / 10).astype(int)
+    src = str(tmp_path / "wsrc.parquet")
+    spark.createDataFrame(pdf).write.parquet(src)
+    rep = pdf.loc[pdf.index.repeat(pdf["w"].astype(int))].reset_index(drop=True)
+    rsrc = str(tmp_path / "wrep.parquet")
+    spark.createDataFrame(rep.drop(columns="w")).write.parquet(rsrc)
+
+    wd_w = str(tmp_path / "run_w")
+    wd_r = str(tmp_path / "run_r")
+    common = ["--x", "x", "--y", "y", "--min-bins", "2", "--max-bins", "5",
+              "--prebins", "exact"]
+    main(["fit-woe", "--input", src, "--workdir", wd_w,
+          "--weight-col", "w", *common])
+    main(["fit-woe", "--input", rsrc, "--workdir", wd_r, *common])
+
+    with open(os.path.join(wd_w, "cut_points.json")) as f:
+        cw = json.load(f)
+    with open(os.path.join(wd_r, "cut_points.json")) as f:
+        cr = json.load(f)
+    assert cw["labels"] == cr["labels"]
+    assert cw["woes"] == pytest.approx(cr["woes"], rel=1e-9)
+    # manifest records the weighting
+    with open(os.path.join(wd_w, "_LINEAGE.json")) as f:
+        rep_json = json.load(f)
+    tr = [s for s in rep_json["stages"] if s["stage"] == "woe_transform"][0]
+    assert tr["params"]["weight_col"] == "w"
