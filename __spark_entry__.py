@@ -73,6 +73,11 @@ _MEDIA_SEED = 42
 
 from monotonic_optimal_binning_spark.operators.sampling import split_thresholds
 from monotonic_optimal_binning_spark.operators.screening import iv_screen
+from monotonic_optimal_binning_spark.operators.scaling import (
+    fit_feature_stats,
+    robust_scale,
+    standardize,
+)
 
 # hex thresholds for the deterministic_split query + its oracle (single
 # source of truth so the two sides can never drift)
@@ -260,6 +265,30 @@ def q_bin_fit_weighted(spark, sf_dir):
         F.round("std", _R).alias("std"),
         F.round("woe", _R).alias("woe"),
         F.round("iv", _R).alias("iv"),
+    )
+
+
+def q_feature_scale(spark, sf_dir):
+    """FeatureStats artifact + serve-side scaling, value-checked: fit
+    per-column stats in ONE aggregation scan (exact interpolated
+    percentiles for oracle parity; production default is the
+    percentile_approx sketch in the same single pass), then standardize /
+    robust-scale a deterministic subset as pure codegen expressions —
+    train/serve-skew-safe preprocessing with zero UDFs and zero extra
+    scans (operators/scaling.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    st = fit_feature_stats(
+        li, ["l_quantity", "l_extendedprice"], exact=True
+    )
+    sub = li.filter(F.pmod(F.col("l_orderkey"), F.lit(97)) == 1)
+    out = standardize(sub, st, ["l_quantity", "l_extendedprice"])
+    out = robust_scale(out, st, ["l_quantity"])
+    return out.select(
+        F.col("l_orderkey").cast("long").alias("l_orderkey"),
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        F.round("l_quantity_z", _R).alias("qty_z"),
+        F.round("l_extendedprice_z", _R).alias("price_z"),
+        F.round("l_quantity_r", _R).alias("qty_r"),
     )
 
 
@@ -2113,6 +2142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-5 additions (never driver-checked before) ---
         "simhash_banded_fp": q_simhash_banded_fp,
         "bin_fit_weighted": q_bin_fit_weighted,
+        "feature_scale": q_feature_scale,
         "ivf_topk_loaded": q_ivf_topk_loaded,
         "iv_screen": q_iv_screen,
         "iv_screen_grouped": q_iv_screen_grouped,
@@ -2852,6 +2882,24 @@ def oracle_sql() -> dict[str, str]:
                          ln(((count - bads + 0.5) / (tc - tb + 0.5*k)) /
                             ((bads + 0.5) / (tb + 0.5*k))), 6) AS iv
             FROM g CROSS JOIN tot
+        """,
+        "feature_scale": """
+            WITH s AS (
+              SELECT avg(l_quantity) AS qm,
+                     stddev_samp(l_quantity) AS qs,
+                     quantile_cont(l_quantity, 0.25) AS q1,
+                     quantile_cont(l_quantity, 0.5) AS q2,
+                     quantile_cont(l_quantity, 0.75) AS q3,
+                     avg(l_extendedprice) AS pm,
+                     stddev_samp(l_extendedprice) AS ps
+              FROM lineitem)
+            SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+                   CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   round((l_quantity - qm) / qs, 6) AS qty_z,
+                   round((l_extendedprice - pm) / ps, 6) AS price_z,
+                   round((l_quantity - q2) / (q3 - q1), 6) AS qty_r
+            FROM lineitem CROSS JOIN s
+            WHERE l_orderkey % 97 = 1
         """,
         "woe_transform_monotone": """
             WITH d AS (

@@ -29,6 +29,14 @@ from .operators.binning import (
     fit_binners_per_group,
     fit_groups_from_stats,
 )
+from .operators.scaling import (
+    FeatureStats,
+    clip,
+    fit_feature_stats,
+    impute,
+    robust_scale,
+    standardize,
+)
 from .scorecard import Scorecard
 
 __version__ = "0.1.0"
@@ -43,6 +51,7 @@ __all__ = [
     "DataError",
     "DEFAULT_CONFIG",
     "EngineConfig",
+    "FeatureStats",
     "FittedBins",
     "GroupedBins",
     "FittingError",
@@ -51,7 +60,12 @@ __all__ = [
     "NotFittedError",
     "Scorecard",
     "SparkMonotonicBinner",
+    "clip",
     "collect_group_stats",
+    "fit_feature_stats",
     "fit_binners_per_group",
     "fit_groups_from_stats",
+    "impute",
+    "robust_scale",
+    "standardize",
 ]
