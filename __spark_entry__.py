@@ -424,6 +424,21 @@ def q_iv_screen(spark, sf_dir):
     return iv_screen(df, list(_IV_SCREEN_CUTS), "y", cuts=_IV_SCREEN_CUTS)
 
 
+def q_iv_screen_weighted(spark, sf_dir):
+    """Weighted IV screening (weight_col): counts/bads are frequency-
+    weight sums inside the SAME one-scan explode→groupBy plan, matching
+    the weighted binner fit so screen ranks equal what the downstream
+    weighted fit will see (operators/screening.py weight branch)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cuts = {k: _IV_SCREEN_CUTS[k] for k in ("l_quantity", "l_discount")}
+    df = li.select(
+        *cuts.keys(),
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+        (F.lit(1.0) + F.pmod(F.col("l_orderkey"), F.lit(3))).alias("w"),
+    )
+    return iv_screen(df, list(cuts), "y", cuts=cuts, weight_col="w")
+
+
 def q_iv_screen_grouped(spark, sf_dir):
     """Per-group screening: every (l_linestatus, feature) IV from the
     SAME single scan, global cuts."""
@@ -2145,6 +2160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_scale": q_feature_scale,
         "ivf_topk_loaded": q_ivf_topk_loaded,
         "iv_screen": q_iv_screen,
+        "iv_screen_weighted": q_iv_screen_weighted,
         "iv_screen_grouped": q_iv_screen_grouped,
         "iv_screen_categorical": q_iv_screen_categorical,
         "corr_matrix": q_corr_matrix,
@@ -2721,6 +2737,55 @@ def oracle_sql() -> dict[str, str]:
                          ln(((cnt - bads + 0.5) / (tc - tb + 0.5*k)) /
                             ((bads + 0.5) / (tb + 0.5*k))), 6) AS iv
             FROM agg CROSS JOIN tot
+        """,
+        "iv_screen_weighted": """
+            WITH pairs AS (
+              SELECT 'l_quantity' AS feature,
+                     CASE WHEN l_quantity IS NULL THEN -1
+                          WHEN l_quantity < 10.0 THEN 0
+                          WHEN l_quantity < 25.0 THEN 1
+                          WHEN l_quantity < 40.0 THEN 2
+                          ELSE 3 END AS bucket,
+                     CAST(l_returnflag = 'R' AS INT) AS y,
+                     1.0 + (l_orderkey % 3) AS w
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_discount',
+                     CASE WHEN l_discount IS NULL THEN -1
+                          WHEN l_discount < 0.03 THEN 0
+                          WHEN l_discount < 0.06 THEN 1
+                          ELSE 2 END,
+                     CAST(l_returnflag = 'R' AS INT),
+                     1.0 + (l_orderkey % 3)
+              FROM lineitem),
+            agg AS (
+              SELECT feature, bucket, sum(w) AS cnt, sum(w * y) AS bads
+              FROM pairs GROUP BY feature, bucket),
+            wk AS (
+              SELECT feature, bucket, cnt, bads,
+                     sum(cnt) OVER (PARTITION BY feature) AS tc,
+                     sum(bads) OVER (PARTITION BY feature) AS tb,
+                     count(*) OVER (PARTITION BY feature) AS k
+              FROM agg),
+            pb AS (
+              SELECT feature, bucket,
+                     ((cnt - bads) + 0.5) / ((tc - tb) + 0.5 * k) AS g_rate,
+                     (bads + 0.5) / (tb + 0.5 * k) AS b_rate,
+                     CASE WHEN bucket < 0 THEN NULL
+                          ELSE bads / cnt END AS br
+              FROM wk),
+            st AS (
+              SELECT feature,
+                     (g_rate - b_rate) * ln(g_rate / b_rate) AS iv_term,
+                     br - lag(br) OVER (PARTITION BY feature
+                                        ORDER BY bucket) AS br_step
+              FROM pb)
+            SELECT feature,
+                   CAST(count(*) AS BIGINT) AS n_buckets,
+                   round(sum(iv_term), 6) AS iv,
+                   (max(br_step) <= 1e-12 OR min(br_step) >= -1e-12
+                    OR count(br_step) = 0) AS bad_rate_monotone
+            FROM st GROUP BY feature
         """,
         "iv_screen_grouped": """
             WITH pairs AS (

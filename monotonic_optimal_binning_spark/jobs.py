@@ -769,6 +769,7 @@ def screen_job(args) -> None:
     run = PipelineRun(root=args.workdir)
     df = _read_input(spark, args.input)
 
+    weight_col = getattr(args, "weight_col", None)
     if args.features.strip().lower() == "auto":
         from pyspark.sql.types import NumericType
 
@@ -776,6 +777,7 @@ def screen_job(args) -> None:
             f.name
             for f in df.schema.fields
             if f.name != args.y and f.name != args.group_col
+            and f.name != weight_col
             and isinstance(f.dataType, NumericType)
         ]
     elif args.features.strip().lower() == "none":
@@ -803,12 +805,13 @@ def screen_job(args) -> None:
         lambda: iv_screen(
             df, features, args.y, categorical=categorical,
             n_buckets=args.n_buckets, group_col=args.group_col,
+            weight_col=weight_col,
         ),
         inputs=[args.input],
         params={"features": features, "categorical": categorical,
                 "y": args.y,
                 "n_buckets": args.n_buckets, "top_k": args.top_k,
-                "group_col": args.group_col},
+                "group_col": args.group_col, "weight_col": weight_col},
     )
     m = load_manifest(out_dir)
     if m is not None and "top_features" not in m.extra_metrics:
@@ -1343,6 +1346,9 @@ def main(argv: Optional[list] = None) -> None:
     sc.add_argument("--group-col", default=None,
                     help="also screen per group of this column (global "
                          "cuts; one output row per group x feature)")
+    sc.add_argument("--weight-col", default=None, dest="weight_col",
+                    help="sample-weight column: screen on frequency-"
+                         "weighted IVs, matching fit-woe --weight-col")
     sc.add_argument("--top-k", type=int, default=None,
                     help="how many ranked features to surface in the "
                          "stage manifest (default: all)")

@@ -99,6 +99,7 @@ def iv_screen(
     smoothing: float = 0.5,
     relative_error: float = 0.001,
     group_col: Optional[str] = None,
+    weight_col: Optional[str] = None,
 ) -> DataFrame:
     """Rank k candidate features by Information Value in ≤2 passes.
 
@@ -113,6 +114,12 @@ def iv_screen(
     group_col : screen every feature within every group of this column
         (e.g. ``source``) in the same single scan; adds the group column
         to the output.
+    weight_col : sample-weight column — counts/bads become frequency-
+        weight sums (integer weight k == k-fold replication), matching
+        ``SparkMonotonicBinner(weight_col=...)`` so the screen ranks on
+        the same weighted IVs the downstream fit will produce. A
+        null/negative/non-finite weight fails the job loudly at task
+        level (``raise_error`` in the scan — no validation pass).
 
     Returns one row per feature (or per (group, feature)): ``feature``,
     ``n_buckets`` (non-empty, missing bucket included), ``iv``, and
@@ -157,12 +164,38 @@ def iv_screen(
     ]
     pairs = F.explode(F.array(*entries)).alias("fb")
     y = F.col("__y").cast("long")
-    agg = (
-        df.select(*gcols, pairs, F.col(y_col).cast("int").alias("__y"))
-        .select(*gcols, "fb.feature", "fb.bucket", "fb.cat", "__y")
-        .groupBy(*gcols, "feature", "bucket", "cat")
-        .agg(F.count(F.lit(1)).alias("count"), F.sum(y).alias("bads"))
-    )
+    if weight_col is not None:
+        wc = F.col(weight_col).cast("double")
+        bad_w = (
+            wc.isNull()
+            | F.isnan(wc)
+            | (wc < 0)
+            | (F.abs(wc) == F.lit(float("inf")))
+        )
+        wv = F.when(
+            bad_w,
+            F.raise_error(
+                F.lit(
+                    f"iv_screen: weight column '{weight_col}' has a "
+                    f"null/negative/non-finite value"
+                )
+            ).cast("double"),
+        ).otherwise(wc)
+        base = df.select(
+            *gcols, pairs, F.col(y_col).cast("int").alias("__y"),
+            wv.alias("__w"),
+        ).select(*gcols, "fb.feature", "fb.bucket", "fb.cat", "__y", "__w")
+        agg = base.groupBy(*gcols, "feature", "bucket", "cat").agg(
+            F.sum("__w").alias("count"),
+            F.sum(F.col("__w") * y).alias("bads"),
+        )
+    else:
+        agg = (
+            df.select(*gcols, pairs, F.col(y_col).cast("int").alias("__y"))
+            .select(*gcols, "fb.feature", "fb.bucket", "fb.cat", "__y")
+            .groupBy(*gcols, "feature", "bucket", "cat")
+            .agg(F.count(F.lit(1)).alias("count"), F.sum(y).alias("bads"))
+        )
 
     pkeys = gcols + ["feature"]
     s = float(smoothing)

@@ -257,3 +257,36 @@ def test_grouped_screen_matches_per_group_slices(toy):
             assert g["iv"] == s["iv"]
             assert g["n_buckets"] == s["n_buckets"]
             assert g["bad_rate_monotone"] == s["bad_rate_monotone"]
+
+
+def test_weighted_screen_equals_replication(spark):
+    rng = np.random.RandomState(23)
+    rows = []
+    for i in range(500):
+        a = float(rng.uniform(0, 100))
+        y = int(rng.uniform() < (0.1 + 0.6 * a / 100))
+        w = float(rng.choice([1, 2, 3]))
+        rows.append((i, a if i % 19 else None, y, w))
+    df = spark.createDataFrame(rows, "id long, a double, y int, w double")
+    rep = df.withColumn(
+        "dup", F.explode(F.expr("sequence(1, cast(w as int))"))
+    ).drop("dup", "w")
+    cuts = {"a": [25.0, 50.0, 75.0]}
+    weighted = iv_screen(df, ["a"], "y", cuts=cuts, weight_col="w").toPandas()
+    unrolled = iv_screen(rep, ["a"], "y", cuts=cuts).toPandas()
+    assert weighted.loc[0, "iv"] == pytest.approx(unrolled.loc[0, "iv"])
+    assert (
+        weighted.loc[0, "bad_rate_monotone"]
+        == unrolled.loc[0, "bad_rate_monotone"]
+    )
+    assert weighted.loc[0, "n_buckets"] == unrolled.loc[0, "n_buckets"]
+
+
+def test_weighted_screen_bad_weight_fails_loudly(spark):
+    df = spark.createDataFrame(
+        [(1.0, 1, 1.0), (2.0, 0, -3.0)], "a double, y int, w double"
+    )
+    with pytest.raises(Exception, match="null/negative/non-finite"):
+        iv_screen(
+            df, ["a"], "y", cuts={"a": [1.5]}, weight_col="w"
+        ).collect()
