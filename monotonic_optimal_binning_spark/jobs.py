@@ -1047,6 +1047,120 @@ def mix_job(args) -> None:
     print(run.save())
 
 
+def scale_job(args) -> None:
+    """Preprocessing fit/serve stage: fit a :class:`FeatureStats` artifact
+    on the input (ONE aggregation scan) — or load one with ``--stats`` —
+    and apply impute / clip / standardize / robust-scale as a single
+    codegen pass written as an idempotent checkpoint stage.
+
+    Train/serve-skew safety is the point of the artifact split: the
+    training job runs ``scale`` once (fit + transform + save
+    ``feature_stats.json``); every scoring job runs ``scale --stats
+    <train_artifact>`` so the scoring slice never contributes statistics.
+    A resumed run replays the stage without re-fitting (the fit is gated
+    on the stage manifest, mix_job's availability-scan pattern)."""
+    from .operators.scaling import (
+        FeatureStats,
+        clip,
+        fit_feature_stats,
+        impute,
+        robust_scale,
+        standardize,
+    )
+    from .plans.checkpoint import load_manifest
+
+    spark = _spark("mob-scale")
+    run = PipelineRun(root=args.workdir)
+    df = _read_input(spark, args.input)
+
+    if args.cols.strip().lower() == "auto":
+        from pyspark.sql.types import NumericType
+
+        cols = [
+            f.name for f in df.schema.fields
+            if isinstance(f.dataType, NumericType)
+        ]
+    else:
+        cols = [c.strip() for c in args.cols.split(",") if c.strip()]
+    if not cols:
+        raise SystemExit("scale: no feature columns")
+
+    os.makedirs(args.workdir, exist_ok=True)
+    stats_path = os.path.join(args.workdir, "feature_stats.json")
+    out_dir = os.path.join(args.workdir, "stage_scale")
+    manifest_exists = load_manifest(out_dir) is not None
+
+    if args.stats:
+        st = FeatureStats.load_json(args.stats)
+        missing = [c for c in cols if c not in st.stats]
+        if missing:
+            raise SystemExit(
+                f"scale: --stats artifact has no statistics for {missing}"
+            )
+    elif not manifest_exists:
+        st = fit_feature_stats(df, cols, exact=args.exact)
+        st.save_json(stats_path)
+    else:
+        # resume: the stage replays from its checkpoint and never calls
+        # the transform closures, so the artifact is not re-read
+        st = None
+
+    transforms = []
+    if args.impute is not None:
+        try:
+            strategy = float(args.impute)
+        except ValueError:
+            strategy = args.impute
+        transforms.append(("impute", lambda d: impute(d, st, cols,
+                                                      strategy=strategy)))
+    if args.clip_k_iqr is not None:
+        transforms.append(
+            ("clip", lambda d: clip(d, st, cols, k_iqr=args.clip_k_iqr))
+        )
+    if args.standardize:
+        transforms.append(("standardize", lambda d: standardize(d, st, cols)))
+    if args.robust:
+        transforms.append(("robust", lambda d: robust_scale(d, st, cols)))
+    if not transforms:
+        raise SystemExit(
+            "scale: nothing to do — pass --impute/--clip-k-iqr/"
+            "--standardize/--robust (the fitted artifact was still "
+            "written to feature_stats.json)"
+        )
+
+    def build():
+        out = df
+        for _, fn in transforms:
+            out = fn(out)
+        return out
+
+    run_stage(
+        spark, out_dir, "feature_scale", build,
+        inputs=[args.input],
+        params={
+            "cols": cols,
+            "impute": args.impute,
+            "clip_k_iqr": args.clip_k_iqr,
+            "standardize": args.standardize,
+            "robust": args.robust,
+            "stats_source": args.stats or "fit",
+            "exact": args.exact,
+        },
+        # imputation audit for free: the artifact already counted nulls
+        # (st is None only on resume, where the manifest is kept as-is)
+        extra_metrics=(
+            {
+                "n_null": {c: st.stats[c]["n_null"] for c in cols},
+                "applied": [name for name, _ in transforms],
+            }
+            if st is not None
+            else {}
+        ),
+    )
+    run.record(out_dir)
+    print(run.save())
+
+
 def ann_job(args) -> None:
     """IVF ANN serving pipeline (the fit-once codebook contract made
     operational): the coarse-quantizer codebook is fitted ONCE and saved
@@ -1358,6 +1472,34 @@ def main(argv: Optional[list] = None) -> None:
                          "k x k correlation matrix + driver greedy; "
                          "kept/dropped recorded in the manifest)")
     sc.set_defaults(func=screen_job)
+
+    sj = sub.add_parser(
+        "scale",
+        help="fit/serve FeatureStats: impute/clip/standardize in one "
+             "codegen pass",
+    )
+    sj.add_argument("--input", required=True, help="parquet path or table id")
+    sj.add_argument("--cols", required=True,
+                    help="comma-separated numeric columns, or 'auto'")
+    sj.add_argument("--workdir", required=True)
+    sj.add_argument("--stats", default=None,
+                    help="serve a saved feature_stats.json instead of "
+                         "fitting on the input (train/serve-skew-safe "
+                         "scoring mode)")
+    sj.add_argument("--exact", action="store_true",
+                    help="exact interpolated percentiles (sort-based) "
+                         "instead of the one-pass sketch")
+    sj.add_argument("--impute", default=None,
+                    help="'median' | 'mean' | 'min' | 'max' | a numeric "
+                         "constant")
+    sj.add_argument("--clip-k-iqr", type=float, default=None,
+                    dest="clip_k_iqr",
+                    help="winsorize to Tukey fences [q1-k*IQR, q3+k*IQR]")
+    sj.add_argument("--standardize", action="store_true",
+                    help="add <col>_z = (x - train_mean) / train_std")
+    sj.add_argument("--robust", action="store_true",
+                    help="add <col>_r = (x - train_median) / train_IQR")
+    sj.set_defaults(func=scale_job)
 
     pf = sub.add_parser(
         "profile",

@@ -792,3 +792,62 @@ def test_fit_woe_job_weighted(spark, tmp_path):
         rep_json = json.load(f)
     tr = [s for s in rep_json["stages"] if s["stage"] == "woe_transform"][0]
     assert tr["params"]["weight_col"] == "w"
+
+
+def test_scale_job_fit_serve_resume(spark, tmp_path):
+    """scale job: fit stage writes feature_stats.json + transformed
+    output; a resumed run replays without re-fitting; a scoring run with
+    --stats serves the TRAINING artifact (identical derived values on the
+    training slice, training statistics applied to the new slice)."""
+    import numpy as np
+    import pandas as pd
+
+    from monotonic_optimal_binning_spark.jobs import main
+
+    rng = np.random.default_rng(83)
+    train = pd.DataFrame({"a": rng.normal(5, 2, 400),
+                          "id": np.arange(400)})
+    train.loc[train.index % 9 == 0, "a"] = np.nan
+    src = str(tmp_path / "train.parquet")
+    spark.createDataFrame(train).write.parquet(src)
+
+    wd = str(tmp_path / "scale_run")
+    argv = ["scale", "--input", src, "--cols", "a", "--workdir", wd,
+            "--exact", "--impute", "median", "--standardize"]
+    main(argv)
+    stats_p = os.path.join(wd, "feature_stats.json")
+    assert os.path.exists(stats_p)
+    out1 = spark.read.parquet(os.path.join(wd, "stage_scale", "data"))
+    assert "a_z" in out1.columns and out1.filter("a is null").count() == 0
+    with open(os.path.join(wd, "stage_scale", "_MANIFEST.json")) as f:
+        man = json.load(f)
+    assert man["extra_metrics"]["applied"] == ["impute", "standardize"]
+    assert man["extra_metrics"]["n_null"]["a"] == int(
+        train["a"].isna().sum()
+    )
+
+    # resume: delete nothing, re-run — artifact untouched, stage replayed
+    mtime = os.path.getmtime(stats_p)
+    main(argv)
+    assert os.path.getmtime(stats_p) == mtime
+
+    # serve: new slice scaled by TRAINING stats, not its own
+    score = pd.DataFrame({"a": rng.normal(50, 1, 100),
+                          "id": np.arange(100)})
+    ssrc = str(tmp_path / "score.parquet")
+    spark.createDataFrame(score).write.parquet(ssrc)
+    wd2 = str(tmp_path / "serve_run")
+    main(["scale", "--input", ssrc, "--cols", "a", "--workdir", wd2,
+          "--stats", stats_p, "--standardize"])
+    served = spark.read.parquet(
+        os.path.join(wd2, "stage_scale", "data")
+    ).toPandas()
+    from monotonic_optimal_binning_spark import FeatureStats
+
+    st = FeatureStats.load_json(stats_p)
+    m, sd = st.stats["a"]["mean"], st.stats["a"]["std"]
+    served = served.sort_values("id").reset_index(drop=True)
+    np.testing.assert_allclose(served["a_z"], (score["a"] - m) / sd)
+    # a shifted slice standardized by training stats is FAR from zero
+    # mean — the skew the artifact exists to surface, not hide
+    assert served["a_z"].mean() > 5
