@@ -2140,7 +2140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "minhash_pairs_planted": q_minhash_planted,
         "embedding_neardup_planted": q_embedding_neardup_planted,
-        "lsh_bucket_audit": q_lsh_bucket_audit,
+        "hash_encode": q_hash_encode,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_containment": q_ngram_containment,
         "ngram_jaccard_maxdf": q_ngram_jaccard_maxdf,
@@ -2186,7 +2186,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_topk": q_token_topk,
         "token_topk_grouped": q_token_topk_grouped,
         "frequency_encode": q_frequency_encode,
-        "hash_encode": q_hash_encode,
+        # lsh_bucket_audit (rows-only diagnostic, green r3) yielded its
+        # first-50 slot to hash_encode, which has never had a driver row
+        "lsh_bucket_audit": q_lsh_bucket_audit,
         # --- (b) green in r4, oldest prior verification first ---
         "media_features": q_media_features,
         "tpch_q1": q_tpch_q1,
