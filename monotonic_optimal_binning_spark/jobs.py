@@ -247,6 +247,12 @@ def fit_incremental_job(args) -> None:
         e.get("label") == label for e in prior.lineage
     )
 
+    weight_col = getattr(args, "weight_col", None)
+    if prior is not None and prior.weight_col != weight_col:
+        raise SystemExit(
+            f"fit-incremental: workdir artifact was weighted by "
+            f"{prior.weight_col!r} but --weight-col is {weight_col!r}"
+        )
     if args.group_col:
         if already:
             stats = prior
@@ -257,11 +263,13 @@ def fit_incremental_job(args) -> None:
                 prior=prior, label=label, prebins=args.prebins,
                 constraints=constraints,
                 exclude_values=args.exclude_values,
+                weight_col=weight_col,
             )
             _atomic_json_save(stats, stats_path)
         grouped = fit_groups_from_stats(
             stats, prebins=args.prebins, constraints=constraints,
             exclude_values=args.exclude_values,
+            weight_col=weight_col,
         )
         _atomic_json_save(grouped, model_path)
         per_group = {
@@ -280,6 +288,7 @@ def fit_incremental_job(args) -> None:
             args.x, args.y, prebins=args.prebins,
             constraints=constraints,
             exclude_values=args.exclude_values,
+            weight_col=weight_col,
         )
         if already:
             stats = prior
@@ -1283,6 +1292,11 @@ def main(argv: Optional[list] = None) -> None:
         "--exclude-values", default=None,
         type=lambda s: [float(v) for v in s.split(",")] if s else None,
         help="comma-separated special codes reported as Excluded rows",
+    )
+    fi.add_argument(
+        "--weight-col", default=None, dest="weight_col",
+        help="sample-weight column (frequency-weight counts); recorded "
+             "in the artifact — every folded partition must use the same",
     )
     fi.set_defaults(func=fit_incremental_job)
 
