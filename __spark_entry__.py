@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from monotonic_optimal_binning_spark import (
     BinningConstraints,
+    FittedBins,
     SparkMonotonicBinner,
     fit_binners_per_group,
 )
@@ -73,6 +74,9 @@ _MEDIA_SEED = 42
 
 from monotonic_optimal_binning_spark.operators.sampling import split_thresholds
 from monotonic_optimal_binning_spark.operators.screening import iv_screen
+from monotonic_optimal_binning_spark.operators.model_diff import (
+    transform_churn,
+)
 from monotonic_optimal_binning_spark.operators.scaling import (
     fit_feature_stats,
     robust_scale,
@@ -289,6 +293,33 @@ def q_feature_scale(spark, sf_dir):
         F.round("l_quantity_z", _R).alias("qty_z"),
         F.round("l_extendedprice_z", _R).alias("price_z"),
         F.round("l_quantity_r", _R).alias("qty_r"),
+    )
+
+
+def q_woe_churn(spark, sf_dir):
+    """Model-promotion churn, value-checked: two fixed bring-your-own-bins
+    models (FittedBins.from_cuts — deterministic literals) scored over the
+    same slice in ONE pass; the oracle replays both WoE step functions as
+    SQL CASE arithmetic. The production use is gating a fit-incremental
+    refit: woe_churn/max_abs_woe_delta quantify exactly how many rows
+    would score differently (operators/model_diff.py)."""
+    old = FittedBins.from_cuts("x", [1.0, 3.0], [0.6, 0.0, -0.7])
+    new = FittedBins.from_cuts("x", [1.0, 4.0], [0.6, -0.1, -0.7])
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.select(
+        F.pmod(F.col("user_id"), F.lit(5)).cast("double").alias("x")
+    )
+    c = transform_churn(df, old, new)
+    return spark.createDataFrame(
+        [(
+            c["n"], c["n_label_changed"], c["n_woe_changed"],
+            round(c["label_churn"], 6), round(c["woe_churn"], 6),
+            round(c["max_abs_woe_delta"], 6),
+            round(c["mean_abs_woe_delta"], 6),
+        )],
+        "n long, n_label_changed long, n_woe_changed long, "
+        "label_churn double, woe_churn double, "
+        "max_abs_woe_delta double, mean_abs_woe_delta double",
     )
 
 
@@ -2146,7 +2177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_maxdf": q_ngram_jaccard_maxdf,
         "dedup_clusters": q_dedup_clusters,
         "tfidf_topk": q_tfidf_topk,
-        "simhash_dedup": q_simhash_dedup,
+        "frequency_encode": q_frequency_encode,
         "simhash_neardup": q_simhash_neardup,
         "cosine_topk": q_cosine_topk,
         "lsh_topk": q_lsh_topk,
@@ -2158,6 +2189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_banded_fp": q_simhash_banded_fp,
         "bin_fit_weighted": q_bin_fit_weighted,
         "feature_scale": q_feature_scale,
+        "woe_churn": q_woe_churn,
         "ivf_topk_loaded": q_ivf_topk_loaded,
         "iv_screen": q_iv_screen,
         "iv_screen_weighted": q_iv_screen_weighted,
@@ -2185,7 +2217,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_agg": q_asof_agg,
         "token_topk": q_token_topk,
         "token_topk_grouped": q_token_topk_grouped,
-        "frequency_encode": q_frequency_encode,
+        # simhash_dedup (rows-only, value-checked planted twin) yielded
+        # its first-50 slot to never-checked frequency_encode
+        "simhash_dedup": q_simhash_dedup,
         # lsh_bucket_audit (rows-only diagnostic, green r3) yielded its
         # first-50 slot to hash_encode, which has never had a driver row
         "lsh_bucket_audit": q_lsh_bucket_audit,
@@ -2967,6 +3001,33 @@ def oracle_sql() -> dict[str, str]:
                    round((l_quantity - q2) / (q3 - q1), 6) AS qty_r
             FROM lineitem CROSS JOIN s
             WHERE l_orderkey % 97 = 1
+        """,
+        "woe_churn": """
+            WITH d AS (
+              SELECT CAST(user_id % 5 AS DOUBLE) AS x FROM events),
+            s AS (
+              SELECT x,
+                CASE WHEN x < 1 THEN 0.6 WHEN x < 3 THEN 0.0
+                     ELSE -0.7 END AS ow,
+                CASE WHEN x < 1 THEN 0.6 WHEN x < 4 THEN -0.1
+                     ELSE -0.7 END AS nw,
+                CASE WHEN x < 1 THEN '(-inf, 1)' WHEN x < 3 THEN '[1, 3)'
+                     ELSE '[3, +inf)' END AS ob,
+                CASE WHEN x < 1 THEN '(-inf, 1)' WHEN x < 4 THEN '[1, 4)'
+                     ELSE '[4, +inf)' END AS nb
+              FROM d)
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN ob <> nb THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_label_changed,
+                   CAST(sum(CASE WHEN abs(nw - ow) > 1e-12 THEN 1 ELSE 0
+                            END) AS BIGINT) AS n_woe_changed,
+                   round(sum(CASE WHEN ob <> nb THEN 1 ELSE 0 END)
+                         * 1.0 / count(*), 6) AS label_churn,
+                   round(sum(CASE WHEN abs(nw - ow) > 1e-12 THEN 1 ELSE 0
+                             END) * 1.0 / count(*), 6) AS woe_churn,
+                   round(max(abs(nw - ow)), 6) AS max_abs_woe_delta,
+                   round(avg(abs(nw - ow)), 6) AS mean_abs_woe_delta
+            FROM s
         """,
         "woe_transform_monotone": """
             WITH d AS (

@@ -29,6 +29,7 @@ from .operators.binning import (
     fit_binners_per_group,
     fit_groups_from_stats,
 )
+from .operators.model_diff import transform_churn, woe_shift_table
 from .operators.scaling import (
     FeatureStats,
     clip,
@@ -68,4 +69,6 @@ __all__ = [
     "impute",
     "robust_scale",
     "standardize",
+    "transform_churn",
+    "woe_shift_table",
 ]
