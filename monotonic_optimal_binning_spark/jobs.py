@@ -193,6 +193,19 @@ def fit_woe_job(args) -> None:
     print(run.save())
 
 
+def _woe_shift_vs(old_model, new_model):
+    """Promotion-gate metric between two fitted models: L-inf distance of
+    the WoE step functions (driver-side interval algebra, NO scan).
+    None when either model is non-binary or the features differ."""
+    from .operators.model_diff import woe_shift_table
+
+    try:
+        t = woe_shift_table(old_model, new_model)
+    except ValueError:
+        return None
+    return round(float(t.attrs["max_abs_woe_delta"]), 9)
+
+
 def _atomic_json_save(obj, path: str) -> None:
     """Write-then-rename so a killed job never leaves a torn artifact."""
     tmp = path + ".tmp"
@@ -271,6 +284,16 @@ def fit_incremental_job(args) -> None:
             exclude_values=args.exclude_values,
             weight_col=weight_col,
         )
+        shift = None
+        if os.path.exists(model_path):
+            from .operators.binning import GroupedBins
+
+            prev = GroupedBins.load_json(model_path)
+            shift = {
+                str(g): _woe_shift_vs(prev.models[g], m)
+                for g, m in grouped.items()
+                if g in prev.models
+            }
         _atomic_json_save(grouped, model_path)
         per_group = {
             str(g): {
@@ -282,7 +305,7 @@ def fit_incremental_job(args) -> None:
             }
             for g, m in grouped.items()
         }
-        report = {"groups": per_group}
+        report = {"groups": per_group, "max_abs_woe_shift": shift}
     else:
         binner = SparkMonotonicBinner(
             args.x, args.y, prebins=args.prebins,
@@ -297,6 +320,13 @@ def fit_incremental_job(args) -> None:
             stats = binner.collect_stats(df, prior=prior, label=label)
             _atomic_json_save(stats, stats_path)
         binner.fit_from_stats(stats)
+        shift = None
+        if os.path.exists(model_path):
+            from .operators.binning import FittedBins
+
+            shift = _woe_shift_vs(
+                FittedBins.load_json(model_path), binner.model_
+            )
         _atomic_json_save(binner.model_, model_path)
         m = binner.model_
         report = {
@@ -305,6 +335,9 @@ def fit_incremental_job(args) -> None:
                 m.diagnostics["merge_phase1_iterations"]
                 + m.diagnostics["merge_phase2_iterations"]
             ),
+            # vs the model.json this fold replaced (None on first fold or
+            # when WoE is undefined): the refit-promotion gate metric
+            "max_abs_woe_shift": shift,
         }
 
     print(json.dumps({

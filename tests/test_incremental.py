@@ -290,10 +290,18 @@ def test_fit_incremental_job_resume_safe(spark, tmp_path, capsys):
     common = ["fit-incremental", "--x", "x", "--y", "y", "--workdir", wd,
               "--max-bins", "6", "--min-bins", "2"]
     main([*common, "--input", d1, "--label", "day1"])
+    out0 = capsys.readouterr().out.strip().splitlines()
+    r1 = json.loads(out0[-1])
+    # first fold: there is no previous model.json to compare against
+    assert r1["max_abs_woe_shift"] is None
     main([*common, "--input", d2, "--label", "day2"])
     out1 = capsys.readouterr().out.strip().splitlines()
     r2 = json.loads(out1[-1])
     assert r2["status"] == "folded" and r2["n_partitions"] == 2
+    # second fold replaced day1's model: the promotion-gate metric is a
+    # real non-negative WoE L-inf distance between the two step functions
+    assert r2["max_abs_woe_shift"] is not None
+    assert 0.0 <= r2["max_abs_woe_shift"] < 5.0
 
     # replaying day2 (duplicate scheduler run) must not double-count
     main([*common, "--input", d2, "--label", "day2"])
