@@ -573,12 +573,14 @@ def drift_job(args) -> None:
             artifact, df,
             input_col=args.input_col, group_col=gcol,
             smoothing=args.smoothing,
+            weight_col=getattr(args, "weight_col", None),
         )
     else:
         artifact = FittedBins.from_dict(payload)
         build = lambda: model_psi(  # noqa: E731
             artifact, df,
             input_col=args.input_col, smoothing=args.smoothing,
+            weight_col=getattr(args, "weight_col", None),
         )
 
     # the PSI frame is k·bins rows — computing the headline index up front
@@ -1395,6 +1397,9 @@ def main(argv: Optional[list] = None) -> None:
     dr.add_argument("--group-col", default=None,
                     help="group column override for GroupedBins artifacts")
     dr.add_argument("--smoothing", type=float, default=0.5)
+    dr.add_argument("--weight-col", default=None, dest="weight_col",
+                    help="sample-weight column on the scored slice "
+                         "(frequency-weight bin counts)")
     dr.set_defaults(func=drift_job)
 
     ds = sub.add_parser(

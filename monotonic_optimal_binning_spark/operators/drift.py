@@ -90,13 +90,34 @@ def psi(
 def _train_counts(model) -> list:
     """(bucket, count) rows for the FITTED bins of a FittedBins artifact —
     the Missing/Excluded summary rows are out of scope (see
-    :func:`model_psi`)."""
+    :func:`model_psi`). Counts are floats: a weight_col fit's effective
+    counts can be fractional, and an int() here would silently truncate
+    the expected distribution."""
     s = model.summary_df
     mask = ~s["bucket"].astype(str).str.contains("Missing|Excluded")
     return [
-        (str(b), int(n))
+        (str(b), float(n))
         for b, n in zip(s.loc[mask, "bucket"], s.loc[mask, "count"])
     ]
+
+
+def _weight_expr(weight_col: str, where: str):
+    """Weight column with a task-level guard: bad weights fail the job
+    loudly inside the scan (no validation pass, iv_screen's pattern)."""
+    wc = F.col(weight_col).cast("double")
+    bad = (
+        wc.isNull() | F.isnan(wc) | (wc < 0)
+        | (F.abs(wc) == F.lit(float("inf")))
+    )
+    return F.when(
+        bad,
+        F.raise_error(
+            F.lit(
+                f"{where}: weight column '{weight_col}' has a "
+                f"null/negative/non-finite value"
+            )
+        ).cast("double"),
+    ).otherwise(wc)
 
 
 def model_psi(
@@ -105,6 +126,7 @@ def model_psi(
     *,
     input_col: Optional[str] = None,
     smoothing: float = 0.5,
+    weight_col: Optional[str] = None,
 ) -> DataFrame:
     """PSI of a NEW sample against a SAVED ``FittedBins`` artifact — the
     production monitoring loop: fit once, ``save_json``, then score every
@@ -122,7 +144,7 @@ def model_psi(
     """
     spark = actual.sparkSession
     e = spark.createDataFrame(
-        _train_counts(model), "bucket string, n_expected long"
+        _train_counts(model), "bucket string, n_expected double"
     )
 
     @F.pandas_udf("string")
@@ -135,8 +157,13 @@ def model_psi(
         F.col("__bucket").isNotNull()
         & ~F.col("__bucket").rlike("Missing|Excluded")
     )
+    n_actual = (
+        F.sum(_weight_expr(weight_col, "model_psi"))
+        if weight_col is not None
+        else F.count(F.lit(1))
+    )
     a = labeled.groupBy(F.col("__bucket").alias("bucket")).agg(
-        F.count(F.lit(1)).alias("n_actual")
+        n_actual.alias("n_actual")
     )
     return _psi_from_counts(F.broadcast(e), a, smoothing)
 
@@ -163,6 +190,7 @@ def grouped_model_psi(
     input_col: Optional[str] = None,
     group_col: Optional[str] = None,
     smoothing: float = 0.5,
+    weight_col: Optional[str] = None,
 ) -> DataFrame:
     """Per-group PSI of a new sample against a saved ``GroupedBins``
     artifact: one vectorized per-group interval lookup over the actual
@@ -183,7 +211,7 @@ def grouped_model_psi(
     ]
     spark = actual.sparkSession
     e = spark.createDataFrame(
-        rows, f"`{group_col}` string, __be string, n_expected long"
+        rows, f"`{group_col}` string, __be string, n_expected double"
     )
     labeled = grouped.transform(
         actual, assign="interval",
@@ -192,10 +220,15 @@ def grouped_model_psi(
         F.col("__bucket").isNotNull()
         & ~F.col("__bucket").rlike("Missing|Excluded")
     )
+    n_actual = (
+        F.sum(_weight_expr(weight_col, "grouped_model_psi"))
+        if weight_col is not None
+        else F.count(F.lit(1))
+    )
     a = labeled.groupBy(
         F.col(group_col).cast("string").alias(group_col),
         F.col("__bucket").alias("__ba"),
-    ).agg(F.count(F.lit(1)).alias("n_actual"))
+    ).agg(n_actual.alias("n_actual"))
     j = (
         e.withColumnRenamed(group_col, "__ge")
         .join(

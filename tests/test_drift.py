@@ -2,6 +2,7 @@
 
 import numpy as np
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from monotonic_optimal_binning_spark import BinningConstraints, SparkMonotonicBinner
@@ -127,3 +128,87 @@ def test_grouped_model_psi_totals_are_per_group(spark):
     per_group = out.groupby("g")["psi_term"].sum()
     assert abs(per_group["a"]) < 0.01
     assert abs(per_group["b"]) < 0.05  # shape preserved despite 10x shrink
+
+
+def test_weighted_model_psi_equals_replication(spark):
+    """model_psi(weight_col=) equals PSI of the k-fold replicated slice,
+    and a weighted-fit artifact's fractional training counts reach the
+    expected side untruncated."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from monotonic_optimal_binning_spark import (
+        BinningConstraints,
+        SparkMonotonicBinner,
+    )
+    from monotonic_optimal_binning_spark.operators.drift import model_psi
+
+    rng = np.random.default_rng(53)
+    train = pd.DataFrame({"x": rng.integers(0, 8, 2000).astype(float)})
+    train["y"] = (rng.uniform(0, 1, 2000) < 0.1 + 0.1 * train["x"]).astype(int)
+    # fractional weights -> fractional effective counts in the artifact
+    train["w"] = rng.choice([0.5, 1.5], 2000)
+    model = (
+        SparkMonotonicBinner(
+            "x", "y", prebins="exact", weight_col="w",
+            constraints=BinningConstraints(max_bins=4, min_bins=2),
+        )
+        .fit(spark.createDataFrame(train))
+        .model_
+    )
+    assert any(
+        float(c) != int(c)
+        for c in model.summary_df["count"]
+        if not pd.isna(c)
+    )
+
+    score = pd.DataFrame({"x": rng.integers(0, 8, 1000).astype(float),
+                          "w": rng.choice([1.0, 2.0, 3.0], 1000)})
+    sdf = spark.createDataFrame(score)
+    weighted = (
+        model_psi(model, sdf, weight_col="w").toPandas()
+        .sort_values("bucket").reset_index(drop=True)
+    )
+    rep = sdf.withColumn(
+        "dup", F.explode(F.expr("sequence(1, cast(w as int))"))
+    ).drop("dup", "w")
+    unrolled = (
+        model_psi(model, rep).toPandas()
+        .sort_values("bucket").reset_index(drop=True)
+    )
+    pd.testing.assert_series_equal(
+        weighted["n_actual"].astype(float), unrolled["n_actual"].astype(float),
+        check_names=False,
+    )
+    np.testing.assert_allclose(weighted["psi_term"], unrolled["psi_term"])
+    # fractional expected counts survived (no int truncation)
+    expected_total = weighted["n_expected"].sum()
+    assert expected_total == pytest.approx(
+        model.summary_df.loc[
+            ~model.summary_df["bucket"].str.contains("Missing|Excluded"),
+            "count",
+        ].sum()
+    )
+
+
+def test_weighted_model_psi_bad_weight_fails(spark):
+    import numpy as np
+    import pandas as pd
+
+    from monotonic_optimal_binning_spark import SparkMonotonicBinner
+    from monotonic_optimal_binning_spark.operators.drift import model_psi
+
+    rng = np.random.default_rng(5)
+    train = pd.DataFrame({"x": rng.integers(0, 6, 500).astype(float)})
+    train["y"] = (rng.uniform(0, 1, 500) < 0.2 + 0.1 * train["x"]).astype(int)
+    model = (
+        SparkMonotonicBinner("x", "y", prebins="exact")
+        .fit(spark.createDataFrame(train))
+        .model_
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame({"x": [1.0, 3.0], "w": [1.0, -1.0]})
+    )
+    with pytest.raises(Exception, match="null/negative/non-finite"):
+        model_psi(model, df, weight_col="w").collect()
