@@ -78,7 +78,9 @@ from monotonic_optimal_binning_spark.operators.model_diff import (
     transform_churn,
 )
 from monotonic_optimal_binning_spark.operators.scaling import (
+    clip,
     fit_feature_stats,
+    impute,
     robust_scale,
     standardize,
 )
@@ -280,19 +282,29 @@ def q_feature_scale(spark, sf_dir):
     robust-scale a deterministic subset as pure codegen expressions —
     train/serve-skew-safe preprocessing with zero UDFs and zero extra
     scans (operators/scaling.py)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        # deterministic nulls so the impute path has something to fill
+        "qmask",
+        F.when(
+            F.pmod(F.col("l_orderkey"), F.lit(13)) != 0, F.col("l_quantity")
+        ),
+    )
     st = fit_feature_stats(
-        li, ["l_quantity", "l_extendedprice"], exact=True
+        li, ["l_quantity", "l_extendedprice", "qmask"], exact=True
     )
     sub = li.filter(F.pmod(F.col("l_orderkey"), F.lit(97)) == 1)
     out = standardize(sub, st, ["l_quantity", "l_extendedprice"])
     out = robust_scale(out, st, ["l_quantity"])
+    out = impute(out, st, ["qmask"], strategy="median")
+    out = clip(out, st, ["l_quantity"], k_iqr=1.5, suffix="_c")
     return out.select(
         F.col("l_orderkey").cast("long").alias("l_orderkey"),
         F.col("l_linenumber").cast("long").alias("l_linenumber"),
         F.round("l_quantity_z", _R).alias("qty_z"),
         F.round("l_extendedprice_z", _R).alias("price_z"),
         F.round("l_quantity_r", _R).alias("qty_r"),
+        F.round("qmask", _R).alias("qty_imputed"),
+        F.round("l_quantity_c", _R).alias("qty_clipped"),
     )
 
 
@@ -2991,6 +3003,8 @@ def oracle_sql() -> dict[str, str]:
                      quantile_cont(l_quantity, 0.25) AS q1,
                      quantile_cont(l_quantity, 0.5) AS q2,
                      quantile_cont(l_quantity, 0.75) AS q3,
+                     quantile_cont(CASE WHEN l_orderkey % 13 != 0
+                                        THEN l_quantity END, 0.5) AS mmed,
                      avg(l_extendedprice) AS pm,
                      stddev_samp(l_extendedprice) AS ps
               FROM lineitem)
@@ -2998,7 +3012,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(l_linenumber AS BIGINT) AS l_linenumber,
                    round((l_quantity - qm) / qs, 6) AS qty_z,
                    round((l_extendedprice - pm) / ps, 6) AS price_z,
-                   round((l_quantity - q2) / (q3 - q1), 6) AS qty_r
+                   round((l_quantity - q2) / (q3 - q1), 6) AS qty_r,
+                   round(coalesce(CASE WHEN l_orderkey % 13 != 0
+                                       THEN l_quantity END, mmed),
+                         6) AS qty_imputed,
+                   round(least(greatest(l_quantity, q1 - 1.5 * (q3 - q1)),
+                               q3 + 1.5 * (q3 - q1)), 6) AS qty_clipped
             FROM lineitem CROSS JOIN s
             WHERE l_orderkey % 97 = 1
         """,

@@ -203,8 +203,11 @@ def _suff_stats_agg(
         w.isNull() | F.isnan(w) | (w < 0) | (F.abs(w) == F.lit(float("inf")))
     )
     wv = F.when(~bad_w, w)  # null (skipped by sums) when the weight is bad
-    wy = F.when(y_eff.isNotNull(), wv)  # weight carried by observed-y rows
     pos = wv > 0  # zero-weight rows define no extrema / representative
+    # weight carried by observed-y rows; zero-weight rows are excluded
+    # OUTRIGHT rather than multiplied in — 0.0 * inf would poison the
+    # sums with NaN while the (pos-gated) nonfinite counter missed it
+    wy = F.when(y_eff.isNotNull() & pos, wv)
     n_y = F.coalesce(F.sum(wy), F.lit(0.0))
     s = F.sum(wy * y_eff)
     s2 = F.sum(wy * y_eff * y_eff)
@@ -1045,6 +1048,11 @@ class SparkMonotonicBinner:
             raise ValueError(
                 "stats were collected under different exclude_values than "
                 "this binner's — Excluded partitions would disagree"
+            )
+        if stats.weight_col != self.weight_col:
+            raise ValueError(
+                f"stats were weighted by {stats.weight_col!r}, binner "
+                f"weights by {self.weight_col!r}"
             )
         t0 = time.time()
         self.model_ = self._solve_from_stats(

@@ -102,8 +102,13 @@ def _train_counts(model) -> list:
 
 
 def _weight_expr(weight_col: str, where: str):
-    """Weight column with a task-level guard: bad weights fail the job
-    loudly inside the scan (no validation pass, iv_screen's pattern)."""
+    """Weight column with a task-level guard: a bad weight fails the job
+    loudly inside the scan (no validation pass, iv_screen's pattern).
+
+    Scope: the guard evaluates where the weight is CONSUMED — after the
+    Missing/Excluded/null-bucket filter — so a corrupt weight on a row
+    outside the fitted bins passes silently (it cannot affect the PSI
+    either way). Rows that contribute to any count are always guarded."""
     wc = F.col(weight_col).cast("double")
     bad = (
         wc.isNull() | F.isnan(wc) | (wc < 0)

@@ -126,21 +126,29 @@ def transform_churn(
     should threshold on), ``label_churn`` / ``woe_churn`` (fractions),
     ``max_abs_woe_delta`` and ``mean_abs_woe_delta`` — all from a single
     algebraic aggregate over the same Arrow-vectorized assignment the
-    serving transform uses (two lookups per batch, zero shuffles wider
-    than the final reduced row).
+    serving transform uses (one Arrow lookup per model plus literal
+    label→WoE maps, zero shuffles wider than the final reduced row).
     """
     _check_comparable(old, new)
     input_col = input_col or old.x
+    # TWO Arrow lookups total (one per model): WoE per row is a pure
+    # function of the assigned interval, so it comes from a k-entry
+    # literal map over the label instead of a second UDF pass per model
     scored = old.transform(
-        new.transform(df, assign="woe", input_col=input_col,
-                      output_col="__new_woe"),
-        assign="woe", input_col=input_col, output_col="__old_woe",
-    )
-    scored = old.transform(
-        new.transform(scored, assign="interval", input_col=input_col,
+        new.transform(df, assign="interval", input_col=input_col,
                       output_col="__new_bin"),
         assign="interval", input_col=input_col, output_col="__old_bin",
     )
+
+    def _woe_map(model: FittedBins):
+        pairs = []
+        for lbl, w in zip(model.labels, np.asarray(model.woes, dtype=float)):
+            pairs.extend([F.lit(lbl), F.lit(float(w))])
+        return F.create_map(*pairs)
+
+    scored = scored.withColumn(
+        "__old_woe", _woe_map(old)[F.col("__old_bin")]
+    ).withColumn("__new_woe", _woe_map(new)[F.col("__new_bin")])
     delta = F.abs(F.col("__new_woe") - F.col("__old_woe"))
     valid = F.col("__old_woe").isNotNull() & F.col("__new_woe").isNotNull()
     row = scored.agg(

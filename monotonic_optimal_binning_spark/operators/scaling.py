@@ -229,8 +229,7 @@ def _fill_value(stats: FeatureStats, col: str, strategy) -> float:
         return float(strategy)
     s = stats._col(col)
     if strategy in ("median", "mean", "min", "max"):
-        key = strategy if strategy != "median" else "median"
-        v = s[key]
+        v = s[strategy]
         if v is None:
             raise ValueError(
                 f"column {col!r} has no fitted {strategy!r} (all-null "

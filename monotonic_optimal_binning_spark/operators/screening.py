@@ -188,7 +188,10 @@ def iv_screen(
         agg = base.groupBy(*gcols, "feature", "bucket", "cat").agg(
             F.sum("__w").alias("count"),
             F.sum(F.col("__w") * y).alias("bads"),
-        )
+        # a bucket whose rows all carry weight 0 must not exist at all
+        # (replication semantics): it would divide-by-zero the bad rate
+        # under ANSI mode and inflate n_buckets/the smoothing k
+        ).filter(F.col("count") > 0)
     else:
         agg = (
             df.select(*gcols, pairs, F.col(y_col).cast("int").alias("__y"))

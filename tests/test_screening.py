@@ -290,3 +290,17 @@ def test_weighted_screen_bad_weight_fails_loudly(spark):
         iv_screen(
             df, ["a"], "y", cuts={"a": [1.5]}, weight_col="w"
         ).collect()
+
+
+def test_weighted_screen_zero_weight_bucket_vanishes(spark):
+    """A bucket whose rows all carry weight 0 must not exist: no ANSI
+    divide-by-zero, no n_buckets/smoothing-k inflation."""
+    df = spark.createDataFrame(
+        [(5.0, 1, 1.0), (30.0, 0, 2.0), (60.0, 1, 0.0)],
+        "a double, y int, w double",
+    )
+    out = iv_screen(
+        df, ["a"], "y", cuts={"a": [25.0, 50.0, 75.0]}, weight_col="w"
+    ).toPandas()
+    # only the two positive-weight buckets exist
+    assert out.loc[0, "n_buckets"] == 2

@@ -233,3 +233,41 @@ def test_weighted_grouped_fit_matches_per_group(spark):
     assert re.models["a"].labels == grouped.models["a"].labels
     with pytest.raises(ValueError, match="weighted by"):
         fit_groups_from_stats(stats, prebins="exact")
+
+
+def test_zero_weight_nonfinite_y_is_invisible(spark):
+    """w=0 rows with y=inf must neither poison the sums with 0*inf=NaN
+    nor trip the non-finite-y DataError — zero weight means the row does
+    not exist."""
+    pdf = _make_pdf(n=300, with_specials=False)
+    df = spark.createDataFrame(pdf)
+    poison = spark.createDataFrame(
+        pd.DataFrame({"x": [5.0], "y": [np.inf], "w": [0.0]})
+    )
+    clean = _binner(exclude_values=None, weight_col="w").fit(df)
+    with_poison = _binner(exclude_values=None, weight_col="w").fit(
+        df.unionByName(poison)
+    )
+    assert clean.model_.labels == with_poison.model_.labels
+    pd.testing.assert_frame_equal(
+        clean.model_.summary_df, with_poison.model_.summary_df
+    )
+    # a POSITIVE-weight non-finite y still fails loudly
+    from monotonic_optimal_binning_spark import DataError
+
+    bad = poison.withColumn("w", F.lit(1.0))
+    with pytest.raises(DataError, match="non-finite"):
+        _binner(exclude_values=None, weight_col="w").fit(
+            df.unionByName(bad)
+        )
+
+
+def test_fit_from_stats_weight_mismatch_raises(spark):
+    pdf = _make_pdf(n=300)
+    df = spark.createDataFrame(pdf)
+    stats_plain = _binner().collect_stats(df)
+    with pytest.raises(ValueError, match="weighted by"):
+        _binner(weight_col="w").fit_from_stats(stats_plain)
+    stats_w = _binner(weight_col="w").collect_stats(df)
+    with pytest.raises(ValueError, match="weighted by"):
+        _binner().fit_from_stats(stats_w)
