@@ -120,7 +120,8 @@ def psi_over_windows(
     the counts table itself.
     """
     e = counts.sparkSession.createDataFrame(
-        _train_counts(model), "bucket string, n_expected long"
+        # double: a weight_col fit's effective counts can be fractional
+        _train_counts(model), "bucket string, n_expected double"
     )
     # fresh attribute ids on the distinct leg (aliased projection), or the
     # grid-vs-counts self-join trips Spark's conflicting-reference check
