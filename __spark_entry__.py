@@ -982,6 +982,27 @@ def q_gains_table(spark, sf_dir):
     )
 
 
+def q_ks_auc_weighted(spark, sf_dir):
+    """Frequency-weighted KS + Mann-Whitney AUC (weight_col on ks_auc):
+    pos/neg masses are weight sums, so the metrics equal the k-fold
+    replicated computation exactly (operators/evaluation.py)."""
+    from monotonic_optimal_binning_spark.operators.evaluation import ks_auc
+
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.select(
+        F.col("l_discount").alias("score"),
+        (F.col("l_returnflag") == "R").cast("double").alias("y"),
+        (F.lit(1.0) + F.pmod(F.col("l_orderkey"), F.lit(3))).alias("w"),
+    )
+    out = ks_auc(df, "score", "y", weight_col="w")
+    return out.select(
+        F.round("ks", _R).alias("ks"),
+        F.round("auc", _R).alias("auc"),
+        F.round("n_pos", _R).alias("n_pos"),
+        F.round("n_neg", _R).alias("n_neg"),
+    )
+
+
 def q_ks_auc(spark, sf_dir):
     """Exact KS + tie-aware Mann-Whitney AUC of discount as a predictor
     of returns: per-distinct-score aggregate, prefix on the bounded
@@ -2196,7 +2217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk_planted": q_lsh_topk_planted,
         "ivf_topk": q_ivf_topk,
         "ivf_topk_planted": q_ivf_topk_planted,
-        "embedding_neardup": q_embedding_neardup,
+        "token_topk_grouped": q_token_topk_grouped,
         # --- round-5 additions (never driver-checked before) ---
         "simhash_banded_fp": q_simhash_banded_fp,
         "bin_fit_weighted": q_bin_fit_weighted,
@@ -2213,6 +2234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encode": q_target_encode,
         "gains_table": q_gains_table,
         "ks_auc": q_ks_auc,
+        "ks_auc_weighted": q_ks_auc_weighted,
         "scorecard_points": q_scorecard_points,
         "reason_codes": q_reason_codes,
         "cv_metrics": q_cv_metrics,
@@ -2228,7 +2250,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "per_source_fit_incremental": q_per_source_fit_incremental,
         "asof_agg": q_asof_agg,
         "token_topk": q_token_topk,
-        "token_topk_grouped": q_token_topk_grouped,
+        # embedding_neardup (rows-only, value-checked planted twin)
+        # yielded its first-50 slot to never-checked token_topk_grouped
+        "embedding_neardup": q_embedding_neardup,
         # simhash_dedup (rows-only, value-checked planted twin) yielded
         # its first-50 slot to never-checked frequency_encode
         "simhash_dedup": q_simhash_dedup,
@@ -2700,6 +2724,29 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN bucket >= 0
                         THEN round((cum_pos * 1.0 / cum_n)
                                    / (tot_pos / tot_n), 6) END AS cum_lift
+            FROM wk
+        """,
+        "ks_auc_weighted": """
+            WITH base AS (
+              SELECT l_discount AS s,
+                     CAST(l_returnflag = 'R' AS DOUBLE) AS y,
+                     1.0 + (l_orderkey % 3) AS w
+              FROM lineitem WHERE l_discount IS NOT NULL),
+            agg AS (
+              SELECT s, sum(w * y) AS pos, sum(w * (1 - y)) AS neg
+              FROM base GROUP BY s),
+            wk AS (
+              SELECT s, pos, neg,
+                     sum(pos) OVER (ORDER BY s) AS cpos,
+                     sum(neg) OVER (ORDER BY s) AS cneg,
+                     sum(pos) OVER () AS p,
+                     sum(neg) OVER () AS n
+              FROM agg)
+            SELECT round(max(abs(cpos / p - cneg / n)), 6) AS ks,
+                   round(sum((cneg - neg) * pos + 0.5 * neg * pos)
+                         / (max(p) * max(n)), 6) AS auc,
+                   round(max(p), 6) AS n_pos,
+                   round(max(n), 6) AS n_neg
             FROM wk
         """,
         "ks_auc": """

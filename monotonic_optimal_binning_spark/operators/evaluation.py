@@ -125,6 +125,7 @@ def ks_auc(
     y_col: str,
     *,
     cuts: Optional[Sequence[float]] = None,
+    weight_col: Optional[str] = None,
 ) -> DataFrame:
     """Exact KS statistic and tie-aware AUC in one scan + one bounded
     prefix pass.  Returns a single row ``(ks, auc, n_pos, n_neg)``.
@@ -138,19 +139,38 @@ def ks_auc(
     With ``cuts`` the scores are pre-bucketed (bounded distinct frame at
     any scale — see module docstring); without, the prefix runs over the
     raw distinct scores, fine when the score is already binned/WoE.
+
+    ``weight_col``: frequency-weighted KS/AUC — pos/neg masses become
+    weight sums (weighted ECDFs; weighted Mann-Whitney
+    Σ w_i·w_j·[s_i > s_j] + ½·ties over (Σw_pos)(Σw_neg)), so an integer
+    weight k equals k-fold replication. Bad weights fail loudly in the
+    scan (iv_screen's raise_error pattern); n_pos/n_neg become doubles.
     """
     y = F.col(y_col).cast("double")
     s = F.col(score_col).cast("double")
     key = _bucketize(s, cuts) if cuts else s
-    agg = (
-        df.filter(s.isNotNull() & y.isNotNull())
-        .select(key.alias("s"), y.alias("__y"))
-        .groupBy("s")
-        .agg(
-            F.sum("__y").cast("long").alias("pos"),
-            (F.count("__y") - F.sum("__y")).cast("long").alias("neg"),
+    base = df.filter(s.isNotNull() & y.isNotNull())
+    if weight_col is not None:
+        from .drift import _weight_expr
+
+        wv = _weight_expr(weight_col, "ks_auc")
+        agg = (
+            base.select(key.alias("s"), y.alias("__y"), wv.alias("__w"))
+            .groupBy("s")
+            .agg(
+                F.sum(F.col("__w") * F.col("__y")).alias("pos"),
+                F.sum(F.col("__w") * (1 - F.col("__y"))).alias("neg"),
+            )
         )
-    )
+    else:
+        agg = (
+            base.select(key.alias("s"), y.alias("__y"))
+            .groupBy("s")
+            .agg(
+                F.sum("__y").cast("long").alias("pos"),
+                (F.count("__y") - F.sum("__y")).cast("long").alias("neg"),
+            )
+        )
     if cuts:
         agg = agg.filter(F.col("s") >= 0)  # NULL-score bucket
     w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
@@ -188,6 +208,7 @@ def ks_auc_grouped(
     group_col: str,
     *,
     cuts: Optional[Sequence[float]] = None,
+    weight_col: Optional[str] = None,
 ) -> DataFrame:
     """Per-group KS + AUC in one scan: one row per ``group_col`` value
     with ``(group, ks, auc, n_pos, n_neg)``.
@@ -204,15 +225,30 @@ def ks_auc_grouped(
     s = F.col(score_col).cast("double")
     key = _bucketize(s, cuts) if cuts else s
     g = F.col(group_col)
-    agg = (
-        df.filter(s.isNotNull() & y.isNotNull())
-        .select(g.alias("g"), key.alias("s"), y.alias("__y"))
-        .groupBy("g", "s")
-        .agg(
-            F.sum("__y").cast("long").alias("pos"),
-            (F.count("__y") - F.sum("__y")).cast("long").alias("neg"),
+    base = df.filter(s.isNotNull() & y.isNotNull())
+    if weight_col is not None:
+        from .drift import _weight_expr
+
+        wv = _weight_expr(weight_col, "ks_auc_grouped")
+        agg = (
+            base.select(
+                g.alias("g"), key.alias("s"), y.alias("__y"), wv.alias("__w")
+            )
+            .groupBy("g", "s")
+            .agg(
+                F.sum(F.col("__w") * F.col("__y")).alias("pos"),
+                F.sum(F.col("__w") * (1 - F.col("__y"))).alias("neg"),
+            )
         )
-    )
+    else:
+        agg = (
+            base.select(g.alias("g"), key.alias("s"), y.alias("__y"))
+            .groupBy("g", "s")
+            .agg(
+                F.sum("__y").cast("long").alias("pos"),
+                (F.count("__y") - F.sum("__y")).cast("long").alias("neg"),
+            )
+        )
     if cuts:
         agg = agg.filter(F.col("s") >= 0)
     w = (

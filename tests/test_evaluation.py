@@ -179,3 +179,53 @@ def test_errors(scored):
         gains_table(df, "score", "y", [])
     with pytest.raises(ValueError):
         gains_table(df, "score", "y", [1.0, 1.0])
+
+
+def test_weighted_ks_auc_equals_replication(spark):
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from monotonic_optimal_binning_spark.operators.evaluation import (
+        ks_auc,
+        ks_auc_grouped,
+    )
+
+    rng = np.random.default_rng(37)
+    pdf = pd.DataFrame(
+        {
+            "score": rng.integers(0, 20, 1500).astype(float),
+            "g": rng.choice(["a", "b"], 1500),
+            "w": rng.choice([1.0, 2.0, 3.0], 1500),
+        }
+    )
+    pdf["y"] = (
+        rng.uniform(0, 1, 1500) < 0.2 + 0.03 * pdf["score"]
+    ).astype(int)
+    df = spark.createDataFrame(pdf)
+    rep = df.withColumn(
+        "dup", F.explode(F.expr("sequence(1, cast(w as int))"))
+    ).drop("dup", "w")
+
+    wrow = ks_auc(df, "score", "y", weight_col="w").collect()[0]
+    rrow = ks_auc(rep, "score", "y").collect()[0]
+    assert wrow["ks"] == pytest.approx(rrow["ks"])
+    assert wrow["auc"] == pytest.approx(rrow["auc"])
+    assert float(wrow["n_pos"]) == pytest.approx(float(rrow["n_pos"]))
+    assert float(wrow["n_neg"]) == pytest.approx(float(rrow["n_neg"]))
+
+    wg = {
+        r["g"]: r
+        for r in ks_auc_grouped(
+            df, "score", "y", "g", weight_col="w"
+        ).collect()
+    }
+    rg = {r["g"]: r for r in ks_auc_grouped(rep, "score", "y", "g").collect()}
+    for g in ("a", "b"):
+        assert wg[g]["ks"] == pytest.approx(rg[g]["ks"])
+        assert wg[g]["auc"] == pytest.approx(rg[g]["auc"])
+
+    with pytest.raises(Exception, match="null/negative/non-finite"):
+        ks_auc(
+            df.withColumn("w", F.lit(-1.0)), "score", "y", weight_col="w"
+        ).collect()
