@@ -59,6 +59,7 @@ def gains_table(
     cuts: Sequence[float],
     *,
     descending: bool = True,
+    weight_col: Optional[str] = None,
 ) -> DataFrame:
     """Per-bucket gains/lift table over fixed score cut points.
 
@@ -76,21 +77,52 @@ def gains_table(
     ``y_col`` must be 0/1 (NULL labels are excluded from every count).
     NULL scores get bucket -1, ordered last, excluded from cumulative
     sums (they contribute no ordering information).
+
+    ``weight_col``: all counts become frequency-weight sums (integer
+    weight k == k-fold replication); rates/lifts follow.
     """
     if not cuts:
         raise ValueError("gains_table: cuts must be non-empty")
     y = F.col(y_col).cast("double")
-    agg = (
-        df.select(
-            _bucketize(F.col(score_col).cast("double"), cuts).alias("bucket"),
-            y.alias("__y"),
+    if weight_col is not None:
+        from .drift import _weight_expr
+
+        wv = _weight_expr(weight_col, "gains_table")
+        agg = (
+            df.select(
+                _bucketize(F.col(score_col).cast("double"), cuts).alias(
+                    "bucket"
+                ),
+                y.alias("__y"),
+                wv.alias("__w"),
+            )
+            .groupBy("bucket")
+            .agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("__y").isNotNull(), F.col("__w"))),
+                    F.lit(0.0),
+                ).alias("n"),
+                F.coalesce(
+                    F.sum(F.col("__w") * F.col("__y")), F.lit(0.0)
+                ).alias("n_pos"),
+            )
         )
-        .groupBy("bucket")
-        .agg(
-            F.count("__y").alias("n"),
-            F.coalesce(F.sum("__y"), F.lit(0.0)).cast("long").alias("n_pos"),
+    else:
+        agg = (
+            df.select(
+                _bucketize(F.col(score_col).cast("double"), cuts).alias(
+                    "bucket"
+                ),
+                y.alias("__y"),
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count("__y").alias("n"),
+                F.coalesce(F.sum("__y"), F.lit(0.0))
+                .cast("long")
+                .alias("n_pos"),
+            )
         )
-    )
     order = F.col("bucket").desc() if descending else F.col("bucket").asc()
     # the frame is <= len(cuts)+2 rows: a single-partition window is free
     w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, 0)

@@ -229,3 +229,34 @@ def test_weighted_ks_auc_equals_replication(spark):
         ks_auc(
             df.withColumn("w", F.lit(-1.0)), "score", "y", weight_col="w"
         ).collect()
+
+
+def test_weighted_gains_table_equals_replication(spark):
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from monotonic_optimal_binning_spark.operators.evaluation import (
+        gains_table,
+    )
+
+    rng = np.random.default_rng(43)
+    pdf = pd.DataFrame(
+        {
+            "score": rng.uniform(0, 1, 1200),
+            "w": rng.choice([1.0, 2.0], 1200),
+        }
+    )
+    pdf["y"] = (rng.uniform(0, 1, 1200) < pdf["score"]).astype(int)
+    pdf.loc[pdf.index % 31 == 0, "score"] = np.nan
+    df = spark.createDataFrame(pdf)
+    rep = df.withColumn(
+        "dup", F.explode(F.expr("sequence(1, cast(w as int))"))
+    ).drop("dup", "w")
+    cuts = [0.25, 0.5, 0.75]
+    wt = gains_table(df, "score", "y", cuts, weight_col="w").toPandas()
+    rt = gains_table(rep, "score", "y", cuts).toPandas()
+    for col in ("n", "n_pos", "pos_rate", "capture_rate", "lift", "cum_lift"):
+        np.testing.assert_allclose(
+            wt[col].astype(float), rt[col].astype(float), err_msg=col
+        )
