@@ -156,6 +156,7 @@ def isotonic_calibrate(
     strict: bool = False,
     prebins: object = "auto",
     prebin_relative_error: float = 0.001,
+    weight_col: Optional[str] = None,
 ) -> IsotonicCalibration:
     """Fit isotonic regression of ``y_col`` on ``score_col``.
 
@@ -166,12 +167,23 @@ def isotonic_calibrate(
     calibrator wants them; ``sign`` as in the binner ('+', '-', 'auto').
     ``prebins``: 'auto' (exact while the probe says <= 1024 distinct,
     else 256 quantile buckets), 'exact', or an int bucket count.
+    ``weight_col``: frequency-weighted isotonic fit — block means become
+    Σw·y / Σw (integer weight k == k-fold replication); bad weights fail
+    loudly in the scan.
     """
     s = F.col(score_col).cast("double")
     y = F.col(y_col).cast("double")
-    base = df.filter(s.isNotNull() & y.isNotNull()).select(
-        s.alias("__s"), y.alias("__y")
-    )
+    if weight_col is not None:
+        from .drift import _weight_expr
+
+        wv = _weight_expr(weight_col, "isotonic_calibrate")
+        base = df.filter(s.isNotNull() & y.isNotNull()).select(
+            s.alias("__s"), y.alias("__y"), wv.alias("__w")
+        )
+    else:
+        base = df.filter(s.isNotNull() & y.isNotNull()).select(
+            s.alias("__s"), y.alias("__y")
+        )
 
     if prebins == "auto":
         probe = base.agg(
@@ -204,27 +216,43 @@ def isotonic_calibrate(
                     if expr is None
                     else expr.when(cond, F.lit(float(c)))
                 )
+            keep = (
+                ["__y", "__w"] if weight_col is not None else ["__y"]
+            )
             base = base.select(
-                expr.otherwise(F.lit(float(sentinel))).alias("__s"), "__y"
+                expr.otherwise(F.lit(float(sentinel))).alias("__s"), *keep
             )
             cuts_arr = np.asarray(cuts, dtype=float)
 
-    rows = (
-        base.groupBy("__s")
-        .agg(
+    if weight_col is not None:
+        wc = F.col("__w")
+        pos = wc > 0  # zero-weight rows define no extrema
+        aggs = [
+            F.coalesce(F.sum(wc), F.lit(0.0)).alias("n"),
+            F.sum(F.when(pos, wc * F.col("__y"))).alias("sy"),
+            F.sum(
+                F.when(pos, wc * F.col("__y") * F.col("__y"))
+            ).alias("sy2"),
+            F.min(F.when(pos, F.col("__y"))).alias("mn"),
+            F.max(F.when(pos, F.col("__y"))).alias("mx"),
+        ]
+    else:
+        aggs = [
             F.count("__y").alias("n"),
             F.sum("__y").alias("sy"),
             F.sum(F.col("__y") * F.col("__y")).alias("sy2"),
             F.min("__y").alias("mn"),
             F.max("__y").alias("mx"),
-        )
-        .orderBy("__s")
-        .collect()
-    )
+        ]
+    rows = base.groupBy("__s").agg(*aggs).orderBy("__s").collect()
+    if weight_col is not None:
+        rows = [r for r in rows if r["n"] > 0]
     groups = [
         GroupStats(
-            x=float(r["__s"]), count=int(r["n"]), sum=float(r["sy"]),
-            sum2=float(r["sy2"]), ymin=float(r["mn"]), ymax=float(r["mx"]),
+            x=float(r["__s"]),
+            count=int(r["n"]) if float(r["n"]) == int(r["n"]) else float(r["n"]),
+            sum=float(r["sy"]), sum2=float(r["sy2"]),
+            ymin=float(r["mn"]), ymax=float(r["mx"]),
         )
         for r in rows
     ]

@@ -134,3 +134,43 @@ def test_calibration_table_matches_truth(spark):
         assert r["ece_term"] == pytest.approx(m.sum() / total * gap)
     # ECE = sum of the terms; miscalibrated-by-construction data
     assert 0.05 < got["ece_term"].sum() < 0.2
+
+
+def test_weighted_isotonic_equals_replication(spark):
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from monotonic_optimal_binning_spark.operators.calibration import (
+        isotonic_calibrate,
+    )
+
+    rng = np.random.default_rng(59)
+    pdf = pd.DataFrame(
+        {
+            "score": rng.integers(0, 15, 1500).astype(float),
+            "w": rng.choice([1.0, 2.0, 3.0], 1500),
+        }
+    )
+    pdf["y"] = (
+        rng.uniform(0, 1, 1500) < 0.1 + 0.05 * pdf["score"]
+    ).astype(int)
+    df = spark.createDataFrame(pdf)
+    rep = df.withColumn(
+        "dup", F.explode(F.expr("sequence(1, cast(w as int))"))
+    ).drop("dup", "w")
+    cw = isotonic_calibrate(df, "score", "y", prebins="exact",
+                            weight_col="w")
+    cr = isotonic_calibrate(rep, "score", "y", prebins="exact")
+    np.testing.assert_allclose(cw.bounds, cr.bounds)
+    np.testing.assert_allclose(cw.values, cr.values)
+    # the weighted calibrator serves identically after a JSON round-trip
+    out_w = cw.transform(df, output_col="cal").toPandas()
+    out_r = cr.transform(df, output_col="cal").toPandas()
+    np.testing.assert_allclose(out_w["cal"], out_r["cal"])
+
+    with pytest.raises(Exception, match="null/negative/non-finite"):
+        isotonic_calibrate(
+            df.withColumn("w", F.lit(float("nan"))), "score", "y",
+            prebins="exact", weight_col="w",
+        )
