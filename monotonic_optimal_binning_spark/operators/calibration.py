@@ -277,28 +277,58 @@ def calibration_table(
     p_col: str,
     y_col: str,
     cuts: Sequence[float],
+    *,
+    weight_col: Optional[str] = None,
 ) -> DataFrame:
     """Reliability-diagram data over fixed probability cut points: per
     bucket ``(bucket, n, avg_p, avg_y, gap, ece_term)`` where ``gap =
     |avg_p - avg_y|`` and ``ece_term = n/total * gap`` (sum of the
     column = expected calibration error). One hash-aggregate scan;
     NULL labels excluded, NULL predictions get bucket -1 with NULL
-    calibration columns."""
+    calibration columns. ``weight_col``: counts/averages become
+    frequency-weighted (integer weight k == k-fold replication)."""
     if not cuts:
         raise ValueError("calibration_table: cuts must be non-empty")
     p = F.col(p_col).cast("double")
     y = F.col(y_col).cast("double")
-    agg = (
-        df.filter(y.isNotNull())
-        .select(_bucketize(p, cuts).alias("bucket"), p.alias("__p"),
-                y.alias("__y"))
-        .groupBy("bucket")
-        .agg(
-            F.count("__y").alias("n"),
-            F.avg("__p").alias("avg_p"),
-            F.avg("__y").alias("avg_y"),
+    if weight_col is not None:
+        from .drift import _weight_expr
+
+        wv = _weight_expr(weight_col, "calibration_table")
+        wsum = F.coalesce(F.sum("__w"), F.lit(0.0))
+        agg = (
+            df.filter(y.isNotNull())
+            .select(
+                _bucketize(p, cuts).alias("bucket"), p.alias("__p"),
+                y.alias("__y"), wv.alias("__w"),
+            )
+            .groupBy("bucket")
+            .agg(
+                wsum.alias("n"),
+                F.when(
+                    wsum > 0, F.sum(F.col("__w") * F.col("__p")) / wsum
+                ).alias("avg_p"),
+                F.when(
+                    wsum > 0, F.sum(F.col("__w") * F.col("__y")) / wsum
+                ).alias("avg_y"),
+            )
+            # an all-zero-weight bucket carries no mass: drop it rather
+            # than emit a zero-count row (ANSI-safe either way via the
+            # guards above)
+            .filter(F.col("n") > 0)
         )
-    )
+    else:
+        agg = (
+            df.filter(y.isNotNull())
+            .select(_bucketize(p, cuts).alias("bucket"), p.alias("__p"),
+                    y.alias("__y"))
+            .groupBy("bucket")
+            .agg(
+                F.count("__y").alias("n"),
+                F.avg("__p").alias("avg_p"),
+                F.avg("__y").alias("avg_y"),
+            )
+        )
     real = F.col("bucket") >= 0
     total = F.sum(F.when(real, F.col("n"))).over(
         Window.partitionBy(F.lit(1))

@@ -174,3 +174,33 @@ def test_weighted_isotonic_equals_replication(spark):
             df.withColumn("w", F.lit(float("nan"))), "score", "y",
             prebins="exact", weight_col="w",
         )
+
+
+def test_weighted_calibration_table_equals_replication(spark):
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from monotonic_optimal_binning_spark.operators.calibration import (
+        calibration_table,
+    )
+
+    rng = np.random.default_rng(61)
+    pdf = pd.DataFrame(
+        {
+            "p": rng.uniform(0, 1, 1000),
+            "w": rng.choice([1.0, 2.0], 1000),
+        }
+    )
+    pdf["y"] = (rng.uniform(0, 1, 1000) < pdf["p"]).astype(int)
+    df = spark.createDataFrame(pdf)
+    rep = df.withColumn(
+        "dup", F.explode(F.expr("sequence(1, cast(w as int))"))
+    ).drop("dup", "w")
+    cuts = [0.25, 0.5, 0.75]
+    wt = calibration_table(df, "p", "y", cuts, weight_col="w").toPandas()
+    rt = calibration_table(rep, "p", "y", cuts).toPandas()
+    for col in ("n", "avg_p", "avg_y", "gap", "ece_term"):
+        np.testing.assert_allclose(
+            wt[col].astype(float), rt[col].astype(float), err_msg=col
+        )
