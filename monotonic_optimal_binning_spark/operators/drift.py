@@ -22,11 +22,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def bucket_counts(df: DataFrame, bucket_col: str) -> DataFrame:
-    """(bucket, n) — the one-aggregate input both PSI sides need."""
-    return df.groupBy(F.col(bucket_col).alias("bucket")).agg(
-        F.count(F.lit(1)).alias("n")
-    )
+def bucket_counts(
+    df: DataFrame, bucket_col: str, weight_col: Optional[str] = None
+) -> DataFrame:
+    """(bucket, n) — the one-aggregate input both PSI sides need. With
+    ``weight_col``, n is the frequency-weight sum (bad weights fail
+    loudly in the scan)."""
+    if weight_col is not None:
+        n = F.coalesce(
+            F.sum(_weight_expr(weight_col, "bucket_counts")), F.lit(0.0)
+        )
+    else:
+        n = F.count(F.lit(1))
+    return df.groupBy(F.col(bucket_col).alias("bucket")).agg(n.alias("n"))
 
 
 def _psi_from_counts(
@@ -70,6 +78,7 @@ def psi(
     bucket_col: str,
     *,
     smoothing: float = 0.5,
+    weight_col: Optional[str] = None,
 ) -> DataFrame:
     """Per-bucket PSI terms between two bucketed samples, plus shares.
 
@@ -81,8 +90,12 @@ def psi(
     other (matched null-safe on both sides).
     """
     return _psi_from_counts(
-        bucket_counts(expected, bucket_col).withColumnRenamed("n", "n_expected"),
-        bucket_counts(actual, bucket_col).withColumnRenamed("n", "n_actual"),
+        bucket_counts(expected, bucket_col, weight_col).withColumnRenamed(
+            "n", "n_expected"
+        ),
+        bucket_counts(actual, bucket_col, weight_col).withColumnRenamed(
+            "n", "n_actual"
+        ),
         smoothing,
     )
 

@@ -212,3 +212,36 @@ def test_weighted_model_psi_bad_weight_fails(spark):
     )
     with pytest.raises(Exception, match="null/negative/non-finite"):
         model_psi(model, df, weight_col="w").collect()
+
+
+def test_weighted_sample_psi_equals_replication(spark):
+    import numpy as np
+    import pandas as pd
+
+    from monotonic_optimal_binning_spark.operators.drift import psi
+
+    rng = np.random.default_rng(67)
+    e = pd.DataFrame({"b": rng.choice(["x", "y", "z"], 800),
+                      "w": rng.choice([1.0, 2.0], 800)})
+    a = pd.DataFrame({"b": rng.choice(["x", "y"], 600),
+                      "w": rng.choice([1.0, 3.0], 600)})
+    edf, adf = spark.createDataFrame(e), spark.createDataFrame(a)
+
+    def _rep(df):
+        return df.withColumn(
+            "dup", F.explode(F.expr("sequence(1, cast(w as int))"))
+        ).drop("dup", "w")
+
+    wt = (
+        psi(edf, adf, "b", weight_col="w").toPandas()
+        .sort_values("bucket").reset_index(drop=True)
+    )
+    rt = (
+        psi(_rep(edf), _rep(adf), "b").toPandas()
+        .sort_values("bucket").reset_index(drop=True)
+    )
+    for col in ("n_expected", "n_actual", "pct_expected", "pct_actual",
+                "psi_term"):
+        np.testing.assert_allclose(
+            wt[col].astype(float), rt[col].astype(float), err_msg=col
+        )
