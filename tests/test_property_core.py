@@ -373,3 +373,78 @@ def test_kendall_matches_bruteforce(pairs):
     denom = math.sqrt((n0 - tx) * (n0 - ty))
     expected = 0.0 if denom == 0 else (conc - disc) / denom
     assert kendall_corr(np.array(x), np.array(y)) == pytest.approx(expected, abs=1e-12)
+
+
+# ------------------------------------------------- weighted-solve property --
+
+
+@st.composite
+def weighted_group_table(draw):
+    """Per-x y-value lists with positive integer weights per value."""
+    k = draw(st.integers(min_value=2, max_value=8))
+    xs = sorted(
+        draw(
+            st.lists(
+                st.integers(min_value=-50, max_value=50),
+                min_size=k, max_size=k, unique=True,
+            )
+        )
+    )
+    ys, ws = [], []
+    for _ in xs:
+        m = draw(st.integers(min_value=1, max_value=4))
+        ys.append(draw(st.lists(
+            st.integers(min_value=0, max_value=1), min_size=m, max_size=m
+        )))
+        ws.append(draw(st.lists(
+            st.integers(min_value=1, max_value=3), min_size=m, max_size=m
+        )))
+    return xs, ys, ws
+
+
+@given(weighted_group_table())
+@settings(max_examples=200, deadline=None)
+def test_weighted_stats_solve_equals_replication(table):
+    """PAVA + merge over WEIGHTED sufficient statistics equals the solve
+    over the k-fold replicated raw values — the core-level twin of the
+    Spark-side replication tests, across thousands of generated shapes."""
+    xs, ys, ws = table
+
+    def _groups(weighted):
+        out = []
+        for x, yv, wv in zip(xs, ys, ws):
+            y = np.asarray(yv, dtype=float)
+            w = np.asarray(wv, dtype=float)
+            if weighted:
+                n = float(w.sum())
+                out.append(GroupStats(
+                    x=float(x), count=int(n) if n == int(n) else n,
+                    sum=float((w * y).sum()), sum2=float((w * y * y).sum()),
+                    ymin=float(y.min()), ymax=float(y.max()),
+                ))
+            else:
+                rep = np.repeat(y, wv)
+                out.append(GroupStats(
+                    x=float(x), count=len(rep), sum=float(rep.sum()),
+                    sum2=float((rep * rep).sum()),
+                    ymin=float(rep.min()), ymax=float(rep.max()),
+                ))
+        return out
+
+    cons_a = BinningConstraints(max_bins=4, min_bins=2)
+    cons_b = BinningConstraints(max_bins=4, min_bins=2)
+    pava_w = fit_pava(_groups(True), sign="auto", strict=True)
+    pava_r = fit_pava(_groups(False), sign="auto", strict=True)
+    total = sum(int(sum(w)) for w in ws)
+    pos = sum(int(np.dot(w, y)) for w, y in zip(ws, ys))
+    cons_a.resolve(total_n=total, total_pos=pos)
+    cons_b.resolve(total_n=total, total_pos=pos)
+    merged_w = merge_adjacent(pava_w.blocks, cons_a, True)
+    merged_r = merge_adjacent(pava_r.blocks, cons_b, True)
+    assert pava_w.resolved_sign == pava_r.resolved_sign
+    assert len(merged_w) == len(merged_r)
+    for a, b in zip(merged_w, merged_r):
+        assert a.left == b.left and a.right == b.right
+        assert float(a.n) == pytest.approx(float(b.n))
+        assert a.sum == pytest.approx(b.sum)
+        assert a.sum2 == pytest.approx(b.sum2)
