@@ -1142,7 +1142,10 @@ def scale_job(args) -> None:
                 f"scale: --stats artifact has no statistics for {missing}"
             )
     elif not manifest_exists:
-        st = fit_feature_stats(df, cols, exact=args.exact)
+        st = fit_feature_stats(
+            df, cols, exact=args.exact,
+            weight_col=getattr(args, "weight_col", None),
+        )
         st.save_json(stats_path)
     else:
         # resume: the stage replays from its checkpoint and never calls
@@ -1189,6 +1192,7 @@ def scale_job(args) -> None:
             "robust": args.robust,
             "stats_source": args.stats or "fit",
             "exact": args.exact,
+            "weight_col": getattr(args, "weight_col", None),
         },
         # imputation audit for free: the artifact already counted nulls
         # (st is None only on resume, where the manifest is kept as-is)
@@ -1541,6 +1545,10 @@ def main(argv: Optional[list] = None) -> None:
     sj.add_argument("--exact", action="store_true",
                     help="exact interpolated percentiles (sort-based) "
                          "instead of the one-pass sketch")
+    sj.add_argument("--weight-col", default=None, dest="weight_col",
+                    help="integer sample-weight column: weighted "
+                         "statistics (replication-exact; weighted "
+                         "quantiles via frequency percentile)")
     sj.add_argument("--impute", default=None,
                     help="'median' | 'mean' | 'min' | 'max' | a numeric "
                          "constant")

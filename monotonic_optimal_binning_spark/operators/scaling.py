@@ -155,6 +155,7 @@ def fit_feature_stats(
     quantile_probs: Sequence[float] = (0.25, 0.5, 0.75),
     relative_error: float = 1e-3,
     exact: bool = False,
+    weight_col: Optional[str] = None,
 ) -> FeatureStats:
     """ONE aggregation scan over ``cols`` → a :class:`FeatureStats`
     artifact.
@@ -165,6 +166,15 @@ def fit_feature_stats(
     ``exact=True``: Spark's exact interpolated ``percentile`` aggregate —
     matches ANSI ``quantile_cont`` definitions bit-for-bit modulo float
     summation order; the oracle-parity mode.
+
+    ``weight_col``: frequency-weighted statistics — counts/null-mass/
+    moments become weight sums (integer weight k == k-fold replication).
+    Quantiles come from Spark's exact ``percentile(col, probs,
+    frequency)``, so weights must be non-negative INTEGERS (validated in
+    the same scan — fractional weights raise; pre-round or rescale them)
+    and the ``exact``/``relative_error`` knobs are ignored (the weighted
+    path is always replication-exact). Bad weights (null/negative/
+    non-finite) fail loudly in the scan.
     """
     if len(quantile_probs) != 3:
         raise ValueError(
@@ -172,6 +182,25 @@ def fit_feature_stats(
             f"{list(quantile_probs)}"
         )
     probs = [float(p) for p in quantile_probs]
+    wv = None
+    if weight_col is not None:
+        wc = F.col(weight_col).cast("double")
+        bad = (
+            wc.isNull() | F.isnan(wc) | (wc < 0)
+            | (F.abs(wc) == F.lit(float("inf")))
+            | (wc != F.floor(wc))  # exact weighted quantiles need ints
+        )
+        wv = F.when(
+            bad,
+            F.raise_error(
+                F.lit(
+                    f"fit_feature_stats: weight column '{weight_col}' "
+                    f"must be a non-negative INTEGER-valued weight "
+                    f"(weighted quantiles use Spark's frequency "
+                    f"percentile)"
+                )
+            ).cast("double"),
+        ).otherwise(wc)
     aggs: List[Column] = []
     for c in cols:
         xc = F.col(c).cast("double")
@@ -182,6 +211,31 @@ def fit_feature_stats(
             xv = F.when(xc.isNotNull() & ~F.isnan(xc), xc)
         else:
             xv = xc
+        if wv is not None:
+            wx = F.when(xv.isNotNull() & (wv > 0), wv)  # weight on valid x
+            n = F.coalesce(F.sum(wx), F.lit(0.0))
+            sx = F.sum(wx * xv)
+            sx2 = F.sum(wx * xv * xv)
+            var = (sx2 - sx * sx / n) / (n - F.lit(1.0))
+            aggs.append(n.alias(f"{c}__count"))
+            aggs.append(
+                (F.coalesce(F.sum(wv), F.lit(0.0)) - n).alias(f"{c}__n_null")
+            )
+            aggs.append(F.when(n > 0, sx / n).alias(f"{c}__mean"))
+            aggs.append(
+                F.when(n > 1, F.sqrt(F.greatest(var, F.lit(0.0))))
+                .alias(f"{c}__std")
+            )
+            aggs.append(F.min(F.when(wv > 0, xv)).alias(f"{c}__min"))
+            aggs.append(F.max(F.when(wv > 0, xv)).alias(f"{c}__max"))
+            # exact interpolated percentile with integer frequencies ==
+            # the replicated dataset's exact percentile; zero-weight rows
+            # get frequency 0 and contribute nothing
+            q = F.percentile(
+                xv, F.lit(probs), wv.cast("long")
+            )
+            aggs.append(q.alias(f"{c}__q"))
+            continue
         aggs.append(F.count(xv).alias(f"{c}__count"))
         aggs.append((F.count(F.lit(1)) - F.count(xv)).alias(f"{c}__n_null"))
         aggs.append(F.avg(xv).alias(f"{c}__mean"))
@@ -201,7 +255,7 @@ def fit_feature_stats(
         qs = row[f"{c}__q"] or [None, None, None]
         stats[c] = {
             "count": int(row[f"{c}__count"]),
-            "n_null": int(row[f"{c}__n_null"]),
+            "n_null": int(row[f"{c}__n_null"]),  # integer weights => ints
             "mean": _opt_float(row[f"{c}__mean"]),
             "std": _opt_float(row[f"{c}__std"]),
             "min": _opt_float(row[f"{c}__min"]),

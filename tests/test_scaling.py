@@ -169,3 +169,28 @@ def test_approx_mode_close_to_exact(spark, pdf):
     assert abs(
         approx.stats["a"]["median"] - exact.stats["a"]["median"]
     ) <= np.diff(np.sort(pdf["a"].dropna()))[:-1].max()
+
+
+def test_weighted_stats_equal_replication(spark):
+    rng = np.random.default_rng(71)
+    pdf2 = pd.DataFrame(
+        {
+            "a": rng.normal(3, 2, 700),
+            "w": rng.choice([1.0, 2.0, 3.0], 700),
+        }
+    )
+    pdf2.loc[pdf2.index % 10 == 0, "a"] = np.nan
+    df = spark.createDataFrame(pdf2)
+    rep = df.withColumn(
+        "dup", F.explode(F.expr("sequence(1, cast(w as int))"))
+    ).drop("dup", "w")
+    ws = fit_feature_stats(df, ["a"], weight_col="w")
+    rs = fit_feature_stats(rep, ["a"], exact=True)
+    for k in ("count", "n_null", "mean", "std", "min", "max",
+              "q_lo", "median", "q_hi"):
+        assert ws.stats["a"][k] == pytest.approx(rs.stats["a"][k]), k
+    # fractional weights are rejected (weighted quantiles need ints)
+    with pytest.raises(Exception, match="INTEGER"):
+        fit_feature_stats(
+            df.withColumn("w", F.lit(0.5)), ["a"], weight_col="w"
+        )
