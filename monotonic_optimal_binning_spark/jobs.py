@@ -1135,6 +1135,12 @@ def scale_job(args) -> None:
     manifest_exists = load_manifest(out_dir) is not None
 
     if args.stats:
+        if getattr(args, "weight_col", None):
+            raise SystemExit(
+                "scale: --weight-col only applies when FITTING statistics; "
+                "--stats serves a saved artifact, whose weighting was "
+                "fixed at fit time"
+            )
         st = FeatureStats.load_json(args.stats)
         missing = [c for c in cols if c not in st.stats]
         if missing:

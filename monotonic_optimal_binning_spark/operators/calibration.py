@@ -168,8 +168,12 @@ def isotonic_calibrate(
     ``prebins``: 'auto' (exact while the probe says <= 1024 distinct,
     else 256 quantile buckets), 'exact', or an int bucket count.
     ``weight_col``: frequency-weighted isotonic fit — block means become
-    Σw·y / Σw (integer weight k == k-fold replication); bad weights fail
-    loudly in the scan.
+    Σw·y / Σw; bad weights fail loudly in the scan. Replication
+    equivalence (integer weight k == k-fold replication) holds EXACTLY in
+    ``prebins='exact'`` mode; when pre-binning engages, the quantile cut
+    points come from the UNWEIGHTED score distribution (approxQuantile
+    has no frequency arg), so bucket granularity — not the weighted block
+    means within buckets — can differ from the replicated fit.
     """
     s = F.col(score_col).cast("double")
     y = F.col(y_col).cast("double")
@@ -295,7 +299,10 @@ def calibration_table(
         from .drift import _weight_expr
 
         wv = _weight_expr(weight_col, "calibration_table")
-        wsum = F.coalesce(F.sum("__w"), F.lit(0.0))
+        # zero-weight rows contribute nothing, including to the products
+        # (0 * NaN prediction/label would otherwise poison the averages)
+        wpos = F.when(F.col("__w") > 0, F.col("__w"))
+        wsum = F.coalesce(F.sum(wpos), F.lit(0.0))
         agg = (
             df.filter(y.isNotNull())
             .select(
@@ -306,10 +313,10 @@ def calibration_table(
             .agg(
                 wsum.alias("n"),
                 F.when(
-                    wsum > 0, F.sum(F.col("__w") * F.col("__p")) / wsum
+                    wsum > 0, F.sum(wpos * F.col("__p")) / wsum
                 ).alias("avg_p"),
                 F.when(
-                    wsum > 0, F.sum(F.col("__w") * F.col("__y")) / wsum
+                    wsum > 0, F.sum(wpos * F.col("__y")) / wsum
                 ).alias("avg_y"),
             )
             # an all-zero-weight bucket carries no mass: drop it rather

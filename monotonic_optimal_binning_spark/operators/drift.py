@@ -32,9 +32,17 @@ def bucket_counts(
         n = F.coalesce(
             F.sum(_weight_expr(weight_col, "bucket_counts")), F.lit(0.0)
         )
-    else:
-        n = F.count(F.lit(1))
-    return df.groupBy(F.col(bucket_col).alias("bucket")).agg(n.alias("n"))
+        # a bucket whose rows all carry weight 0 must not exist at all
+        # (0-fold replication has no such row) — an n=0 row would inflate
+        # the smoothing bucket count k and shift every psi_term
+        return (
+            df.groupBy(F.col(bucket_col).alias("bucket"))
+            .agg(n.alias("n"))
+            .filter(F.col("n") > 0)
+        )
+    return df.groupBy(F.col(bucket_col).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
 
 
 def _psi_from_counts(

@@ -99,13 +99,25 @@ def gains_table(
             .groupBy("bucket")
             .agg(
                 F.coalesce(
-                    F.sum(F.when(F.col("__y").isNotNull(), F.col("__w"))),
+                    F.sum(
+                        F.when(
+                            F.col("__y").isNotNull() & (F.col("__w") > 0),
+                            F.col("__w"),
+                        )
+                    ),
                     F.lit(0.0),
                 ).alias("n"),
+                # zero-weight rows are excluded OUTRIGHT (0 * NaN label
+                # would otherwise poison the sum; 0-fold replication has
+                # no such row)
                 F.coalesce(
-                    F.sum(F.col("__w") * F.col("__y")), F.lit(0.0)
+                    F.sum(
+                        F.when(F.col("__w") > 0, F.col("__w") * F.col("__y"))
+                    ),
+                    F.lit(0.0),
                 ).alias("n_pos"),
             )
+            .filter(F.col("n") > 0)
         )
     else:
         agg = (
@@ -186,13 +198,17 @@ def ks_auc(
         from .drift import _weight_expr
 
         wv = _weight_expr(weight_col, "ks_auc")
+        pos_w = F.when(F.col("__w") > 0, F.col("__w"))
         agg = (
             base.select(key.alias("s"), y.alias("__y"), wv.alias("__w"))
             .groupBy("s")
             .agg(
-                F.sum(F.col("__w") * F.col("__y")).alias("pos"),
-                F.sum(F.col("__w") * (1 - F.col("__y"))).alias("neg"),
+                F.sum(pos_w * F.col("__y")).alias("pos"),
+                F.sum(pos_w * (1 - F.col("__y"))).alias("neg"),
             )
+            # zero-weight-only score groups carry no mass (and 0 * NaN
+            # label would poison the sums)
+            .filter((F.col("pos") + F.col("neg")) > 0)
         )
     else:
         agg = (
@@ -262,15 +278,17 @@ def ks_auc_grouped(
         from .drift import _weight_expr
 
         wv = _weight_expr(weight_col, "ks_auc_grouped")
+        pos_w = F.when(F.col("__w") > 0, F.col("__w"))
         agg = (
             base.select(
                 g.alias("g"), key.alias("s"), y.alias("__y"), wv.alias("__w")
             )
             .groupBy("g", "s")
             .agg(
-                F.sum(F.col("__w") * F.col("__y")).alias("pos"),
-                F.sum(F.col("__w") * (1 - F.col("__y"))).alias("neg"),
+                F.sum(pos_w * F.col("__y")).alias("pos"),
+                F.sum(pos_w * (1 - F.col("__y"))).alias("neg"),
             )
+            .filter((F.col("pos") + F.col("neg")) > 0)
         )
     else:
         agg = (

@@ -174,7 +174,11 @@ def fit_feature_stats(
     the same scan — fractional weights raise; pre-round or rescale them)
     and the ``exact``/``relative_error`` knobs are ignored (the weighted
     path is always replication-exact). Bad weights (null/negative/
-    non-finite) fail loudly in the scan.
+    non-finite) fail loudly in the scan. MEMORY CAVEAT: the exact
+    frequency percentile buffers every distinct (value, frequency) pair
+    per column in executor memory (no sketch alternative accepts
+    weights) — on high-cardinality continuous features, pre-round the
+    feature or fit unweighted.
     """
     if len(quantile_probs) != 3:
         raise ValueError(
@@ -184,23 +188,21 @@ def fit_feature_stats(
     probs = [float(p) for p in quantile_probs]
     wv = None
     if weight_col is not None:
-        wc = F.col(weight_col).cast("double")
-        bad = (
-            wc.isNull() | F.isnan(wc) | (wc < 0)
-            | (F.abs(wc) == F.lit(float("inf")))
-            | (wc != F.floor(wc))  # exact weighted quantiles need ints
-        )
+        from .drift import _weight_expr
+
+        # shared null/negative/non-finite guard, plus the integer check
+        # the frequency percentile demands
+        guarded = _weight_expr(weight_col, "fit_feature_stats")
         wv = F.when(
-            bad,
+            guarded != F.floor(guarded),
             F.raise_error(
                 F.lit(
                     f"fit_feature_stats: weight column '{weight_col}' "
-                    f"must be a non-negative INTEGER-valued weight "
-                    f"(weighted quantiles use Spark's frequency "
-                    f"percentile)"
+                    f"must be INTEGER-valued (weighted quantiles use "
+                    f"Spark's frequency percentile)"
                 )
             ).cast("double"),
-        ).otherwise(wc)
+        ).otherwise(guarded)
     aggs: List[Column] = []
     for c in cols:
         xc = F.col(c).cast("double")

@@ -245,3 +245,34 @@ def test_weighted_sample_psi_equals_replication(spark):
         np.testing.assert_allclose(
             wt[col].astype(float), rt[col].astype(float), err_msg=col
         )
+
+
+def test_weighted_psi_zero_mass_bucket_vanishes(spark):
+    """A bucket present only via weight-0 rows must not exist (it would
+    inflate the smoothing k and shift every psi_term)."""
+    import pandas as pd
+
+    from monotonic_optimal_binning_spark.operators.drift import psi
+
+    e = spark.createDataFrame(
+        pd.DataFrame({"b": ["x", "y", "z"], "w": [2.0, 3.0, 0.0]})
+    )
+    a = spark.createDataFrame(
+        pd.DataFrame({"b": ["x", "y"], "w": [1.0, 4.0]})
+    )
+    out = psi(e, a, "b", weight_col="w").toPandas()
+    assert set(out["bucket"]) == {"x", "y"}
+    # equals the replicated computation (bucket z has 0 copies)
+    rep_e = spark.createDataFrame(
+        pd.DataFrame({"b": ["x", "x", "y", "y", "y"]})
+    )
+    rep_a = spark.createDataFrame(
+        pd.DataFrame({"b": ["x", "y", "y", "y", "y"]})
+    )
+    truth = psi(rep_e, rep_a, "b").toPandas().sort_values("bucket")
+    got = out.sort_values("bucket")
+    import numpy as np
+
+    np.testing.assert_allclose(
+        got["psi_term"].to_numpy(), truth["psi_term"].to_numpy()
+    )

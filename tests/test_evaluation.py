@@ -260,3 +260,39 @@ def test_weighted_gains_table_equals_replication(spark):
         np.testing.assert_allclose(
             wt[col].astype(float), rt[col].astype(float), err_msg=col
         )
+
+
+def test_weighted_zero_mass_rows_are_invisible(spark):
+    """Weight-0 rows with NaN labels or exclusive bucket membership must
+    be invisible to weighted gains/KS/AUC (0-fold replication)."""
+    import numpy as np
+    import pandas as pd
+
+    from monotonic_optimal_binning_spark.operators.evaluation import (
+        gains_table,
+        ks_auc,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "score": [0.1, 0.2, 0.6, 0.9],
+            "y": [0.0, 1.0, 0.0, 1.0],
+            "w": [1.0, 2.0, 1.0, 1.0],
+        }
+    )
+    poison = pd.DataFrame(
+        # NaN label at w=0 (0*NaN would poison sums) and a bucket that
+        # exists only through w=0 rows
+        {"score": [0.15, 0.45], "y": [np.nan, 1.0], "w": [0.0, 0.0]}
+    )
+    clean = spark.createDataFrame(pdf)
+    dirty = spark.createDataFrame(pd.concat([pdf, poison]))
+    k1 = ks_auc(clean, "score", "y", weight_col="w").collect()[0]
+    k2 = ks_auc(dirty, "score", "y", weight_col="w").collect()[0]
+    assert k1["ks"] == pytest.approx(k2["ks"])
+    assert k1["auc"] == pytest.approx(k2["auc"])
+    assert np.isfinite(k2["auc"])
+    cuts = [0.3, 0.5]
+    g1 = gains_table(clean, "score", "y", cuts, weight_col="w").toPandas()
+    g2 = gains_table(dirty, "score", "y", cuts, weight_col="w").toPandas()
+    pd.testing.assert_frame_equal(g1, g2)
