@@ -1943,6 +1943,37 @@ def q_token_budget_mix(spark, sf_dir):
     return out.select("doc_id", "source", F.col("n_tok").cast("long").alias("n_tok"))
 
 
+def q_psi_drift_weighted(spark, sf_dir):
+    """Weighted sample-vs-sample PSI (weight_col on psi/bucket_counts):
+    bucket masses are frequency-weight sums on BOTH sides; all-zero-
+    weight buckets carry no mass (operators/drift.py)."""
+    from monotonic_optimal_binning_spark.operators.drift import psi
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.when(F.col("n_chars") < 200, "s")
+        .when(F.col("n_chars") < 600, "m")
+        .otherwise("l")
+        .alias("bucket")
+    )
+    w = (F.lit(1.0) + F.pmod(F.col("doc_id"), F.lit(3))).alias("w")
+    expected = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0).select(
+        bucket, w
+    )
+    actual = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1).select(
+        bucket, w
+    )
+    out = psi(expected, actual, "bucket", weight_col="w")
+    return out.select(
+        "bucket",
+        F.round("n_expected", _R).alias("n_expected"),
+        F.round("n_actual", _R).alias("n_actual"),
+        F.round("pct_expected", _R).alias("pct_expected"),
+        F.round("pct_actual", _R).alias("pct_actual"),
+        F.round("psi_term", _R).alias("psi_term"),
+    )
+
+
 def q_psi_drift(spark, sf_dir):
     """Population stability index between two corpus slices over fixed
     n_chars buckets — the scorecard drift monitor that accompanies WoE
@@ -2213,7 +2244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequency_encode": q_frequency_encode,
         "simhash_neardup": q_simhash_neardup,
         "cosine_topk": q_cosine_topk,
-        "lsh_topk": q_lsh_topk,
+        "token_topk": q_token_topk,
         "lsh_topk_planted": q_lsh_topk_planted,
         "ivf_topk": q_ivf_topk,
         "ivf_topk_planted": q_ivf_topk_planted,
@@ -2235,6 +2266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gains_table": q_gains_table,
         "ks_auc": q_ks_auc,
         "ks_auc_weighted": q_ks_auc_weighted,
+        "psi_drift_weighted": q_psi_drift_weighted,
         "scorecard_points": q_scorecard_points,
         "reason_codes": q_reason_codes,
         "cv_metrics": q_cv_metrics,
@@ -2249,7 +2281,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bin_fit_incremental": q_bin_fit_incremental,
         "per_source_fit_incremental": q_per_source_fit_incremental,
         "asof_agg": q_asof_agg,
-        "token_topk": q_token_topk,
+        # lsh_topk (rows-only, value-checked planted twin) yielded
+        # its first-50 slot to never-checked token_topk
+        "lsh_topk": q_lsh_topk,
         # embedding_neardup (rows-only, value-checked planted twin)
         # yielded its first-50 slot to never-checked token_topk_grouped
         "embedding_neardup": q_embedding_neardup,
@@ -3736,6 +3770,37 @@ def oracle_sql() -> dict[str, str]:
             WHERE cum_before < CASE source WHEN 'src0' THEN 900
                                            WHEN 'src1' THEN 400
                                            ELSE 0 END
+        """,
+        "psi_drift_weighted": """
+            WITH b AS (
+              SELECT CASE WHEN n_chars < 200 THEN 's'
+                          WHEN n_chars < 600 THEN 'm'
+                          ELSE 'l' END AS bucket,
+                     ((doc_id % 2) + 2) % 2 AS side,
+                     1.0 + (((doc_id % 3) + 3) % 3) AS w
+              FROM documents),
+            e AS (SELECT bucket, sum(w) AS n_expected FROM b
+                  WHERE side = 0 GROUP BY bucket HAVING sum(w) > 0),
+            a AS (SELECT bucket, sum(w) AS n_actual FROM b
+                  WHERE side = 1 GROUP BY bucket HAVING sum(w) > 0),
+            j AS (
+              SELECT coalesce(e.bucket, a.bucket) AS bucket,
+                     coalesce(n_expected, 0) AS n_expected,
+                     coalesce(n_actual, 0) AS n_actual
+              FROM e FULL OUTER JOIN a ON e.bucket = a.bucket),
+            tot AS (SELECT sum(n_expected) AS te, sum(n_actual) AS ta,
+                           count(*) AS k FROM j)
+            SELECT bucket,
+                   round(n_expected, 6) AS n_expected,
+                   round(n_actual, 6) AS n_actual,
+                   round((n_expected + 0.5) / (te + 0.5 * k), 6) AS pct_expected,
+                   round((n_actual + 0.5) / (ta + 0.5 * k), 6) AS pct_actual,
+                   round(((n_actual + 0.5) / (ta + 0.5 * k)
+                          - (n_expected + 0.5) / (te + 0.5 * k))
+                         * ln(((n_actual + 0.5) / (ta + 0.5 * k))
+                              / ((n_expected + 0.5) / (te + 0.5 * k))), 6)
+                     AS psi_term
+            FROM j CROSS JOIN tot
         """,
         "psi_drift": """
             WITH b AS (
