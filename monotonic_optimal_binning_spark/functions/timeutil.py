@@ -44,7 +44,10 @@ def epoch_millis(df: DataFrame, col: str) -> Column:
         dtype = T.TimestampType()
     if isinstance(dtype, T.TimestampType):
         return F.floor(F.unix_micros(c) / F.lit(1000)).cast("long")
-    return (c.cast("double") * 1000).cast("long")
+    # floor, not cast-truncation: a negative fractional epoch second
+    # (pre-1970) must land in the same millisecond as the equivalent
+    # timestamp column, or range-frame membership shifts by 1 ms
+    return F.floor(c.cast("double") * 1000).cast("long")
 
 
 def pin_utc(spark) -> None:

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.timeutil import epoch_seconds as _ts_expr
+from .windows import check_output_names, horizon_label
 
 _SIDE = "__asof_side"
 _MATCH_TS = "__asof_matched_ts"
@@ -610,15 +611,14 @@ def asof_agg_join(
         if s not in fns:
             raise ValueError(f"unknown stat '{s}'; choose from {sorted(fns)}")
     prefix = prefix or f"{value}_h"
-    out_names = [
-        f"{prefix}{int(h)}_{s}" for h in horizons_seconds for s in stats
-    ]
-    for c in out_names:
-        if c in left.columns:
-            raise ValueError(
-                f"output column '{c}' collides with a left column; set "
-                f"prefix"
-            )
+    check_output_names(
+        left.columns,
+        [
+            f"{prefix}{horizon_label(h)}_{s}"
+            for h in horizons_seconds
+            for s in stats
+        ],
+    )
     for c in ("__ms", "__is_q", "__contrib_v"):
         if c in left.columns:
             raise ValueError(f"left column '{c}' shadows an internal name")
@@ -655,7 +655,7 @@ def asof_agg_join(
             new_cols.append(
                 fns[s](F.col("__contrib_v"))
                 .over(w)
-                .alias(f"{prefix}{int(h)}_{s}")
+                .alias(f"{prefix}{horizon_label(h)}_{s}")
             )
     aggd = both.select("*", *new_cols)
     return aggd.filter(F.col("__is_q") == 1).drop(
@@ -697,6 +697,14 @@ def asof_agg_join_bucketed(
         if s not in fns:
             raise ValueError(f"unknown stat '{s}'; choose from {sorted(fns)}")
     prefix = prefix or f"{value}_h"
+    check_output_names(
+        left.columns,
+        [
+            f"{prefix}{horizon_label(h)}_{s}"
+            for h in horizons_seconds
+            for s in stats
+        ],
+    )
     for h in horizons_seconds:
         if h <= 0:
             raise ValueError("horizons must be > 0 seconds")
@@ -741,7 +749,7 @@ def asof_agg_join_bucketed(
             *[
                 fns[s](F.col("__contrib_v"))
                 .over(w)
-                .alias(f"{prefix}{int(h)}_{s}")
+                .alias(f"{prefix}{horizon_label(h)}_{s}")
                 for s in stats
             ],
         )
@@ -800,15 +808,14 @@ def asof_decayed_join(
     if truncate_half_lives < 1:
         raise ValueError("truncate_half_lives must be >= 1")
     prefix = prefix or f"{value}_hl"
-    out_names = [
-        f"{prefix}{int(h)}_{s}" for h in half_lives_seconds for s in stats
-    ]
-    for c in out_names:
-        if c in left.columns:
-            raise ValueError(
-                f"output column '{c}' collides with a left column; set "
-                f"prefix"
-            )
+    check_output_names(
+        left.columns,
+        [
+            f"{prefix}{horizon_label(h)}_{s}"
+            for h in half_lives_seconds
+            for s in stats
+        ],
+    )
     for c in ("__ms", "__is_q", "__chunk", "__e", "__w1", "__wv"):
         if c in left.columns:
             raise ValueError(f"left column '{c}' shadows an internal name")
@@ -868,7 +875,7 @@ def asof_decayed_join(
         both = both.select(
             "*",
             *[
-                exprs[s]().alias(f"{prefix}{int(h)}_{s}")
+                exprs[s]().alias(f"{prefix}{horizon_label(h)}_{s}")
                 for s in stats
             ],
         )

@@ -86,8 +86,13 @@ class CatBins:
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "CatBins":
-        woes = {r["category"]: float(r["woe"]) for r in d["categories"]}
-        ivs = {r["category"]: float(r["iv"]) for r in d["categories"]}
+        # mirror to_dict's _f: a NaN woe/iv serializes as None and must
+        # round-trip (float(None) would crash on a legitimate artifact)
+        def _f(v):
+            return float("nan") if v is None else float(v)
+
+        woes = {r["category"]: _f(r["woe"]) for r in d["categories"]}
+        ivs = {r["category"]: _f(r["iv"]) for r in d["categories"]}
         counts = {r["category"]: int(r["count"]) for r in d["categories"]}
         bads = {r["category"]: int(r["bads"]) for r in d["categories"]}
         out = cls(

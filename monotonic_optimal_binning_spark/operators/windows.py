@@ -21,6 +21,38 @@ def _keys(key: str | Sequence[str]):
     return [key] if isinstance(key, str) else list(key)
 
 
+def horizon_label(h) -> str:
+    """Non-lossy column-name fragment for a horizon/half-life in seconds.
+
+    Integral horizons keep the bare-integer form (``3600``); fractional
+    ones use ``p`` for the decimal point (``90.2`` -> ``90p2``) so two
+    horizons sharing an integer part never alias the same output column.
+    """
+    hf = float(h)
+    if hf.is_integer():
+        return str(int(hf))
+    return repr(hf).replace(".", "p").replace("-", "m")
+
+
+def check_output_names(existing: Sequence[str], names: Sequence[str]) -> None:
+    """Generated feature names must be pairwise distinct and absent from
+    the input — a silent overwrite of a user column (or of a sibling
+    horizon's output) is the failure mode this guards."""
+    seen = set()
+    for n in names:
+        if n in seen:
+            raise ValueError(
+                f"generated output column '{n}' is not unique across "
+                f"horizons/stats; set a distinct prefix or horizons"
+            )
+        seen.add(n)
+        if n in existing:
+            raise ValueError(
+                f"output column '{n}' collides with an existing input "
+                f"column; set prefix"
+            )
+
+
 def _order_cols(ts: str, tiebreak: Sequence[str]):
     """Deterministic window ordering: event time first, then tiebreaks
     (equal timestamps otherwise make lag/lead/rolling results run-dependent)."""
@@ -437,6 +469,14 @@ def multi_horizon_features(
     for s in stats:
         if s not in fns:
             raise ValueError(f"unknown stat '{s}'; choose from {sorted(fns)}")
+    check_output_names(
+        df.columns,
+        [
+            f"{prefix}{horizon_label(h)}_{s}"
+            for h in horizons_seconds
+            for s in stats
+        ],
+    )
     end = 0 if include_current else -1
     ms = epoch_millis(df, ts)  # exact: no FP at frame boundaries
     # ALL horizon columns in one projection: sequential withColumn would
@@ -456,7 +496,9 @@ def multi_horizon_features(
         )
         for s in stats:
             new_cols.append(
-                fns[s](F.col(value)).over(w).alias(f"{prefix}{int(h)}_{s}")
+                fns[s](F.col(value))
+                .over(w)
+                .alias(f"{prefix}{horizon_label(h)}_{s}")
             )
     return df.select("*", *new_cols)
 
@@ -491,6 +533,17 @@ def multi_horizon_features_bucketed(
     for s in stats:
         if s not in fns:
             raise ValueError(f"unknown stat '{s}'; choose from {sorted(fns)}")
+    for c in ("__ms", "__chunk", "__is_q", "__g"):
+        if c in df.columns:
+            raise ValueError(f"input column '{c}' shadows an internal name")
+    check_output_names(
+        df.columns,
+        [
+            f"{prefix}{horizon_label(h)}_{s}"
+            for h in horizons_seconds
+            for s in stats
+        ],
+    )
     end = 0 if include_current else -1
     out = df
     for h in horizons_seconds:
@@ -534,7 +587,9 @@ def multi_horizon_features_bucketed(
         both = both.select(
             "*",
             *[
-                fns[s](F.col(value)).over(w).alias(f"{prefix}{int(h)}_{s}")
+                fns[s](F.col(value))
+                .over(w)
+                .alias(f"{prefix}{horizon_label(h)}_{s}")
                 for s in stats
             ],
         )
@@ -641,6 +696,14 @@ def time_decayed_features(
     for c in ("__ms", "__chunk", "__is_q", "__e", "__wv", "__w1", "__g"):
         if c in df.columns:
             raise ValueError(f"input column '{c}' shadows an internal name")
+    check_output_names(
+        df.columns,
+        [
+            f"{prefix}{horizon_label(h)}_{s}"
+            for h in half_lives_seconds
+            for s in stats
+        ],
+    )
     end = 0 if include_current else -1
     out = df
     for h in half_lives_seconds:
@@ -706,7 +769,7 @@ def time_decayed_features(
         both = both.select(
             "*",
             *[
-                exprs[s]().alias(f"{prefix}{int(h)}_{s}")
+                exprs[s]().alias(f"{prefix}{horizon_label(h)}_{s}")
                 for s in stats
             ],
         )

@@ -116,3 +116,21 @@ def test_one_scan_plan(cat_df):
     same single-aggregation lineage."""
     enc = fit_categorical_woe(cat_df, "src", "y")
     assert math.isfinite(enc.total_iv)
+
+
+def test_nan_woe_round_trips_through_json(tmp_path):
+    """ADVICE r5: to_dict serializes NaN woe/iv as None; from_dict must
+    accept that back (previously float(None) crashed on load)."""
+    enc = CatBins(
+        x="src", y="y",
+        woes={"a": 0.5, "b": float("nan")},
+        ivs={"a": 0.01, "b": float("nan")},
+        counts={"a": 10, "b": 3},
+        bads={"a": 2, "b": 0},
+        smoothing=0.5,
+    )
+    p = str(tmp_path / "cat.json")
+    enc.save_json(p)
+    back = CatBins.load_json(p)
+    assert back.woes["a"] == 0.5 and math.isnan(back.woes["b"])
+    assert math.isnan(back.ivs["b"])

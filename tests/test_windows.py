@@ -353,3 +353,72 @@ def test_multi_horizon_bucketed_equals_plain(spark):
         pd.testing.assert_frame_equal(
             bucketed[plain.columns], plain, check_dtype=False
         )
+
+
+def test_horizon_label_fractional_and_guards(spark):
+    """ADVICE r5: fractional horizons sharing an integer part must not
+    alias the same output column; internal/shadow names must be rejected;
+    output names colliding with input columns must be rejected."""
+    import pytest
+
+    from monotonic_optimal_binning_spark.operators.windows import (
+        check_output_names,
+        horizon_label,
+        multi_horizon_features,
+        multi_horizon_features_bucketed,
+    )
+
+    assert horizon_label(3600) == "3600"
+    assert horizon_label(90.0) == "90"
+    assert horizon_label(90.2) == "90p2"
+    assert horizon_label(90.7) == "90p7"
+    assert horizon_label(0.5) == "0p5"
+    assert horizon_label(90.2) != horizon_label(90.7)
+
+    pdf = pd.DataFrame({"k": [0, 0, 1], "ts": [1.0, 2.0, 3.0],
+                        "v": [1.0, 2.0, 3.0]})
+    df = spark.createDataFrame(pdf)
+
+    out = multi_horizon_features(df, "k", "ts", "v", [90.2, 90.7])
+    assert "v_h90p2_sum" in out.columns and "v_h90p7_sum" in out.columns
+    assert len(set(out.columns)) == len(out.columns)
+
+    # same horizon twice -> duplicate generated names
+    with pytest.raises(ValueError, match="not unique"):
+        multi_horizon_features(df, "k", "ts", "v", [60.0, 60])
+    # generated name hits an existing input column
+    clash = df.withColumn("v_h60_sum", F.lit(0.0))
+    with pytest.raises(ValueError, match="collides"):
+        multi_horizon_features(clash, "k", "ts", "v", [60.0])
+    # bucketed variant now guards internal names too
+    shadow = df.withColumn("__chunk", F.lit(1))
+    with pytest.raises(ValueError, match="shadows"):
+        multi_horizon_features_bucketed(shadow, "k", "ts", "v", [60.0])
+    with pytest.raises(ValueError, match="collides"):
+        multi_horizon_features_bucketed(clash, "k", "ts", "v", [60.0])
+
+    # direct helper behavior
+    check_output_names(["a"], ["b", "c"])
+    with pytest.raises(ValueError):
+        check_output_names(["a"], ["a"])
+
+
+def test_epoch_millis_numeric_negative_matches_timestamp(spark):
+    """ADVICE r5: numeric epoch seconds must FLOOR to millis like the
+    timestamp path, not truncate toward zero (pre-1970 fractional
+    seconds differed by 1 ms)."""
+    from monotonic_optimal_binning_spark.functions.timeutil import (
+        epoch_millis,
+        pin_utc,
+    )
+
+    pin_utc(spark)
+    df = spark.createDataFrame(
+        [(-0.5,), (-1.2505,), (0.5,), (1.9999,)], "sec double"
+    ).withColumn("ts", F.timestamp_seconds(F.col("sec")))
+    got = df.select(
+        epoch_millis(df, "sec").alias("num_ms"),
+        epoch_millis(df, "ts").alias("ts_ms"),
+    ).toPandas()
+    assert (got["num_ms"] == got["ts_ms"]).all()
+    assert got["num_ms"].tolist() == [-500, -1251, 500, 1999]
