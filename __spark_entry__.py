@@ -70,6 +70,7 @@ _R = 6  # float rounding for stable value-hash comparison
 _EMBED_DIM = 64  # embeddings.parquet vector length at every sf (fixed by the
 # testdata generator) — avoids a driver first() probe per LSH query
 _MEDIA_ROWS = 2000  # synthetic media table size for the media_features query
+_MEDIA_REAL_ROWS = 600  # real-bytes media table size (media_features_real)
 _MEDIA_SEED = 42
 
 from monotonic_optimal_binning_spark.operators.sampling import split_thresholds
@@ -1825,6 +1826,22 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_media_features_real(spark, sf_dir):
+    """REAL media decode end-to-end: deterministic table of actual
+    PNG/GIF/BMP/WAV container bytes (plus planted garbage rows) ->
+    pure-stdlib header parse in Arrow-batched mapInPandas -> typed row per
+    payload. Every header field in the fixture is modular arithmetic over
+    the row id, so the oracle states the expected parse in closed form —
+    a wrong width/duration/chunk-walk in the parser hash-fails here."""
+    from monotonic_optimal_binning_spark.operators.multimodal import (
+        extract_media_headers,
+        synthetic_media_table_real,
+    )
+
+    media = synthetic_media_table_real(spark, _MEDIA_REAL_ROWS)
+    return extract_media_headers(media)
+
+
 def q_pack_chunks(spark, sf_dir):
     """Concat-then-chunk sequence packing (GPT-style pretraining packing):
     documents laid end-to-end by doc_id and cut into 512-token chunks via
@@ -2229,6 +2246,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # families first). The union of consecutive CORRECTNESS files then
     # covers all entries.
     return {
+        # --- round-6 additions (never driver-checked) ---
+        "media_features_real": q_media_features_real,
         # --- (a) r4-unchecked tail (r3-era rows) + round-5 additions ---
         "fingerprint_dedup": q_fingerprint_dedup,
         "lang_id": q_lang_id,
@@ -3612,6 +3631,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(n_bytes) AS BIGINT) AS min_bytes,
                    CAST(max(n_bytes) AS BIGINT) AS max_bytes
             FROM media GROUP BY media_type
+        """,
+        "media_features_real": f"""
+            -- closed-form expectation of parse_media_header over
+            -- synthetic_media_table_real(n={_MEDIA_REAL_ROWS}): every
+            -- container-header field is modular arithmetic over the row id
+            -- (garbage rows at id % 31 = 0; else png/gif/bmp/wav by id % 4)
+            WITH m AS (
+              SELECT range AS id,
+                     printf('media-%08d', range) AS media_id,
+                     CASE WHEN range % 31 = 0 THEN 'unknown'
+                          WHEN range % 4 = 0 THEN 'png'
+                          WHEN range % 4 = 1 THEN 'gif'
+                          WHEN range % 4 = 2 THEN 'bmp'
+                          ELSE 'wav' END AS fmt
+              FROM range({_MEDIA_REAL_ROWS}))
+            SELECT media_id,
+                   fmt AS format,
+                   CAST(CASE fmt
+                     WHEN 'unknown' THEN 10 + id % 7
+                     WHEN 'png' THEN 57 + id % 50
+                     WHEN 'gif' THEN 14 + id % 30
+                     WHEN 'bmp' THEN 54 + id % 40
+                     ELSE 44 + (100 + (id*37) % 4000) * 2 * (1 + id % 2)
+                   END AS INTEGER) AS n_bytes,
+                   CAST(CASE fmt WHEN 'png' THEN 16 + (id*7) % 512
+                                 WHEN 'gif' THEN 1 + (id*5) % 300
+                                 WHEN 'bmp' THEN 1 + (id*13) % 1024
+                   END AS INTEGER) AS width,
+                   CAST(CASE fmt WHEN 'png' THEN 16 + (id*11) % 512
+                                 WHEN 'gif' THEN 1 + (id*3) % 200
+                                 WHEN 'bmp' THEN 1 + (id*17) % 768
+                   END AS INTEGER) AS height,
+                   CAST(CASE fmt WHEN 'png' THEN 8 WHEN 'gif' THEN 8
+                                 WHEN 'bmp' THEN 24 WHEN 'wav' THEN 16
+                   END AS INTEGER) AS bit_depth,
+                   CAST(CASE fmt WHEN 'png' THEN 4 WHEN 'bmp' THEN 3
+                                 WHEN 'wav' THEN 1 + id % 2
+                   END AS INTEGER) AS n_channels,
+                   CAST(CASE fmt WHEN 'wav' THEN 8000 + 1000 * (id % 5)
+                   END AS INTEGER) AS sample_rate,
+                   CAST(CASE fmt WHEN 'wav' THEN
+                     ((100 + (id*37) % 4000) * 1000) // (8000 + 1000 * (id % 5))
+                   END AS BIGINT) AS duration_ms,
+                   fmt <> 'unknown' AS valid
+            FROM m
         """,
         "pack_chunks": r"""
             -- single-node reference of the distributed two-level prefix
