@@ -52,6 +52,29 @@ def _bucketize(score, cuts: Sequence[float]):
     return expr.otherwise(F.lit(len(cuts)))
 
 
+def _auto_cuts(
+    base: DataFrame,
+    score,
+    *,
+    max_distinct: int,
+    n_buckets: int,
+    rel_err: float = 1e-4,
+):
+    """Scale guard for ``cuts=None`` (the binner's ``prebins="auto"``
+    policy, CLAUDE.md): probe distinct-score cardinality with
+    ``approx_count_distinct`` (one cheap action) and, above
+    ``max_distinct``, derive quantile cut points so the single-partition
+    ordered prefix frame is bounded at any input scale. Returns ``None``
+    when the exact distinct-score path is already safe."""
+    nd = base.agg(F.approx_count_distinct(score).alias("nd")).first()["nd"]
+    if nd <= max_distinct:
+        return None
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    qs = base.select(score.alias("__s")).approxQuantile("__s", probs, rel_err)
+    cuts = sorted({float(q) for q in qs})
+    return cuts or None
+
+
 def gains_table(
     df: DataFrame,
     score_col: str,
@@ -170,6 +193,9 @@ def ks_auc(
     *,
     cuts: Optional[Sequence[float]] = None,
     weight_col: Optional[str] = None,
+    prebins: str = "auto",
+    max_distinct: int = 16384,
+    auto_buckets: int = 4096,
 ) -> DataFrame:
     """Exact KS statistic and tie-aware AUC in one scan + one bounded
     prefix pass.  Returns a single row ``(ks, auc, n_pos, n_neg)``.
@@ -181,8 +207,13 @@ def ks_auc(
 
     NULL scores and NULL labels are excluded (no ordering information).
     With ``cuts`` the scores are pre-bucketed (bounded distinct frame at
-    any scale — see module docstring); without, the prefix runs over the
-    raw distinct scores, fine when the score is already binned/WoE.
+    any scale — see module docstring).  Without ``cuts`` the default
+    ``prebins="auto"`` probes distinct-score cardinality
+    (``approx_count_distinct``) and, above ``max_distinct``, auto-buckets
+    on ``auto_buckets`` approx quantiles so the global-order prefix
+    window is bounded at any scale; binned/WoE scores stay under the
+    probe and take the unchanged exact path.  ``prebins="exact"`` forces
+    the raw distinct-score prefix (no probe action).
 
     ``weight_col``: frequency-weighted KS/AUC — pos/neg masses become
     weight sums (weighted ECDFs; weighted Mann-Whitney
@@ -190,10 +221,16 @@ def ks_auc(
     weight k equals k-fold replication. Bad weights fail loudly in the
     scan (iv_screen's raise_error pattern); n_pos/n_neg become doubles.
     """
+    if prebins not in ("auto", "exact"):
+        raise ValueError("prebins must be 'auto' or 'exact'")
     y = F.col(y_col).cast("double")
     s = F.col(score_col).cast("double")
-    key = _bucketize(s, cuts) if cuts else s
     base = df.filter(s.isNotNull() & y.isNotNull())
+    if cuts is None and prebins == "auto":
+        cuts = _auto_cuts(
+            base, s, max_distinct=max_distinct, n_buckets=auto_buckets
+        )
+    key = _bucketize(s, cuts) if cuts else s
     if weight_col is not None:
         from .drift import _weight_expr
 
@@ -257,6 +294,9 @@ def ks_auc_grouped(
     *,
     cuts: Optional[Sequence[float]] = None,
     weight_col: Optional[str] = None,
+    prebins: str = "auto",
+    max_distinct: int = 16384,
+    auto_buckets: int = 4096,
 ) -> DataFrame:
     """Per-group KS + AUC in one scan: one row per ``group_col`` value
     with ``(group, ks, auc, n_pos, n_neg)``.
@@ -266,14 +306,22 @@ def ks_auc_grouped(
     metric stability).  Same math as :func:`ks_auc`; the prefix windows
     are PARTITIONED by group, so the per-group distinct-score frames
     process in parallel and no single task sees more than one group's
-    scores (same boundedness caveat as :func:`ks_auc` — pass ``cuts``
-    for raw continuous scores).
+    scores.  ``cuts=None`` inherits :func:`ks_auc`'s ``prebins="auto"``
+    scale guard — ONE global cardinality probe and ONE shared quantile
+    grid (cuts common across groups keep the per-group metrics
+    comparable), not a probe per group.
     """
+    if prebins not in ("auto", "exact"):
+        raise ValueError("prebins must be 'auto' or 'exact'")
     y = F.col(y_col).cast("double")
     s = F.col(score_col).cast("double")
-    key = _bucketize(s, cuts) if cuts else s
     g = F.col(group_col)
     base = df.filter(s.isNotNull() & y.isNotNull())
+    if cuts is None and prebins == "auto":
+        cuts = _auto_cuts(
+            base, s, max_distinct=max_distinct, n_buckets=auto_buckets
+        )
+    key = _bucketize(s, cuts) if cuts else s
     if weight_col is not None:
         from .drift import _weight_expr
 

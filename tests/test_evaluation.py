@@ -296,3 +296,75 @@ def test_weighted_zero_mass_rows_are_invisible(spark):
     g1 = gains_table(clean, "score", "y", cuts, weight_col="w").toPandas()
     g2 = gains_table(dirty, "score", "y", cuts, weight_col="w").toPandas()
     pd.testing.assert_frame_equal(g1, g2)
+
+
+def test_prebins_auto_is_exact_below_probe_threshold(scored):
+    """Binned/low-cardinality scores stay under the cardinality probe:
+    prebins='auto' (default) must equal prebins='exact' to the bit."""
+    df, _ = scored
+    auto = ks_auc(df, "score", "y").collect()[0]
+    exact = ks_auc(df, "score", "y", prebins="exact").collect()[0]
+    assert auto == exact
+
+
+def test_prebins_auto_bounds_high_cardinality_scores(spark):
+    """VERDICT r5 #4: with cuts=None and a raw continuous score, the
+    default must auto-bucket above max_distinct so the single-partition
+    prefix window never sees an unbounded distinct frame — and the
+    bucketed KS/AUC must approximate the exact values closely."""
+    rng = np.random.RandomState(7)
+    n = 30_000
+    y = (rng.uniform(size=n) < 0.35).astype("float64")
+    score = rng.normal(loc=y * 0.9, scale=1.0)  # ~30k distinct doubles
+    pdf = pd.DataFrame({"score": score, "y": y})
+    df = spark.createDataFrame(pdf).repartition(8)
+
+    exact = ks_auc(df, "score", "y", prebins="exact").collect()[0]
+    auto = ks_auc(
+        df, "score", "y", max_distinct=1000, auto_buckets=512
+    ).collect()[0]
+    # masses identical, metrics within the quantile-grid resolution
+    assert auto["n_pos"] == exact["n_pos"]
+    assert auto["n_neg"] == exact["n_neg"]
+    assert auto["auc"] == pytest.approx(exact["auc"], abs=5e-3)
+    assert auto["ks"] == pytest.approx(exact["ks"], abs=2e-2)
+    # deterministic: the probe + quantile grid give the same result twice
+    again = ks_auc(
+        df, "score", "y", max_distinct=1000, auto_buckets=512
+    ).collect()[0]
+    assert again == auto
+
+
+def test_prebins_auto_grouped_shares_one_grid(spark):
+    rng = np.random.RandomState(9)
+    n = 20_000
+    g = rng.randint(0, 3, size=n)
+    y = (rng.uniform(size=n) < 0.3).astype("float64")
+    score = rng.normal(loc=y * 0.8 + g * 0.1, scale=1.0)
+    pdf = pd.DataFrame({"g": g, "score": score, "y": y})
+    df = spark.createDataFrame(pdf).repartition(8)
+    exact = {
+        r["g"]: r
+        for r in ks_auc_grouped(
+            df, "score", "y", "g", prebins="exact"
+        ).collect()
+    }
+    auto = {
+        r["g"]: r
+        for r in ks_auc_grouped(
+            df, "score", "y", "g", max_distinct=1000, auto_buckets=512
+        ).collect()
+    }
+    assert set(auto) == set(exact)
+    for k in exact:
+        assert auto[k]["n_pos"] == exact[k]["n_pos"]
+        assert auto[k]["auc"] == pytest.approx(exact[k]["auc"], abs=8e-3)
+        assert auto[k]["ks"] == pytest.approx(exact[k]["ks"], abs=3e-2)
+
+
+def test_prebins_validation(scored):
+    df, _ = scored
+    with pytest.raises(ValueError, match="prebins"):
+        ks_auc(df, "score", "y", prebins="bogus")
+    with pytest.raises(ValueError, match="prebins"):
+        ks_auc_grouped(df, "score", "y", "y", prebins="bogus")
