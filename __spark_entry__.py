@@ -816,6 +816,36 @@ def q_isotonic_calibration(spark, sf_dir):
     )
 
 
+def q_isotonic_calibration_grouped(spark, sf_dir):
+    """Per-group isotonic regression (one grouped scan, k driver PAVA
+    solves) value-checked on the per-group no-merge monotone
+    construction: within every group the cell means strictly increase in
+    score, so PAVA pools nothing and calibrated(g, x) is exactly the
+    (g, x) cell mean — plain SQL for the oracle."""
+    from monotonic_optimal_binning_spark.operators.calibration import (
+        isotonic_calibrate_grouped,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.select(
+        F.pmod(F.col("user_id"), F.lit(3)).cast("long").alias("g"),
+        F.pmod(F.col("user_id"), F.lit(5)).cast("double").alias("score"),
+        (
+            F.pmod(F.col("event_id"), F.lit(100))
+            < (F.pmod(F.col("user_id"), F.lit(5)) + 1)
+            * (F.lit(10) + F.lit(3) * F.pmod(F.col("user_id"), F.lit(3)))
+        ).cast("double").alias("y"),
+    )
+    cal = isotonic_calibrate_grouped(df, "score", "y", "g", prebins="exact")
+    out = cal.transform(df)
+    return out.groupBy(
+        "g", F.col("score").cast("long").alias("score")
+    ).agg(
+        F.round(F.avg("score_calibrated"), _R).alias("calibrated"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def q_calibration_table(spark, sf_dir):
     """Reliability/ECE table over fixed cut points (p = scaled discount,
     y = returned): one hash-aggregate scan, SQL-replayable."""
@@ -2248,6 +2278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-6 additions (never driver-checked) ---
         "media_features_real": q_media_features_real,
+        "isotonic_calibration_grouped": q_isotonic_calibration_grouped,
         # --- (a) r4-unchecked tail (r3-era rows) + round-5 additions ---
         "fingerprint_dedup": q_fingerprint_dedup,
         "lang_id": q_lang_id,
@@ -2604,6 +2635,23 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(y), 6) AS calibrated,
                    count(*) AS n
             FROM d GROUP BY score
+        """,
+        "isotonic_calibration_grouped": """
+            -- per-group no-merge construction: cell means strictly
+            -- increase in score within each group, so the grouped PAVA
+            -- fit/transform reduces to plain (g, score) cell means
+            WITH d AS (
+              SELECT CAST(user_id % 3 AS BIGINT) AS g,
+                     CAST(user_id % 5 AS DOUBLE) AS score,
+                     CAST((event_id % 100) <
+                          (user_id % 5 + 1) * (10 + 3 * (user_id % 3))
+                          AS DOUBLE) AS y
+              FROM events)
+            SELECT g,
+                   CAST(score AS BIGINT) AS score,
+                   round(avg(y), 6) AS calibrated,
+                   count(*) AS n
+            FROM d GROUP BY g, score
         """,
         "calibration_table": """
             WITH base AS (

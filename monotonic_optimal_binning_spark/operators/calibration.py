@@ -37,7 +37,9 @@ from .evaluation import _bucketize
 
 __all__ = [
     "IsotonicCalibration",
+    "GroupedIsotonicCalibration",
     "isotonic_calibrate",
+    "isotonic_calibrate_grouped",
     "calibration_table",
 ]
 
@@ -147,6 +149,51 @@ AUTO_EXACT_MAX_GROUPS = 1024
 _PREBIN_DEFAULT = 256
 
 
+def _apply_prebins(base: DataFrame, prebins, prebin_relative_error: float):
+    """Shared bounded-collect policy: 'auto' probes distinct fit keys and
+    quantile-prebins above :data:`AUTO_EXACT_MAX_GROUPS`; 'exact' skips
+    the probe; an int forces that many quantile buckets. Returns the
+    (possibly rebinned) frame plus the cut array + top-bucket sentinel.
+    All non-``__s`` columns pass through untouched."""
+    if prebins == "auto":
+        probe = base.agg(
+            F.approx_count_distinct("__s").alias("n")
+        ).first()["n"]
+        prebins = None if probe <= AUTO_EXACT_MAX_GROUPS else _PREBIN_DEFAULT
+    elif prebins == "exact":
+        prebins = None
+    cuts_arr = None
+    sentinel = None
+    if prebins is not None:
+        n_q = int(prebins)
+        if n_q < 2:
+            raise ValueError("prebins must be >= 2")
+        qs = base.approxQuantile(
+            "__s", [i / n_q for i in range(1, n_q)], prebin_relative_error
+        )
+        cuts = sorted(set(qs))
+        if cuts:
+            # rebin each score to its bucket's UPPER CUT: the fit keys
+            # stay in (cut) score space and serving replays the same
+            # raw->key mapping; the top open bucket gets a finite
+            # sentinel strictly above every cut
+            sentinel = cuts[-1] + max(1.0, abs(cuts[-1]))
+            expr = None
+            for c in cuts:
+                cond = F.col("__s") < F.lit(float(c))
+                expr = (
+                    F.when(cond, F.lit(float(c)))
+                    if expr is None
+                    else expr.when(cond, F.lit(float(c)))
+                )
+            keep = [c for c in base.columns if c != "__s"]
+            base = base.select(
+                expr.otherwise(F.lit(float(sentinel))).alias("__s"), *keep
+            )
+            cuts_arr = np.asarray(cuts, dtype=float)
+    return base, cuts_arr, sentinel
+
+
 def isotonic_calibrate(
     df: DataFrame,
     score_col: str,
@@ -189,49 +236,27 @@ def isotonic_calibrate(
             s.alias("__s"), y.alias("__y")
         )
 
-    if prebins == "auto":
-        probe = base.agg(
-            F.approx_count_distinct("__s").alias("n")
-        ).first()["n"]
-        prebins = None if probe <= AUTO_EXACT_MAX_GROUPS else _PREBIN_DEFAULT
-    elif prebins == "exact":
-        prebins = None
-    cuts_arr = None
-    sentinel = None
-    if prebins is not None:
-        n_q = int(prebins)
-        if n_q < 2:
-            raise ValueError("prebins must be >= 2")
-        qs = base.approxQuantile(
-            "__s", [i / n_q for i in range(1, n_q)], prebin_relative_error
-        )
-        cuts = sorted(set(qs))
-        if cuts:
-            # rebin each score to its bucket's UPPER CUT: the fit keys
-            # stay in (cut) score space and serving replays the same
-            # raw->key mapping; the top open bucket gets a finite
-            # sentinel strictly above every cut
-            sentinel = cuts[-1] + max(1.0, abs(cuts[-1]))
-            expr = None
-            for c in cuts:
-                cond = F.col("__s") < F.lit(float(c))
-                expr = (
-                    F.when(cond, F.lit(float(c)))
-                    if expr is None
-                    else expr.when(cond, F.lit(float(c)))
-                )
-            keep = (
-                ["__y", "__w"] if weight_col is not None else ["__y"]
-            )
-            base = base.select(
-                expr.otherwise(F.lit(float(sentinel))).alias("__s"), *keep
-            )
-            cuts_arr = np.asarray(cuts, dtype=float)
+    base, cuts_arr, sentinel = _apply_prebins(
+        base, prebins, prebin_relative_error
+    )
 
+    aggs = _iso_aggs(weight_col)
+    rows = base.groupBy("__s").agg(*aggs).orderBy("__s").collect()
+    if weight_col is not None:
+        rows = [r for r in rows if r["n"] > 0]
+    return _solve_iso(
+        rows, score_col, sign=sign, strict=strict,
+        cuts_arr=cuts_arr, sentinel=sentinel,
+    )
+
+
+def _iso_aggs(weight_col: Optional[str]):
+    """Per-distinct-score sufficient statistics (algebraic, map-side
+    combinable) shared by the global and grouped isotonic fits."""
     if weight_col is not None:
         wc = F.col("__w")
         pos = wc > 0  # zero-weight rows define no extrema
-        aggs = [
+        return [
             F.coalesce(F.sum(wc), F.lit(0.0)).alias("n"),
             F.sum(F.when(pos, wc * F.col("__y"))).alias("sy"),
             F.sum(
@@ -240,17 +265,20 @@ def isotonic_calibrate(
             F.min(F.when(pos, F.col("__y"))).alias("mn"),
             F.max(F.when(pos, F.col("__y"))).alias("mx"),
         ]
-    else:
-        aggs = [
-            F.count("__y").alias("n"),
-            F.sum("__y").alias("sy"),
-            F.sum(F.col("__y") * F.col("__y")).alias("sy2"),
-            F.min("__y").alias("mn"),
-            F.max("__y").alias("mx"),
-        ]
-    rows = base.groupBy("__s").agg(*aggs).orderBy("__s").collect()
-    if weight_col is not None:
-        rows = [r for r in rows if r["n"] > 0]
+    return [
+        F.count("__y").alias("n"),
+        F.sum("__y").alias("sy"),
+        F.sum(F.col("__y") * F.col("__y")).alias("sy2"),
+        F.min("__y").alias("mn"),
+        F.max("__y").alias("mx"),
+    ]
+
+
+def _solve_iso(
+    rows, score_col, *, sign, strict, cuts_arr, sentinel
+) -> IsotonicCalibration:
+    """Driver-side PAVA solve over collected per-score stats rows
+    (must already be sorted by ``__s``)."""
     groups = [
         GroupStats(
             x=float(r["__s"]),
@@ -273,6 +301,159 @@ def isotonic_calibrate(
         n_groups=len(groups),
         cuts=cuts_arr,
         cut_sentinel=sentinel,
+    )
+
+
+@dataclass
+class GroupedIsotonicCalibration:
+    """Per-group fitted isotonic step functions (one
+    :class:`IsotonicCalibration` per group value; kilobytes per group,
+    ships inside the serving UDF). Unknown/NULL groups calibrate to NULL
+    — at serving time an unseen segment has no fitted curve, and a loud
+    NaN beats a silently-global answer."""
+
+    group_col: str
+    score_col: str
+    models: dict
+
+    def transform(
+        self,
+        df: DataFrame,
+        input_col: Optional[str] = None,
+        output_col: Optional[str] = None,
+        group_col: Optional[str] = None,
+    ) -> DataFrame:
+        input_col = input_col or self.score_col
+        output_col = output_col or f"{input_col}_calibrated"
+        gcol = group_col or self.group_col
+        models = self.models
+
+        @F.pandas_udf("double")
+        def _cal(g: pd.Series, sc: pd.Series) -> pd.Series:
+            out = pd.Series(np.nan, index=sc.index, dtype=float)
+            for gv, idx in g.groupby(g, dropna=True).groups.items():
+                m = models.get(gv)
+                if m is not None:
+                    out.loc[idx] = m.predict_batch(
+                        sc.loc[idx]
+                    ).to_numpy()
+            return out
+
+        return df.withColumn(
+            output_col, _cal(F.col(gcol), F.col(input_col))
+        )
+
+    def to_dict(self) -> dict:
+        for k in self.models:
+            if not isinstance(k, (str, int, float, bool, type(None))):
+                raise ValueError(
+                    f"group key {k!r} ({type(k).__name__}) is not "
+                    f"JSON-serializable; cast the group column first"
+                )
+        return {
+            "group_col": self.group_col,
+            "score_col": self.score_col,
+            "groups": [
+                {"key": k, "model": m.to_dict()}
+                for k, m in self.models.items()
+            ],
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "GroupedIsotonicCalibration":
+        return cls(
+            group_col=d["group_col"],
+            score_col=d["score_col"],
+            models={
+                g["key"]: IsotonicCalibration.from_dict(g["model"])
+                for g in d["groups"]
+            },
+        )
+
+    def save_json(self, path: str) -> None:
+        tmp = f"{path}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.to_dict(), f, indent=2, allow_nan=False)
+        os.replace(tmp, path)
+
+    @classmethod
+    def load_json(cls, path: str) -> "GroupedIsotonicCalibration":
+        with open(path) as f:
+            return cls.from_dict(json.load(f))
+
+
+def isotonic_calibrate_grouped(
+    df: DataFrame,
+    score_col: str,
+    y_col: str,
+    group_col: str,
+    *,
+    sign: str = "auto",
+    strict: bool = False,
+    prebins: object = "auto",
+    prebin_relative_error: float = 0.001,
+    weight_col: Optional[str] = None,
+    max_collect: int = 200_000,
+) -> GroupedIsotonicCalibration:
+    """Per-group isotonic regression in ONE grouped scan (the
+    ``fit_binners_per_group`` pattern): ``groupBy(group, score)`` reduces
+    every group's data to per-distinct-score sufficient statistics
+    simultaneously, then k independent driver-side PAVA solves — adding a
+    group adds zero scans. NULL groups are excluded (no segment to
+    calibrate).
+
+    ``prebins='auto'`` probes GLOBAL distinct-score cardinality and,
+    above the exact threshold, prebins on ONE shared quantile grid — a
+    common key space keeps per-group curves comparable and costs one
+    probe, not one per group. The driver collect is bounded by
+    ``max_collect`` total (group, score) stat rows and fails loudly
+    beyond it (raise the limit or coarsen ``prebins`` for extreme
+    group × score cardinality).
+    """
+    s = F.col(score_col).cast("double")
+    y = F.col(y_col).cast("double")
+    g = F.col(group_col)
+    cols = [g.alias("__g"), s.alias("__s"), y.alias("__y")]
+    if weight_col is not None:
+        from .drift import _weight_expr
+
+        cols.append(
+            _weight_expr(weight_col, "isotonic_calibrate_grouped").alias(
+                "__w"
+            )
+        )
+    base = df.filter(
+        s.isNotNull() & y.isNotNull() & g.isNotNull()
+    ).select(*cols)
+    base, cuts_arr, sentinel = _apply_prebins(
+        base, prebins, prebin_relative_error
+    )
+    rows = (
+        base.groupBy("__g", "__s")
+        .agg(*_iso_aggs(weight_col))
+        .limit(max_collect + 1)
+        .collect()
+    )
+    if len(rows) > max_collect:
+        raise ValueError(
+            f"isotonic_calibrate_grouped: > {max_collect} (group, score) "
+            f"stat rows; raise max_collect or coarsen prebins"
+        )
+    per_group: dict = {}
+    for r in rows:
+        if weight_col is not None and not r["n"] > 0:
+            continue  # zero-weight-only score group carries no mass
+        per_group.setdefault(r["__g"], []).append(r)
+    models = {
+        gv: _solve_iso(
+            sorted(grows, key=lambda r: r["__s"]), score_col,
+            sign=sign, strict=strict, cuts_arr=cuts_arr,
+            sentinel=sentinel,
+        )
+        for gv, grows in per_group.items()
+    }
+    return GroupedIsotonicCalibration(
+        group_col=group_col, score_col=score_col, models=models
     )
 
 

@@ -204,3 +204,121 @@ def test_weighted_calibration_table_equals_replication(spark):
         np.testing.assert_allclose(
             wt[col].astype(float), rt[col].astype(float), err_msg=col
         )
+
+
+# ------------------------------------------------ grouped isotonic ----
+
+
+@pytest.fixture(scope="module")
+def grouped_scores(spark):
+    rng = np.random.RandomState(21)
+    n = 9000
+    g = rng.randint(0, 3, n)
+    score = rng.randint(0, 20, n).astype("float64")
+    # per-group DIFFERENT monotone relationship (slopes and intercepts)
+    p = np.clip(0.05 + (0.2 + 0.25 * g) * score / 19.0, 0, 0.95)
+    y = (rng.uniform(size=n) < p).astype("float64")
+    pdf = pd.DataFrame({"g": g, "score": score, "y": y})
+    pdf.loc[pdf.index % 41 == 0, "score"] = np.nan
+    return spark.createDataFrame(pdf).repartition(8), pdf
+
+
+def test_grouped_fit_equals_per_group_global_fit(grouped_scores):
+    """One grouped scan + k driver solves must equal k independent
+    global fits on the filtered slices — exactly."""
+    from monotonic_optimal_binning_spark.operators.calibration import (
+        isotonic_calibrate_grouped,
+    )
+
+    df, _ = grouped_scores
+    gcal = isotonic_calibrate_grouped(
+        df, "score", "y", "g", prebins="exact"
+    )
+    assert set(gcal.models) == {0, 1, 2}
+    for gv in (0, 1, 2):
+        solo = isotonic_calibrate(
+            df.filter(F.col("g") == gv), "score", "y", prebins="exact"
+        )
+        m = gcal.models[gv]
+        np.testing.assert_array_equal(m.bounds, solo.bounds)
+        np.testing.assert_array_equal(m.values, solo.values)
+        assert m.resolved_sign == solo.resolved_sign
+        assert m.n_groups == solo.n_groups
+
+
+def test_grouped_transform_routes_and_nulls(grouped_scores, tmp_path):
+    from monotonic_optimal_binning_spark.operators.calibration import (
+        GroupedIsotonicCalibration,
+        isotonic_calibrate_grouped,
+    )
+
+    df, _ = grouped_scores
+    gcal = isotonic_calibrate_grouped(
+        df, "score", "y", "g", prebins="exact"
+    )
+    # JSON round trip serves identically
+    p = str(tmp_path / "gcal.json")
+    gcal.save_json(p)
+    back = GroupedIsotonicCalibration.load_json(p)
+
+    probe = df.sparkSession.createDataFrame(
+        pd.DataFrame(
+            {"g": [0, 1, 2, 7, None], "score": [5.0, 5.0, 5.0, 5.0, 5.0]}
+        )
+    )
+    for model in (gcal, back):
+        rows = {
+            (r["g"]): r["score_calibrated"]
+            for r in model.transform(probe).collect()
+        }
+        # same score, different group -> different curve
+        assert rows[0] != rows[1] != rows[2]
+        for gv in (0, 1, 2):
+            exp = gcal.models[gv].predict_batch(pd.Series([5.0]))[0]
+            assert rows[gv] == pytest.approx(exp, abs=1e-12)
+        assert rows[7] is None  # unseen group
+        assert rows[None] is None  # null group
+
+
+def test_grouped_weighted_equals_replication(spark):
+    from monotonic_optimal_binning_spark.operators.calibration import (
+        isotonic_calibrate_grouped,
+    )
+
+    rng = np.random.RandomState(5)
+    n = 800
+    pdf = pd.DataFrame(
+        {
+            "g": rng.randint(0, 2, n),
+            "score": rng.randint(0, 8, n).astype("float64"),
+            "y": (rng.uniform(size=n) < 0.4).astype("float64"),
+            "w": rng.randint(1, 4, n).astype("float64"),
+        }
+    )
+    rep = pdf.loc[pdf.index.repeat(pdf["w"].astype(int))].drop(columns="w")
+    a = isotonic_calibrate_grouped(
+        spark.createDataFrame(pdf), "score", "y", "g",
+        prebins="exact", weight_col="w",
+    )
+    b = isotonic_calibrate_grouped(
+        spark.createDataFrame(rep), "score", "y", "g", prebins="exact"
+    )
+    for gv in a.models:
+        np.testing.assert_allclose(
+            a.models[gv].values, b.models[gv].values, rtol=1e-12
+        )
+        np.testing.assert_array_equal(
+            a.models[gv].bounds, b.models[gv].bounds
+        )
+
+
+def test_grouped_collect_guard(grouped_scores):
+    from monotonic_optimal_binning_spark.operators.calibration import (
+        isotonic_calibrate_grouped,
+    )
+
+    df, _ = grouped_scores
+    with pytest.raises(ValueError, match="max_collect"):
+        isotonic_calibrate_grouped(
+            df, "score", "y", "g", prebins="exact", max_collect=10
+        )
