@@ -40,15 +40,20 @@ def _spark(app: str) -> SparkSession:
     return SparkSession.builder.appName(app).getOrCreate()
 
 
-def _read_input(spark: SparkSession, target: str):
-    """Parquet path (contains a '/') or catalog table identifier. Note the
-    heuristic's one quirk in one place: a bare relative filename with no
-    separator reads as a TABLE name — pass paths absolute."""
-    return (
-        spark.read.parquet(target)
-        if "/" in target
-        else spark.read.table(target)
-    )
+def _read_input(
+    spark: SparkSession, target: str, fmt: str = None, options: str = None
+):
+    """Route --input through sources.tables.read_table: parquet path /
+    catalog identifier (Iceberg when a catalog is configured) / forced
+    --input-format DataSource with comma-separated --input-options
+    ``k=v`` reader options. Bare relative filenames with no separator
+    read as TABLE names — pass paths absolute."""
+    from .sources.tables import read_table
+
+    opts = None
+    if options:
+        opts = dict(kv.split("=", 1) for kv in options.split(","))
+    return read_table(spark, target, fmt=fmt, options=opts)
 
 
 def _parse_prebins(v: str):
@@ -67,7 +72,7 @@ def fit_woe_job(args) -> None:
     pin_utc(spark)
     run = PipelineRun(root=args.workdir)
 
-    df = _read_input(spark, args.input)
+    df = _read_input(spark, args.input, getattr(args, "input_format", None), getattr(args, "input_options", None))
 
     constraints = BinningConstraints(
         max_bins=args.max_bins, min_bins=args.min_bins,
@@ -270,7 +275,7 @@ def fit_incremental_job(args) -> None:
         if already:
             stats = prior
         else:
-            df = _read_input(spark, args.input)
+            df = _read_input(spark, args.input, getattr(args, "input_format", None), getattr(args, "input_options", None))
             stats = collect_group_stats(
                 df, args.group_col, args.x, args.y,
                 prior=prior, label=label, prebins=args.prebins,
@@ -316,7 +321,7 @@ def fit_incremental_job(args) -> None:
         if already:
             stats = prior
         else:
-            df = _read_input(spark, args.input)
+            df = _read_input(spark, args.input, getattr(args, "input_format", None), getattr(args, "input_options", None))
             stats = binner.collect_stats(df, prior=prior, label=label)
             _atomic_json_save(stats, stats_path)
         binner.fit_from_stats(stats)
@@ -360,7 +365,7 @@ def dedup_job(args) -> None:
     up LSH buckets (operators/dedup.py bucket cap notes)."""
     spark = _spark("mob-dedup")
     run = PipelineRun(root=args.workdir)
-    df = _read_input(spark, args.input)
+    df = _read_input(spark, args.input, getattr(args, "input_format", None), getattr(args, "input_options", None))
 
     from .operators.dedup import exact_dedup, minhash_dedup, paragraph_dedup
 
@@ -468,7 +473,7 @@ def quality_filter_job(args) -> None:
 
     spark = _spark("mob-quality-filter")
     run = PipelineRun(root=args.workdir)
-    df = _read_input(spark, args.input)
+    df = _read_input(spark, args.input, getattr(args, "input_format", None), getattr(args, "input_options", None))
 
     def featured():
         feats = repetition_features(
@@ -560,7 +565,7 @@ def drift_job(args) -> None:
 
     spark = _spark("mob-drift")
     run = PipelineRun(root=args.workdir)
-    df = _read_input(spark, args.input)
+    df = _read_input(spark, args.input, getattr(args, "input_format", None), getattr(args, "input_options", None))
     with open(args.model) as f:
         payload = _json.load(f)
     grouped = _bins_artifact_kind(payload, args.model) == "grouped"
@@ -728,7 +733,7 @@ def transform_job(args) -> None:
 
     spark = _spark("mob-transform")
     run = PipelineRun(root=args.workdir)
-    df = _read_input(spark, args.input)
+    df = _read_input(spark, args.input, getattr(args, "input_format", None), getattr(args, "input_options", None))
     with open(args.model) as f:
         payload = _json.load(f)
     if _bins_artifact_kind(payload, args.model) == "grouped":
@@ -770,7 +775,7 @@ def score_job(args) -> None:
 
     spark = _spark("mob-score")
     run = PipelineRun(root=args.workdir)
-    df = _read_input(spark, args.input)
+    df = _read_input(spark, args.input, getattr(args, "input_format", None), getattr(args, "input_options", None))
     card = Scorecard.load_json(args.scorecard)
     if args.reasons:
         build = lambda: card.reason_codes(  # noqa: E731
@@ -811,7 +816,7 @@ def screen_job(args) -> None:
 
     spark = _spark("mob-screen")
     run = PipelineRun(root=args.workdir)
-    df = _read_input(spark, args.input)
+    df = _read_input(spark, args.input, getattr(args, "input_format", None), getattr(args, "input_options", None))
 
     weight_col = getattr(args, "weight_col", None)
     if args.features.strip().lower() == "auto":
@@ -948,7 +953,7 @@ def profile_job(args) -> None:
 
     spark = _spark("mob-profile")
     run = PipelineRun(root=args.workdir)
-    df = _read_input(spark, args.input)
+    df = _read_input(spark, args.input, getattr(args, "input_format", None), getattr(args, "input_options", None))
 
     cols = (
         [c.strip() for c in args.columns.split(",") if c.strip()]
@@ -989,7 +994,7 @@ def pack_job(args) -> None:
     checkpoint stage (resume skips completed stages)."""
     spark = _spark("mob-pack")
     run = PipelineRun(root=args.workdir)
-    df = _read_input(spark, args.input)
+    df = _read_input(spark, args.input, getattr(args, "input_format", None), getattr(args, "input_options", None))
 
     from .operators.packing import pack_sequences
 
@@ -1027,7 +1032,7 @@ def mix_job(args) -> None:
 
     spark = _spark("mob-mix")
     run = PipelineRun(root=args.workdir)
-    df = _read_input(spark, args.input)
+    df = _read_input(spark, args.input, getattr(args, "input_format", None), getattr(args, "input_options", None))
 
     sample_dir = os.path.join(args.workdir, "stage_mix_sample")
     budgets = {}
@@ -1115,7 +1120,7 @@ def scale_job(args) -> None:
 
     spark = _spark("mob-scale")
     run = PipelineRun(root=args.workdir)
-    df = _read_input(spark, args.input)
+    df = _read_input(spark, args.input, getattr(args, "input_format", None), getattr(args, "input_options", None))
 
     if args.cols.strip().lower() == "auto":
         from pyspark.sql.types import NumericType
@@ -1227,7 +1232,7 @@ def ann_job(args) -> None:
     spark = _spark("mob-ann")
     run = PipelineRun(root=args.workdir)
 
-    corpus = _read_input(spark, args.input)
+    corpus = _read_input(spark, args.input, getattr(args, "input_format", None), getattr(args, "input_options", None))
     queries = _read_input(spark, args.queries)
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -1603,6 +1608,21 @@ def main(argv: Optional[list] = None) -> None:
     an.add_argument("--train-fraction", type=float, default=None,
                     help="sample fraction for the codebook fit")
     an.set_defaults(func=ann_job)
+
+    # every job reads --input through sources.tables.read_table; the
+    # optional format override (e.g. 'iceberg' for a Hadoop-located
+    # Iceberg table, 'orc', 'csv') applies uniformly
+    for sp in sub.choices.values():
+        sp.add_argument(
+            "--input-format", default=None, dest="input_format",
+            help="force a DataSource for --input (e.g. iceberg, orc); "
+                 "default routes parquet paths vs catalog identifiers",
+        )
+        sp.add_argument(
+            "--input-options", default=None, dest="input_options",
+            help="comma-separated reader options k=v "
+                 "(e.g. header=true,inferSchema=true)",
+        )
 
     args = p.parse_args(argv)
     args.func(args)

@@ -34,6 +34,42 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def read_table(
+    spark: SparkSession,
+    ref: str,
+    *,
+    fmt: str = None,
+    options: dict = None,
+) -> DataFrame:
+    """One router for every table reference the jobs accept
+    (BASELINE.json names Iceberg tables as the production input):
+
+    - a PATH (contains ``/``, ends in ``.parquet``, or exists on disk)
+      reads as parquet files;
+    - anything else is a CATALOG identifier via ``spark.read.table`` —
+      which transparently resolves Iceberg tables when an Iceberg
+      catalog is configured (``spark.sql.catalog.<name>`` +
+      runtime jar; ``cat.db.tbl`` then reads through Iceberg's own
+      DataSource with partition pruning/metadata filtering), and plain
+      Hive/in-memory catalog tables (e.g. :func:`save_bucketed` outputs,
+      keeping their zero-shuffle bucketing metadata) otherwise;
+    - ``fmt`` forces a path-based DataSource instead
+      (``spark.read.format(fmt).load(ref)`` — e.g. ``"iceberg"`` for a
+      Hadoop-located Iceberg table, ``"orc"``, ``"csv"``).
+
+    Downstream operators are storage-agnostic: same DataFrame whichever
+    branch fires.
+    """
+    reader = spark.read
+    if options:
+        reader = reader.options(**options)
+    if fmt is not None:
+        return reader.format(fmt).load(ref)
+    if "/" in ref or ref.endswith(".parquet") or os.path.exists(ref):
+        return reader.parquet(ref)
+    return reader.table(ref)
+
+
 def save_bucketed(
     df: DataFrame,
     table_name: str,
