@@ -1659,8 +1659,11 @@ def q_cosine_topk(spark, sf_dir):
 
 
 def q_lsh_topk(spark, sf_dir):
-    """Approximate ANN via banded random-hyperplane LSH + exact re-score
-    (candidate set is engine-specific -> rows-only)."""
+    """Approximate ANN via banded random-hyperplane LSH + exact re-score.
+    VALUE-CHECKED since r6: the planes are deterministic driver literals
+    and the xxhash64 bucket is only an equi-join key for bit-slice
+    equality, so the oracle re-derives the exact candidate set + top-k in
+    ANSI SQL (_hyperplane_lsh_cte)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -1805,7 +1808,9 @@ def q_ivf_topk_loaded(spark, sf_dir):
 
 def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs via hyperplane-LSH candidates +
-    exact re-score (candidate set is probabilistic -> rows-only)."""
+    exact re-score. VALUE-CHECKED since r6: the oracle re-derives the
+    banded candidate set from the same deterministic plane literals
+    (_hyperplane_lsh_cte) and re-scores it exactly."""
     emb = load_table(spark, sf_dir, "embeddings")
     # synthetic embeddings are near-orthogonal (max pairwise cosine ~0.51 at
     # sf0.01), so 0.4 exercises the candidate->verify path with real output
@@ -2279,72 +2284,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-6 additions (never driver-checked) ---
         "media_features_real": q_media_features_real,
         "isotonic_calibration_grouped": q_isotonic_calibration_grouped,
-        # --- (a) r4-unchecked tail (r3-era rows) + round-5 additions ---
-        "fingerprint_dedup": q_fingerprint_dedup,
-        "lang_id": q_lang_id,
-        "minhash_pairs": q_minhash_pairs,
-        "minhash_pairs_planted": q_minhash_planted,
-        "embedding_neardup_planted": q_embedding_neardup_planted,
-        "hash_encode": q_hash_encode,
-        "ngram_jaccard": q_ngram_jaccard,
-        "ngram_containment": q_ngram_containment,
-        "ngram_jaccard_maxdf": q_ngram_jaccard_maxdf,
-        "dedup_clusters": q_dedup_clusters,
-        "tfidf_topk": q_tfidf_topk,
-        "frequency_encode": q_frequency_encode,
-        "simhash_neardup": q_simhash_neardup,
-        "cosine_topk": q_cosine_topk,
-        "token_topk": q_token_topk,
-        "lsh_topk_planted": q_lsh_topk_planted,
-        "ivf_topk": q_ivf_topk,
-        "ivf_topk_planted": q_ivf_topk_planted,
-        "token_topk_grouped": q_token_topk_grouped,
-        # --- round-5 additions (never driver-checked before) ---
-        "simhash_banded_fp": q_simhash_banded_fp,
-        "bin_fit_weighted": q_bin_fit_weighted,
-        "feature_scale": q_feature_scale,
-        "woe_churn": q_woe_churn,
-        "ivf_topk_loaded": q_ivf_topk_loaded,
-        "iv_screen": q_iv_screen,
-        "iv_screen_weighted": q_iv_screen_weighted,
-        "iv_screen_grouped": q_iv_screen_grouped,
-        "iv_screen_categorical": q_iv_screen_categorical,
-        "corr_matrix": q_corr_matrix,
-        "profile_docs": q_profile_docs,
-        "categorical_woe": q_categorical_woe,
-        "target_encode": q_target_encode,
-        "gains_table": q_gains_table,
+        # --- rows-only -> value-checked conversions this round (also the
+        # stalest entries: last driver rows are r3-era) ---
+        "lsh_topk": q_lsh_topk,
+        "embedding_neardup": q_embedding_neardup,
+        # --- remaining r3-era stale rows (still rows-only by design:
+        # xxhash64 fingerprints aren't ANSI-SQL-reproducible) ---
+        "simhash_dedup": q_simhash_dedup,
+        "lsh_bucket_audit": q_lsh_bucket_audit,
+        # --- r5-green queries whose CODE changed this round (ks_auc
+        # prebins='auto' scale guard; horizon_label naming; media_type
+        # made optional) — re-attest on current code ---
         "ks_auc": q_ks_auc,
         "ks_auc_weighted": q_ks_auc_weighted,
-        "psi_drift_weighted": q_psi_drift_weighted,
-        "scorecard_points": q_scorecard_points,
-        "reason_codes": q_reason_codes,
         "cv_metrics": q_cv_metrics,
-        "isotonic_calibration": q_isotonic_calibration,
-        "calibration_table": q_calibration_table,
         "multi_horizon": q_multi_horizon,
         "multi_horizon_bucketed": q_multi_horizon_bucketed,
         "time_decayed": q_time_decayed,
         "asof_decayed": q_asof_decayed,
-        "snapshot": q_snapshot,
-        "intervalize": q_intervalize,
-        "bin_fit_incremental": q_bin_fit_incremental,
-        "per_source_fit_incremental": q_per_source_fit_incremental,
         "asof_agg": q_asof_agg,
-        # lsh_topk (rows-only, value-checked planted twin) yielded
-        # its first-50 slot to never-checked token_topk
-        "lsh_topk": q_lsh_topk,
-        # embedding_neardup (rows-only, value-checked planted twin)
-        # yielded its first-50 slot to never-checked token_topk_grouped
-        "embedding_neardup": q_embedding_neardup,
-        # simhash_dedup (rows-only, value-checked planted twin) yielded
-        # its first-50 slot to never-checked frequency_encode
-        "simhash_dedup": q_simhash_dedup,
-        # lsh_bucket_audit (rows-only diagnostic, green r3) yielded its
-        # first-50 slot to hash_encode, which has never had a driver row
-        "lsh_bucket_audit": q_lsh_bucket_audit,
-        # --- (b) green in r4, oldest prior verification first ---
         "media_features": q_media_features,
+        # --- stalest green block (last checked r4), oldest families
+        # first; the tail past position 49 rotates in next round ---
         "tpch_q1": q_tpch_q1,
         "join_topk": q_join_topk,
         "rollup": q_rollup,
@@ -2380,6 +2341,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "lag_lead": q_lag_lead,
         "lag_lead_bucketed": q_lag_lead_bucketed,
+        # ---------------- position 50+: not checked this round ----------
+        # r4-green tail (rotates into the window next round)
         "backfill": q_backfill,
         "backfill_bucketed": q_backfill_bucketed,
         "sessionize": q_sessionize,
@@ -2394,14 +2357,150 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "bpe_token_count": q_bpe_token_count,
         "quality": q_quality,
+        # r5-green block (freshest rows, unchanged code)
+        "fingerprint_dedup": q_fingerprint_dedup,
+        "lang_id": q_lang_id,
+        "minhash_pairs": q_minhash_pairs,
+        "minhash_pairs_planted": q_minhash_planted,
+        "embedding_neardup_planted": q_embedding_neardup_planted,
+        "hash_encode": q_hash_encode,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ngram_containment": q_ngram_containment,
+        "ngram_jaccard_maxdf": q_ngram_jaccard_maxdf,
+        "dedup_clusters": q_dedup_clusters,
+        "tfidf_topk": q_tfidf_topk,
+        "frequency_encode": q_frequency_encode,
+        "simhash_neardup": q_simhash_neardup,
+        "cosine_topk": q_cosine_topk,
+        "token_topk": q_token_topk,
+        "lsh_topk_planted": q_lsh_topk_planted,
+        "ivf_topk": q_ivf_topk,
+        "ivf_topk_planted": q_ivf_topk_planted,
+        "token_topk_grouped": q_token_topk_grouped,
+        # --- round-5 additions (never driver-checked before) ---
+        "simhash_banded_fp": q_simhash_banded_fp,
+        "bin_fit_weighted": q_bin_fit_weighted,
+        "feature_scale": q_feature_scale,
+        "woe_churn": q_woe_churn,
+        "ivf_topk_loaded": q_ivf_topk_loaded,
+        "iv_screen": q_iv_screen,
+        "iv_screen_weighted": q_iv_screen_weighted,
+        "iv_screen_grouped": q_iv_screen_grouped,
+        "iv_screen_categorical": q_iv_screen_categorical,
+        "corr_matrix": q_corr_matrix,
+        "profile_docs": q_profile_docs,
+        "categorical_woe": q_categorical_woe,
+        "target_encode": q_target_encode,
+        "gains_table": q_gains_table,
+        "psi_drift_weighted": q_psi_drift_weighted,
+        "scorecard_points": q_scorecard_points,
+        "reason_codes": q_reason_codes,
+        "isotonic_calibration": q_isotonic_calibration,
+        "calibration_table": q_calibration_table,
+        "snapshot": q_snapshot,
+        "intervalize": q_intervalize,
+        "bin_fit_incremental": q_bin_fit_incremental,
+        "per_source_fit_incremental": q_per_source_fit_incremental,
     }
 
 
 # ------------------------------------------------------------- oracles ----
 
 
+def _hyperplane_lsh_cte(n_planes: int = 16, n_bands: int = 8) -> str:
+    """Shared oracle CTE re-deriving the hyperplane-LSH banding in ANSI
+    SQL: the planes are deterministic driver-side literals (seeded numpy,
+    similarity._hyperplanes — same floats the engine inlines into its
+    plan), sign bits come from double dot products, and the band
+    "bucket" is the bit-slice VALUE itself — the engine's xxhash64 of
+    that slice is just an equi-join key, so slice equality is the same
+    candidate set (modulo a ~2^-64 hash collision). This is what turns
+    lsh_topk / embedding_neardup from rows-only into value-checked."""
+    from monotonic_optimal_binning_spark.operators.similarity import (
+        _hyperplanes,
+    )
+
+    planes = _hyperplanes(_EMBED_DIM, n_planes, 42)
+    rpb = n_planes // n_bands
+    bit_exprs = ",\n                     ".join(
+        "CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(float(x)) for x in p)
+        + "]) >= 0 THEN 1 ELSE 0 END"
+        for p in planes
+    )
+    sig_entries = ", ".join(
+        "("
+        + " + ".join(
+            f"b[{band * rpb + i + 1}] * {1 << (rpb - 1 - i)}"
+            for i in range(rpb)
+        )
+        + ")"
+        for band in range(n_bands)
+    )
+    return f"""
+            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings WHERE embedding IS NOT NULL),
+            bits AS (
+              SELECT vec_id, v,
+                   [{bit_exprs}] AS b
+              FROM e),
+            sigs AS (SELECT vec_id, [{sig_entries}] AS sig FROM bits),
+            bk AS (
+              SELECT vec_id, g.band AS band, sig[g.band + 1] AS bucket
+              FROM sigs,
+                   (SELECT CAST(range AS INT) AS band
+                    FROM range({n_bands})) g)"""
+
+
 def oracle_sql() -> dict[str, str]:
+    lsh_cte = _hyperplane_lsh_cte()
     d = {
+        "lsh_topk": f"""
+            -- full re-derivation of the banded hyperplane-LSH candidate
+            -- set + exact cosine top-5 (see _hyperplane_lsh_cte)
+            WITH {lsh_cte},
+            cand AS (
+              SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+              FROM bk q JOIN bk c
+                ON q.band = c.band AND q.bucket = c.bucket
+              WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+            scored AS (
+              SELECT cand.query_id, cand.neighbor_id,
+                     list_dot_product(qe.v, ce.v) /
+                       (sqrt(list_dot_product(qe.v, qe.v)) *
+                        sqrt(list_dot_product(ce.v, ce.v))) AS cosine
+              FROM cand
+              JOIN e qe ON qe.vec_id = cand.query_id
+              JOIN e ce ON ce.vec_id = cand.neighbor_id)
+            SELECT query_id, neighbor_id,
+                   round(cosine, 6) AS cosine,
+                   CAST(rank AS BIGINT) AS rank
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS rank
+                  FROM scored)
+            WHERE rank <= 5
+        """,
+        "embedding_neardup": f"""
+            -- same banding re-derivation; pairs sharing any band bucket,
+            -- exactly re-scored, thresholded at 0.4
+            WITH {lsh_cte},
+            cand AS (
+              SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+              FROM bk a JOIN bk b2
+                ON a.band = b2.band AND a.bucket = b2.bucket
+              WHERE a.vec_id < b2.vec_id),
+            scored AS (
+              SELECT id_a, id_b,
+                     list_dot_product(ae.v, be.v) /
+                       (sqrt(list_dot_product(ae.v, ae.v)) *
+                        sqrt(list_dot_product(be.v, be.v))) AS cosine
+              FROM cand
+              JOIN e ae ON ae.vec_id = cand.id_a
+              JOIN e be ON be.vec_id = cand.id_b)
+            SELECT id_a, id_b, round(cosine, 6) AS cosine
+            FROM scored WHERE cosine >= 0.4
+        """,
         "group_stats": """
             SELECT round(l_quantity, 6) AS x,
                    count(*) AS n,

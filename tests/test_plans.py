@@ -303,3 +303,52 @@ def test_ghost_chunk_ops_scale_linearly_in_horizons(spark):
     plan3 = plan_of(dec, "simple")
     assert plan3.count("Window") == 2, plan3
     assert plan3.count("FileScan") == 1, plan3
+
+
+def test_unweighted_paths_carry_no_weight_plumbing(spark):
+    """VERDICT r5 #1 close-out: with weight_col=None the weighted-path
+    plumbing must be plan-invisible (the r5 bench drifts on
+    woe_transform/bin_fit/asof_join were hypervisor noise — plans at
+    HEAD diff byte-identical vs the pre-weighted commit a0ac1d2^ after
+    id normalization; this pin keeps it that way)."""
+    # patch the CLASSIC subclass: it overrides collect, so patching the
+    # base pyspark.sql.DataFrame never fires on Spark 4
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from monotonic_optimal_binning_spark import (
+        BinningConstraints,
+        SparkMonotonicBinner,
+    )
+
+    li = spark.read.parquet(os.path.join(SF, "lineitem.parquet"))
+    df = li.select(
+        F.col("l_quantity").alias("x"),
+        (F.col("l_discount") > 0.05).cast("int").alias("y"),
+    )
+    # capture the fit's stats-scan executed plan via a collect spy
+    plans = []
+    orig_collect = DataFrame.collect
+
+    def spy(self):
+        plans.append(plan_of(self, "simple"))
+        return orig_collect(self)
+
+    DataFrame.collect = spy
+    try:
+        b = SparkMonotonicBinner(
+            "x", "y", constraints=BinningConstraints(max_bins=6, min_bins=3)
+        ).fit(df)
+    finally:
+        DataFrame.collect = orig_collect
+    scan_plans = [p for p in plans if "HashAggregate" in p]
+    assert scan_plans, plans
+    for p in scan_plans + [
+        plan_of(
+            b.transform(df, assign="woe", output_col="woe"), "simple"
+        )
+    ]:
+        # no weight expressions of any kind in the unweighted plan
+        assert "__w" not in p, p
+        assert "raise_error" not in p, p
+    # the stats scan is still the one-Exchange shape
+    assert all("Exchange" in p for p in scan_plans)
