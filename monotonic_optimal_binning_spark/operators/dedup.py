@@ -539,9 +539,19 @@ def minhash_lsh_candidates(
         )
         .persist()
     )
+    # sort-merge hint on the verify legs (sf1 lesson): Catalyst's static
+    # size estimate for the array-heavy shingle table is far under its
+    # real bytes, so the initial plan picked BroadcastHashJoin of sh —
+    # which AQE cannot demote once statically planned — and the driver
+    # died building a multi-GB broadcast at corpus scale. Shuffle-hash
+    # also failed under tight executor memory (the build side must fit
+    # per-partition); sort-merge is the only strategy whose memory is
+    # bounded by spill at ANY candidate volume.
     joined = (
-        pairs.join(sh.select(F.col("id").alias("id_a"), F.col("__sh").alias("__sh_a")),
-                   on="id_a")
+        pairs.hint("merge")
+        .join(sh.select(F.col("id").alias("id_a"), F.col("__sh").alias("__sh_a")),
+              on="id_a")
+        .hint("merge")
         .join(sh.select(F.col("id").alias("id_b"), F.col("__sh").alias("__sh_b")),
               on="id_b")
     )
@@ -1090,8 +1100,14 @@ def embedding_neardup_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     denom = F.col("__na") * F.col("__nb")
+    # sort-merge hint on the verify legs: the vector table's static size
+    # estimate undercounts array rows, and a statically planned broadcast
+    # of it cannot be demoted by AQE; sort-merge stays spill-bounded at
+    # any candidate volume (the minhash sf1 lesson — see
+    # minhash_lsh_candidates)
     scored = (
-        pairs.join(
+        pairs.hint("merge")
+        .join(
             base.select(
                 F.col("id").alias("id_a"),
                 F.col("__v").alias("__va"),
@@ -1099,6 +1115,7 @@ def embedding_neardup_pairs(
             ),
             on="id_a",
         )
+        .hint("merge")
         .join(
             base.select(
                 F.col("id").alias("id_b"),
