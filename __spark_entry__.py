@@ -2304,13 +2304,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_decayed": q_asof_decayed,
         "asof_agg": q_asof_agg,
         "media_features": q_media_features,
+        # --- r5-green queries whose CODE changed late in round 6:
+        # minhash/embedding verify legs got sort-merge hints (the sf1
+        # static-broadcast fix), calibration got the NaN-as-missing
+        # filter, ann job got the queries-read format routing — all must
+        # re-attest inside the checked window ---
+        "minhash_pairs": q_minhash_pairs,
+        "minhash_pairs_planted": q_minhash_planted,
+        "embedding_neardup_planted": q_embedding_neardup_planted,
+        "dedup_clusters": q_dedup_clusters,
+        "isotonic_calibration": q_isotonic_calibration,
+        "ivf_topk_loaded": q_ivf_topk_loaded,
         # --- stalest green block (last checked r4), oldest families
         # first; the tail past position 49 rotates in next round ---
         "tpch_q1": q_tpch_q1,
-        "join_topk": q_join_topk,
-        "rollup": q_rollup,
-        "cube_agg": q_cube_agg,
-        "percentiles": q_percentiles,
         "per_source_fit": q_per_source_fit,
         "pack_chunks": q_pack_chunks,
         "repetition": q_repetition,
@@ -2337,8 +2344,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_forward": q_asof_forward,
         "asof_tolerance": q_asof_tolerance,
         "leakage_audit": q_leakage_audit,
-        "range_join": q_range_join,
-        "json_extract": q_json_extract,
         "lag_lead": q_lag_lead,
         "lag_lead_bucketed": q_lag_lead_bucketed,
         # ---------------- position 50+: not checked this round ----------
@@ -2357,17 +2362,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "bpe_token_count": q_bpe_token_count,
         "quality": q_quality,
+        # r4-green evictions (code unchanged; displaced by the late-r6
+        # changed-code pulls above — rotate back next round)
+        "join_topk": q_join_topk,
+        "rollup": q_rollup,
+        "cube_agg": q_cube_agg,
+        "percentiles": q_percentiles,
+        "range_join": q_range_join,
+        "json_extract": q_json_extract,
         # r5-green block (freshest rows, unchanged code)
         "fingerprint_dedup": q_fingerprint_dedup,
         "lang_id": q_lang_id,
-        "minhash_pairs": q_minhash_pairs,
-        "minhash_pairs_planted": q_minhash_planted,
-        "embedding_neardup_planted": q_embedding_neardup_planted,
         "hash_encode": q_hash_encode,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_containment": q_ngram_containment,
         "ngram_jaccard_maxdf": q_ngram_jaccard_maxdf,
-        "dedup_clusters": q_dedup_clusters,
         "tfidf_topk": q_tfidf_topk,
         "frequency_encode": q_frequency_encode,
         "simhash_neardup": q_simhash_neardup,
@@ -2382,7 +2391,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bin_fit_weighted": q_bin_fit_weighted,
         "feature_scale": q_feature_scale,
         "woe_churn": q_woe_churn,
-        "ivf_topk_loaded": q_ivf_topk_loaded,
         "iv_screen": q_iv_screen,
         "iv_screen_weighted": q_iv_screen_weighted,
         "iv_screen_grouped": q_iv_screen_grouped,
@@ -2395,7 +2403,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift_weighted": q_psi_drift_weighted,
         "scorecard_points": q_scorecard_points,
         "reason_codes": q_reason_codes,
-        "isotonic_calibration": q_isotonic_calibration,
         "calibration_table": q_calibration_table,
         "snapshot": q_snapshot,
         "intervalize": q_intervalize,
@@ -2449,7 +2456,20 @@ def _hyperplane_lsh_cte(n_planes: int = 16, n_bands: int = 8) -> str:
               SELECT vec_id, g.band AS band, sig[g.band + 1] AS bucket
               FROM sigs,
                    (SELECT CAST(range AS INT) AS band
-                    FROM range({n_bands})) g)"""
+                    FROM range({n_bands})) g),
+            -- the engine drops rows in (band, bucket) groups larger than
+            -- max_bucket_size (5000) BEFORE candidate generation; the
+            -- cap is part of the operator's definition, so the oracle
+            -- models it too (it never binds at sf<=0.1 — max bucket ~650
+            -- — but binds at the sf1 10x corpus)
+            bksz AS (
+              SELECT band, bucket, count(*) AS bn
+              FROM bk GROUP BY band, bucket),
+            bkc AS (
+              SELECT bk.vec_id, bk.band, bk.bucket
+              FROM bk JOIN bksz
+                ON bk.band = bksz.band AND bk.bucket = bksz.bucket
+              WHERE bksz.bn <= 5000)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2460,8 +2480,11 @@ def oracle_sql() -> dict[str, str]:
             -- set + exact cosine top-5 (see _hyperplane_lsh_cte)
             WITH {lsh_cte},
             cand AS (
+              -- corpus side capped (bkc); query side uncapped (bk) —
+              -- mirrors lsh_topk, whose window cap filters corpus
+              -- buckets only
               SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-              FROM bk q JOIN bk c
+              FROM bk q JOIN bkc c
                 ON q.band = c.band AND q.bucket = c.bucket
               WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
             scored AS (
@@ -2486,8 +2509,10 @@ def oracle_sql() -> dict[str, str]:
             -- exactly re-scored, thresholded at 0.4
             WITH {lsh_cte},
             cand AS (
+              -- both self-join sides capped: embedding_neardup_pairs
+              -- filters oversized buckets before the pair join
               SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
-              FROM bk a JOIN bk b2
+              FROM bkc a JOIN bkc b2
                 ON a.band = b2.band AND a.bucket = b2.bucket
               WHERE a.vec_id < b2.vec_id),
             scored AS (

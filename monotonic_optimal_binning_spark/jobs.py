@@ -82,7 +82,7 @@ def fit_woe_job(args) -> None:
     if args.asof_right:
         from .operators.asof import asof_agg_join, asof_decayed_join
 
-        right = _read_input(spark, args.asof_right)
+        right = _read_input(spark, args.asof_right, getattr(args, "input_format", None), getattr(args, "input_options", None))
         feat_dir = os.path.join(args.workdir, "stage_asof")
         horizons = [float(h) for h in (args.horizons or "").split(",") if h]
         half_lives = [
@@ -1233,7 +1233,10 @@ def ann_job(args) -> None:
     run = PipelineRun(root=args.workdir)
 
     corpus = _read_input(spark, args.input, getattr(args, "input_format", None), getattr(args, "input_options", None))
-    queries = _read_input(spark, args.queries)
+    # --input-format/--input-options apply to BOTH table refs of this
+    # job (corpus and queries are one pipeline's inputs) — previously
+    # the flags silently skipped --queries
+    queries = _read_input(spark, args.queries, getattr(args, "input_format", None), getattr(args, "input_options", None))
 
     os.makedirs(args.workdir, exist_ok=True)
     cb_path = os.path.join(args.workdir, "ivf_codebook.json")

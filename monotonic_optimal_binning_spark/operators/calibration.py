@@ -224,17 +224,19 @@ def isotonic_calibrate(
     """
     s = F.col(score_col).cast("double")
     y = F.col(y_col).cast("double")
+    # NaN is not null: a parquet-borne NaN score/label passes isNotNull,
+    # poisons the PAVA block means, and (grouped twin) breaks the sorted
+    # precondition of the driver solve — NaN-as-missing, like the binner
+    clean = s.isNotNull() & y.isNotNull() & ~F.isnan(s) & ~F.isnan(y)
     if weight_col is not None:
         from .drift import _weight_expr
 
         wv = _weight_expr(weight_col, "isotonic_calibrate")
-        base = df.filter(s.isNotNull() & y.isNotNull()).select(
+        base = df.filter(clean).select(
             s.alias("__s"), y.alias("__y"), wv.alias("__w")
         )
     else:
-        base = df.filter(s.isNotNull() & y.isNotNull()).select(
-            s.alias("__s"), y.alias("__y")
-        )
+        base = df.filter(clean).select(s.alias("__s"), y.alias("__y"))
 
     base, cuts_arr, sentinel = _apply_prebins(
         base, prebins, prebin_relative_error
@@ -422,9 +424,18 @@ def isotonic_calibrate_grouped(
                 "__w"
             )
         )
-    base = df.filter(
+    # same NaN-as-missing policy as the global fit (NaN passes isNotNull;
+    # a NaN __s key would defeat the driver-side sorted() precondition of
+    # _solve_iso nondeterministically); a float NaN group key would also
+    # fan out into one dict entry per row (nan != nan), so numeric group
+    # columns drop NaN keys — unknown groups serve NULL anyway
+    clean = (
         s.isNotNull() & y.isNotNull() & g.isNotNull()
-    ).select(*cols)
+        & ~F.isnan(s) & ~F.isnan(y)
+    )
+    if dict(df.dtypes).get(group_col) in ("float", "double"):
+        clean = clean & ~F.isnan(g)
+    base = df.filter(clean).select(*cols)
     base, cuts_arr, sentinel = _apply_prebins(
         base, prebins, prebin_relative_error
     )

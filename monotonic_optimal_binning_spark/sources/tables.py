@@ -44,8 +44,8 @@ def read_table(
     """One router for every table reference the jobs accept
     (BASELINE.json names Iceberg tables as the production input):
 
-    - a PATH (contains ``/``, ends in ``.parquet``, or exists on disk)
-      reads as parquet files;
+    - a PATH (contains a path separator or ends in ``.parquet``) reads
+      as parquet files;
     - anything else is a CATALOG identifier via ``spark.read.table`` —
       which transparently resolves Iceberg tables when an Iceberg
       catalog is configured (``spark.sql.catalog.<name>`` +
@@ -65,7 +65,12 @@ def read_table(
         reader = reader.options(**options)
     if fmt is not None:
         return reader.format(fmt).load(ref)
-    if "/" in ref or ref.endswith(".parquet") or os.path.exists(ref):
+    # routing must be a pure function of the string: an os.path.exists()
+    # probe would silently reroute a catalog identifier to local parquet
+    # whenever the driver's CWD happens to contain a same-named file —
+    # bare names are ALWAYS table identifiers (pass fmt="parquet" or a
+    # "./" prefix for a bare-named local directory)
+    if "/" in ref or os.sep in ref or ref.endswith(".parquet"):
         return reader.parquet(ref)
     return reader.table(ref)
 

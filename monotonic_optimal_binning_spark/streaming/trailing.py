@@ -32,6 +32,8 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.windows import check_output_names, horizon_label
+
 
 def streaming_trailing_agg(
     events: DataFrame,
@@ -89,22 +91,22 @@ def streaming_trailing_agg(
     if truncate_half_lives < 1:
         raise ValueError("truncate_half_lives must be >= 1")
     base_prefix = prefix if prefix is not None else f"{value}_"
+    # horizon_label keeps fractional horizons non-lossy (90.2 -> h90p2),
+    # matching the batch twins' column names so stream/backfill joins
+    # line up; check_output_names rejects duplicate/colliding names
     out_specs = [
-        (f"{base_prefix}h{int(h)}_{s}", h, s)
+        (f"{base_prefix}h{horizon_label(h)}_{s}", h, s)
         for h in horizons_seconds
         for s in stats
     ]
     decay_specs = [
-        (f"{base_prefix}hl{int(h)}_{s}", h, s)
+        (f"{base_prefix}hl{horizon_label(h)}_{s}", h, s)
         for h in half_lives_seconds
         for s in decay_stats
     ]
-    for name, _, _ in out_specs + decay_specs:
-        if name in events.columns:
-            raise ValueError(
-                f"output column '{name}' collides with an input column; "
-                f"set prefix"
-            )
+    check_output_names(
+        events.columns, [name for name, _, _ in out_specs + decay_specs]
+    )
 
     spans = [float(h) for h in horizons_seconds] + [
         truncate_half_lives * float(h) for h in half_lives_seconds

@@ -322,3 +322,95 @@ def test_grouped_collect_guard(grouped_scores):
         isotonic_calibrate_grouped(
             df, "score", "y", "g", prebins="exact", max_collect=10
         )
+
+
+def test_true_nan_scores_are_missing(spark):
+    """Parquet-borne NaN (NOT null — isNotNull passes) must be treated
+    as missing in both the global and grouped fits: a NaN __s key used
+    to poison the PAVA block means (global) and break the driver-side
+    sorted() precondition nondeterministically (grouped)."""
+    from monotonic_optimal_binning_spark.operators.calibration import (
+        isotonic_calibrate,
+        isotonic_calibrate_grouped,
+    )
+
+    rng = np.random.RandomState(11)
+    n = 4000
+    pdf = pd.DataFrame(
+        {
+            "i": np.arange(n),
+            "g": rng.randint(0, 2, n),
+            "score": rng.randint(0, 15, n).astype("float64"),
+            "y": (rng.uniform(size=n) < 0.3).astype("float64"),
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(6)
+    # plant TRUE NaN via an expression (createDataFrame from pandas maps
+    # np.nan to null, which the filters already handled)
+    dirty = df.withColumn(
+        "score",
+        F.when(F.col("i") % 23 == 0, F.lit(float("nan"))).otherwise(
+            F.col("score")
+        ),
+    ).withColumn(
+        "y",
+        F.when(F.col("i") % 31 == 0, F.lit(float("nan"))).otherwise(
+            F.col("y")
+        ),
+    )
+    clean = dirty.filter(
+        ~F.isnan("score") & ~F.isnan("y")
+    )
+    grid = pd.Series(np.arange(15, dtype="float64"))
+
+    got = isotonic_calibrate(dirty, "score", "y", prebins="exact")
+    want = isotonic_calibrate(clean, "score", "y", prebins="exact")
+    assert np.allclose(
+        got.predict_batch(grid).to_numpy(),
+        want.predict_batch(grid).to_numpy(),
+        atol=1e-12,
+    )
+
+    ggot = isotonic_calibrate_grouped(
+        dirty, "score", "y", "g", prebins="exact"
+    )
+    gwant = isotonic_calibrate_grouped(
+        clean, "score", "y", "g", prebins="exact"
+    )
+    assert set(ggot.models) == set(gwant.models)
+    for gv in ggot.models:
+        assert np.allclose(
+            ggot.models[gv].predict_batch(grid).to_numpy(),
+            gwant.models[gv].predict_batch(grid).to_numpy(),
+            atol=1e-12,
+        )
+
+
+def test_nan_group_key_dropped(spark):
+    """A float NaN group key would fan into one dict entry per collected
+    row (nan != nan in a dict); numeric group columns drop NaN keys —
+    unknown groups already serve NULL."""
+    from monotonic_optimal_binning_spark.operators.calibration import (
+        isotonic_calibrate_grouped,
+    )
+
+    rng = np.random.RandomState(12)
+    n = 2000
+    pdf = pd.DataFrame(
+        {
+            "i": np.arange(n),
+            "g": rng.randint(0, 2, n).astype("float64"),
+            "score": rng.randint(0, 10, n).astype("float64"),
+            "y": (rng.uniform(size=n) < 0.4).astype("float64"),
+        }
+    )
+    df = spark.createDataFrame(pdf).withColumn(
+        "g",
+        F.when(F.col("i") % 17 == 0, F.lit(float("nan"))).otherwise(
+            F.col("g")
+        ),
+    )
+    cal = isotonic_calibrate_grouped(df, "score", "y", "g", prebins="exact")
+    keys = list(cal.models)
+    assert len(keys) == 2
+    assert not any(np.isnan(k) for k in keys)

@@ -97,3 +97,20 @@ def test_jobs_input_format_flag(spark, tmp_path):
         os.path.join(wd, "stage_quality_filter", "data")
     )
     assert out.count() == 30
+
+
+def test_bare_name_never_probes_cwd(spark, tmp_path, monkeypatch):
+    """Routing is a pure function of the reference string: a bare name is
+    ALWAYS a catalog identifier, even when the driver's CWD happens to
+    contain a same-named parquet directory (an os.path.exists probe used
+    to silently reroute catalog tables to local files)."""
+    pdf = pd.DataFrame({"k": [9, 8]})
+    local = tmp_path / "cwd_probe_tbl"
+    spark.createDataFrame(pdf).write.parquet(str(local))
+    monkeypatch.chdir(tmp_path)
+    with pytest.raises(Exception, match="TABLE_OR_VIEW_NOT_FOUND|Table or view not found"):
+        read_table(spark, "cwd_probe_tbl").collect()
+    # explicit path forms still read the local files (relative paths
+    # resolve against the JVM's CWD, not Python's — use absolute)
+    assert read_table(spark, str(local)).count() == 2
+    assert read_table(spark, str(local), fmt="parquet").count() == 2

@@ -257,3 +257,53 @@ def test_streaming_decayed_equals_batch_across_microbatches(spark, tmp_path):
         exp_h["v_h600_sum"].to_numpy(dtype=float),
         rtol=1e-9, equal_nan=True,
     )
+
+
+def test_fractional_horizon_names_match_batch(spark, tmp_path):
+    """Fractional horizons must emit non-lossy, batch-identical column
+    names (90.2 -> v_h90p2_sum): int(h) truncation used to collapse
+    90.2 and 90.7 into one duplicate 'v_h90_sum' column, silently losing
+    a horizon and breaking backfill-vs-stream joins."""
+    pdf = _events(seed=77, n=120)
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(pdf).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = streaming_trailing_agg(
+        stream, "user", "ts", "v", [90.2, 90.7], stats=["sum"]
+    )
+    assert "v_h90p2_sum" in out.columns and "v_h90p7_sum" in out.columns
+    _run(out, "trail_frac")
+    got = (
+        spark.sql("select * from trail_frac")
+        .toPandas()
+        .set_index("eid")
+        .sort_index()
+    )
+    exp = _batch_truth(spark, pdf, [90.2, 90.7])
+    for col in ("v_h90p2_sum", "v_h90p7_sum"):
+        assert col in exp.columns  # batch twin uses the same name
+        np.testing.assert_allclose(
+            got[col].to_numpy(dtype=float),
+            exp[col].to_numpy(dtype=float),
+            rtol=1e-9, equal_nan=True,
+        )
+
+
+def test_output_name_collisions_raise(spark, tmp_path):
+    """Duplicate generated names and collisions with input columns fail
+    loudly before any stream starts."""
+    import pytest
+
+    pdf = _events(seed=78, n=10)
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(pdf).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    with pytest.raises(ValueError, match="not unique"):
+        streaming_trailing_agg(stream, "user", "ts", "v", [60.0, 60])
+    with pytest.raises(ValueError, match="collides"):
+        streaming_trailing_agg(
+            stream.withColumn("v_h60_sum", stream["v"]),
+            "user", "ts", "v", [60.0],
+        )
