@@ -1425,6 +1425,54 @@ def q_exact_dedup_agg(spark, sf_dir):
     )
 
 
+def q_expectations_check(spark, sf_dir):
+    """Declarative data-contract gate: 7 expectations (null ratios, set
+    membership, value ranges, regex compliance, key uniqueness, row
+    count, aggregate bounds) verified in ONE aggregate scan of lineitem
+    (operators/expectations.py). The synthetic lineitem's duplicate
+    (l_orderkey, l_linenumber) pairs make uniqueness a real <1 ratio."""
+    from monotonic_optimal_binning_spark.operators.expectations import (
+        expect_between,
+        expect_in_set,
+        expect_not_null,
+        expect_regex,
+        expect_row_count,
+        expect_stat,
+        expect_unique,
+        run_checks,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = run_checks(
+        li,
+        [
+            expect_not_null("l_quantity"),
+            expect_in_set("l_returnflag", ["A", "N", "R"]),
+            expect_between("l_discount", 0.0, 0.05, min_ratio=0.6),
+            expect_regex("l_returnflag", "^[A-Z]$"),
+            expect_unique(["l_orderkey", "l_linenumber"], min_ratio=0.9),
+            expect_row_count(lo=1000),
+            expect_stat("l_quantity", "mean", lo=20, hi=30),
+        ],
+    )
+    return out.select(
+        "name", "kind", "column", F.round("observed", _R).alias("observed"),
+        "bound_lo", "bound_hi", "passed",
+    )
+
+
+def q_keep_best_doc(spark, sf_dir):
+    """Canonical-row selection after duplicate detection: one winner per
+    (lang, source) group — highest n_chars, ties to the smallest doc_id —
+    via the map-side-combinable max(struct(...)) aggregate (no window,
+    no hot-group task; plan pinned in tests)."""
+    from monotonic_optimal_binning_spark.operators.dedup import keep_best
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = keep_best(docs, ["lang", "source"], "n_chars", "doc_id")
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
 def q_token_count(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", token_count(F.col("text")).alias("n_tok"))
@@ -2284,6 +2332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-6 additions (never driver-checked) ---
         "media_features_real": q_media_features_real,
         "isotonic_calibration_grouped": q_isotonic_calibration_grouped,
+        "expectations_check": q_expectations_check,
+        "keep_best_doc": q_keep_best_doc,
         # --- rows-only -> value-checked conversions this round (also the
         # stalest entries: last driver rows are r3-era) ---
         "lsh_topk": q_lsh_topk,
@@ -2344,10 +2394,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_forward": q_asof_forward,
         "asof_tolerance": q_asof_tolerance,
         "leakage_audit": q_leakage_audit,
-        "lag_lead": q_lag_lead,
-        "lag_lead_bucketed": q_lag_lead_bucketed,
         # ---------------- position 50+: not checked this round ----------
         # r4-green tail (rotates into the window next round)
+        "lag_lead": q_lag_lead,
+        "lag_lead_bucketed": q_lag_lead_bucketed,
         "backfill": q_backfill,
         "backfill_bucketed": q_backfill_bucketed,
         "sessionize": q_sessionize,
@@ -2525,6 +2575,74 @@ def oracle_sql() -> dict[str, str]:
               JOIN e be ON be.vec_id = cand.id_b)
             SELECT id_a, id_b, round(cosine, 6) AS cosine
             FROM scored WHERE cosine >= 0.4
+        """,
+        "expectations_check": """
+            -- one aggregated CTE mirrors the engine's single-scan
+            -- conditional counts; ratios over non-null rows for
+            -- set/range/regex, over all rows for not_null/unique
+            WITH a AS (
+              SELECT count(*) AS n,
+                     count(l_quantity) AS nn_q,
+                     count(l_returnflag) AS nn_rf,
+                     count(l_discount) AS nn_d,
+                     sum(CASE WHEN l_returnflag IN ('A','N','R')
+                         THEN 1 ELSE 0 END) AS in_rf,
+                     sum(CASE WHEN l_discount BETWEEN 0.0 AND 0.05
+                         THEN 1 ELSE 0 END) AS btw_d,
+                     sum(CASE WHEN regexp_matches(l_returnflag, '^[A-Z]$')
+                         THEN 1 ELSE 0 END) AS rx_rf,
+                     count(DISTINCT (l_orderkey, l_linenumber)) AS u2,
+                     avg(l_quantity) AS mean_q
+              FROM lineitem)
+            SELECT 'not_null(l_quantity)' AS name, 'not_null' AS kind,
+                   'l_quantity' AS column,
+                   round(CAST(nn_q AS DOUBLE) / n, 6) AS observed,
+                   1.0 AS bound_lo, CAST(NULL AS DOUBLE) AS bound_hi,
+                   CAST(nn_q AS DOUBLE) / n >= 1.0 AS passed FROM a
+            UNION ALL
+            SELECT 'in_set(l_returnflag)', 'in_set', 'l_returnflag',
+                   round(CAST(in_rf AS DOUBLE) / nn_rf, 6),
+                   1.0, CAST(NULL AS DOUBLE),
+                   CAST(in_rf AS DOUBLE) / nn_rf >= 1.0 FROM a
+            UNION ALL
+            SELECT 'between(l_discount)', 'between', 'l_discount',
+                   round(CAST(btw_d AS DOUBLE) / nn_d, 6),
+                   0.6, CAST(NULL AS DOUBLE),
+                   CAST(btw_d AS DOUBLE) / nn_d >= 0.6 FROM a
+            UNION ALL
+            SELECT 'regex(l_returnflag)', 'regex', 'l_returnflag',
+                   round(CAST(rx_rf AS DOUBLE) / nn_rf, 6),
+                   1.0, CAST(NULL AS DOUBLE),
+                   CAST(rx_rf AS DOUBLE) / nn_rf >= 1.0 FROM a
+            UNION ALL
+            SELECT 'unique(l_orderkey,l_linenumber)', 'unique',
+                   'l_orderkey,l_linenumber',
+                   round(CAST(u2 AS DOUBLE) / n, 6),
+                   0.9, CAST(NULL AS DOUBLE),
+                   CAST(u2 AS DOUBLE) / n >= 0.9 FROM a
+            UNION ALL
+            SELECT 'row_count', 'row_count', '',
+                   round(CAST(n AS DOUBLE), 6),
+                   1000.0, CAST(NULL AS DOUBLE),
+                   n >= 1000 FROM a
+            UNION ALL
+            SELECT 'mean(l_quantity)', 'stat', 'l_quantity',
+                   round(mean_q, 6),
+                   20.0, 30.0,
+                   mean_q >= 20 AND mean_q <= 30 FROM a
+        """,
+        "keep_best_doc": """
+            -- canonical winner per (lang, source): max n_chars, ties to
+            -- the smallest doc_id (null scores rank last, as -inf does
+            -- in the engine's packed ordering)
+            SELECT doc_id, lang, source, n_chars
+            FROM (SELECT doc_id, lang, source, n_chars,
+                         row_number() OVER (
+                           PARTITION BY lang, source
+                           ORDER BY CAST(n_chars AS DOUBLE) DESC NULLS LAST,
+                                    doc_id) AS rn
+                  FROM documents)
+            WHERE rn = 1
         """,
         "group_stats": """
             SELECT round(l_quantity, 6) AS x,

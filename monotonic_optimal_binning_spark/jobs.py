@@ -988,6 +988,45 @@ def profile_job(args) -> None:
     print(run.save())
 
 
+def expect_job(args) -> None:
+    """Data-contract gate: evaluate a persisted expectation suite
+    (:mod:`operators.expectations` JSON artifact) against the input in
+    ONE aggregate scan, write the per-expectation verdict table as an
+    idempotent checkpoint stage, and — with ``--strict`` — fail the
+    pipeline (exit 2) on any violation so downstream stages never run
+    over a broken table. The failing expectation names land in the
+    stage manifest for lineage."""
+    from pyspark.sql import functions as F
+
+    from .operators.expectations import load_suite, run_checks
+    from .plans.checkpoint import load_manifest, write_manifest
+
+    spark = _spark("mob-expect")
+    run = PipelineRun(root=args.workdir)
+    df = _read_input(spark, args.input, getattr(args, "input_format", None), getattr(args, "input_options", None))
+
+    exps = load_suite(args.suite)
+    out_dir = os.path.join(args.workdir, "stage_expect")
+    res = run_stage(
+        spark, out_dir, "expect",
+        lambda: run_checks(df, exps, rsd=args.rsd),
+        inputs=[args.input, args.suite],
+        params={"n_expectations": len(exps), "strict": bool(args.strict),
+                "rsd": args.rsd},
+    )
+    failed = [
+        r["name"] for r in res.filter(~F.col("passed")).collect()
+    ]
+    m = load_manifest(out_dir)
+    if m is not None and "failed_expectations" not in m.extra_metrics:
+        m.extra_metrics["failed_expectations"] = failed
+        write_manifest(out_dir, m)
+    run.record(out_dir)
+    print(run.save())
+    if failed and args.strict:
+        raise SystemExit(2)
+
+
 def pack_job(args) -> None:
     """Sequence-packing pipeline stage: token counts -> distributed global
     prefix sum -> concat-then-chunk slices, written as an idempotent
@@ -1574,6 +1613,22 @@ def main(argv: Optional[list] = None) -> None:
     sj.add_argument("--robust", action="store_true",
                     help="add <col>_r = (x - train_median) / train_IQR")
     sj.set_defaults(func=scale_job)
+
+    ex = sub.add_parser(
+        "expect",
+        help="one-scan data-contract gate: evaluate a JSON expectation "
+             "suite; --strict exits 2 on any violation",
+    )
+    ex.add_argument("--input", required=True, help="parquet path or table id")
+    ex.add_argument("--workdir", required=True)
+    ex.add_argument("--suite", required=True,
+                    help="expectation-suite JSON (operators.expectations."
+                         "save_suite)")
+    ex.add_argument("--strict", action="store_true",
+                    help="exit 2 when any expectation fails")
+    ex.add_argument("--rsd", type=float, default=0.02,
+                    help="HyperLogLog relative error for approx unique")
+    ex.set_defaults(func=expect_job)
 
     pf = sub.add_parser(
         "profile",

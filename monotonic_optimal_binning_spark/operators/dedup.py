@@ -1156,3 +1156,93 @@ def embedding_neardup_dedup(
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def keep_best(
+    df: DataFrame,
+    group_cols: Sequence[str] | str,
+    score_col: str,
+    id_col: str,
+    *,
+    higher_is_better: bool = True,
+    keep_id: str = "min",
+    strategy: str = "auto",
+) -> DataFrame:
+    """Canonical-row selection: ONE row per group — the best-scoring one.
+
+    The step after duplicate DETECTION: exact digests, MinHash/SimHash
+    clusters (:func:`connected_components` labels), or URL/source groups
+    tell you which rows are copies; ``keep_best`` decides which copy the
+    corpus keeps — the highest-quality one (longest, best quality score,
+    newest), not an arbitrary min-id winner. Ties break on ``keep_id``
+    = 'min'/'max' of ``id_col``, so the result is deterministic.
+
+    Null and NaN scores rank BELOW every real score (a group of only
+    null-score rows still emits its ``keep_id`` winner).
+
+    Two physical strategies (same result; pinned by test):
+
+    ``"agg"``: ``groupBy(groups).agg(max(struct(orderkey, payload)))`` —
+    algebraic, map-side combinable: a 10^8-copy boilerplate group
+    collapses to one row per map task before the shuffle, so no single
+    reducer ever sees a hot group (the same skew argument as
+    ``exact_dedup``'s agg path). Needs a NUMERIC id for the tie field
+    (packed negated under 'min').
+
+    ``"window"``: one ``row_number`` over (groups, score desc, id) —
+    one shuffle of df, any id type, but a hot group serializes into one
+    window task.
+
+    ``"auto"`` picks ``agg`` when ``id_col`` is numeric, else
+    ``window`` — a pure schema decision, no probe action.
+    """
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    if keep_id not in ("min", "max"):
+        raise ValueError("keep_id must be 'min' or 'max'")
+    if strategy not in ("agg", "window", "auto"):
+        raise ValueError("strategy must be 'agg', 'window', or 'auto'")
+    dtypes = dict(df.dtypes)
+    numeric_id = dtypes.get(id_col) in (
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+    )
+    if strategy == "auto":
+        strategy = "agg" if numeric_id else "window"
+    if strategy == "agg" and not numeric_id:
+        raise ValueError(
+            "strategy='agg' needs a numeric id_col for the tie-break "
+            "ordering; use strategy='window'"
+        )
+
+    s = F.col(score_col).cast("double")
+    # NaN sorts ABOVE every double in Spark orderings — a NaN score would
+    # silently win the group; null/NaN both mean "no score": rank lowest
+    ord_score = (
+        F.when(s.isNull() | F.isnan(s), F.lit(float("-inf"))).otherwise(s)
+    )
+    if not higher_is_better:
+        ord_score = -ord_score
+
+    if strategy == "agg":
+        # tie keeps the id's NATIVE integer type (a double cast would
+        # collide distinct ids above 2^53 at corpus scale)
+        tie = F.col(id_col)
+        packed = F.max(
+            F.struct(
+                ord_score.alias("__s"),
+                (-tie if keep_id == "min" else tie).alias("__t"),
+                F.struct(*[F.col(c) for c in df.columns]).alias("__row"),
+            )
+        ).alias("__best")
+        return (
+            df.groupBy(*groups).agg(packed).select("__best.__row.*")
+        )
+
+    order = [ord_score.desc()] + (
+        [F.col(id_col).asc()] if keep_id == "min" else [F.col(id_col).desc()]
+    )
+    w = Window.partitionBy(*groups).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -554,3 +554,114 @@ def test_paragraph_dedup_keeps_first_occurrence_corpus_wide(spark):
         .toPandas().sort_values("doc_id").reset_index(drop=True)
     )
     assert out2["text"].tolist() == out["text"].tolist()
+
+
+# ------------------------------------------------------------ keep_best ----
+
+
+def _kb_frame(spark, with_string_id=False):
+    rng = np.random.default_rng(5)
+    n = 500
+    pdf = pd.DataFrame(
+        {
+            "rid": np.arange(n),
+            "grp": rng.integers(0, 40, n),
+            "score": rng.uniform(0, 10, n).round(3),
+            "payload": [f"p{i}" for i in range(n)],
+        }
+    )
+    # planted pathologies: tied scores, all-null-score group, NaN scores
+    pdf.loc[pdf["grp"] == 3, "score"] = 7.0           # whole group tied
+    pdf.loc[pdf["grp"] == 5, "score"] = np.nan        # all-"missing" group
+    pdf.loc[pdf.index % 17 == 0, "score"] = np.nan
+    df = spark.createDataFrame(pdf)
+    # true NaN (createDataFrame maps np.nan->null): re-plant as real NaN
+    df = df.withColumn(
+        "score",
+        F.when(F.col("rid") % 13 == 0, F.lit(float("nan"))).otherwise(
+            F.col("score")
+        ),
+    )
+    if with_string_id:
+        df = df.withColumn("rid", F.format_string("id%04d", F.col("rid")))
+    return df
+
+
+def _kb_truth(df, keep_id="min", higher=True):
+    pdf = df.toPandas()
+    s = pdf["score"].astype(float)
+    ordv = s.where(~s.isna(), -np.inf)
+    if not higher:
+        ordv = -ordv
+    pdf = pdf.assign(__o=ordv)
+    asc_id = keep_id == "min"
+    pdf = pdf.sort_values(
+        ["grp", "__o", "rid"], ascending=[True, False, asc_id]
+    )
+    return (
+        pdf.groupby("grp").head(1).drop(columns="__o")
+        .sort_values("grp").reset_index(drop=True)
+    )
+
+
+def test_keep_best_agg_equals_window_and_truth(spark):
+    from monotonic_optimal_binning_spark.operators.dedup import keep_best
+
+    df = _kb_frame(spark)
+    want = _kb_truth(df)
+    for strategy in ("agg", "window"):
+        got = (
+            keep_best(df, "grp", "score", "rid", strategy=strategy)
+            .toPandas().sort_values("grp").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[["grp", "rid", "payload"]], want[["grp", "rid", "payload"]]
+        )
+    # every group survives exactly once, incl. the all-NaN/null one
+    assert len(want) == df.select("grp").distinct().count()
+
+
+def test_keep_best_directions(spark):
+    from monotonic_optimal_binning_spark.operators.dedup import keep_best
+
+    df = _kb_frame(spark)
+    for keep_id in ("min", "max"):
+        for higher in (True, False):
+            want = _kb_truth(df, keep_id=keep_id, higher=higher)
+            got = (
+                keep_best(
+                    df, "grp", "score", "rid",
+                    keep_id=keep_id, higher_is_better=higher,
+                    strategy="agg",
+                )
+                .toPandas().sort_values("grp").reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(
+                got[["grp", "rid"]], want[["grp", "rid"]]
+            )
+
+
+def test_keep_best_string_id_routes_window(spark):
+    from monotonic_optimal_binning_spark.operators.dedup import keep_best
+
+    df = _kb_frame(spark, with_string_id=True)
+    got = keep_best(df, "grp", "score", "rid")  # auto -> window
+    assert got.count() == df.select("grp").distinct().count()
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="numeric id_col"):
+        keep_best(df, "grp", "score", "rid", strategy="agg")
+
+
+def test_keep_best_agg_plan_is_algebraic(spark):
+    """The agg strategy must stay a map-side-combinable HashAggregate
+    pair (partial + final) with no Window/Sort — the skew guarantee."""
+    from monotonic_optimal_binning_spark.operators.dedup import keep_best
+
+    df = _kb_frame(spark)
+    plan = (
+        keep_best(df, "grp", "score", "rid", strategy="agg")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert plan.count("ObjectHashAggregate") + plan.count("SortAggregate") >= 2

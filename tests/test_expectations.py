@@ -1,0 +1,222 @@
+"""Declarative one-scan expectations (operators/expectations.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from monotonic_optimal_binning_spark.operators.expectations import (
+    Expectation,
+    expect_between,
+    expect_in_set,
+    expect_not_null,
+    expect_regex,
+    expect_row_count,
+    expect_stat,
+    expect_unique,
+    load_suite,
+    referential_check,
+    run_checks,
+    save_suite,
+)
+
+
+@pytest.fixture()
+def table(spark):
+    pdf = pd.DataFrame(
+        {
+            "id": np.arange(100),
+            "code": ["A", "B", "C", "D"] * 25,
+            "v": np.arange(100, dtype="float64"),
+        }
+    )
+    pdf.loc[pdf.index % 10 == 0, "code"] = None  # 10 nulls
+    return spark.createDataFrame(pdf).repartition(4)
+
+
+def _by_name(rows):
+    return {r["name"]: r for r in rows}
+
+
+def test_ratio_kinds(table):
+    got = _by_name(
+        run_checks(
+            table,
+            [
+                expect_not_null("code", min_ratio=0.85),
+                expect_not_null("code", min_ratio=0.95, name="strict"),
+                expect_in_set("code", ["A", "B", "C", "D"]),
+                expect_in_set("code", ["A", "B"], name="half"),
+                expect_between("v", 0, 49, min_ratio=0.5),
+                expect_regex("code", "^[ABC]$", min_ratio=0.7),
+            ],
+        ).collect()
+    )
+    assert got["not_null(code)"]["observed"] == 0.9
+    assert got["not_null(code)"]["passed"]
+    assert not got["strict"]["passed"]
+    # set/range/regex ratios are over NON-NULL rows
+    assert got["in_set(code)"]["observed"] == 1.0
+    assert abs(got["half"]["observed"] - 45 / 90) < 1e-12
+    assert got["between(v)"]["observed"] == 0.5
+    assert got["between(v)"]["passed"]
+    # nulls hit 5 A's and 5 C's (index%10==0, letter=index%4): 65 ABC left
+    assert abs(got["regex(code)"]["observed"] - 65 / 90) < 1e-12
+    assert got["regex(code)"]["passed"]
+
+
+def test_unique_rowcount_stat(table):
+    dup = table.union(table.limit(10))
+    got = _by_name(
+        run_checks(
+            dup,
+            [
+                expect_unique("id"),
+                expect_unique(["id", "code"], name="pair"),
+                expect_row_count(lo=100, hi=200),
+                expect_stat("v", "mean", lo=40, hi=60),
+                expect_stat("v", "max", hi=99),
+            ],
+        ).collect()
+    )
+    assert abs(got["unique(id)"]["observed"] - 100 / 110) < 1e-12
+    assert not got["unique(id)"]["passed"]
+    assert not got["pair"]["passed"]
+    assert got["row_count"]["observed"] == 110.0
+    assert got["row_count"]["passed"]
+    assert got["mean(v)"]["passed"]
+    assert got["max(v)"]["passed"]
+
+
+def test_approx_unique_same_scan(table):
+    got = _by_name(
+        run_checks(
+            table, [expect_unique("id", min_ratio=0.9, exact=False)]
+        ).collect()
+    )
+    # HLL estimate of 100 distinct / 100 rows is within a few percent
+    assert got["unique(id)"]["observed"] > 0.9
+    assert got["unique(id)"]["passed"]
+
+
+def test_empty_input_is_vacuous(spark):
+    df = spark.createDataFrame([], "id long, v double")
+    got = _by_name(
+        run_checks(
+            df,
+            [
+                expect_not_null("v"),
+                expect_unique("id"),
+                expect_row_count(lo=1),
+                expect_stat("v", "mean", lo=0),
+            ],
+        ).collect()
+    )
+    assert got["not_null(v)"]["observed"] == 1.0 and got["not_null(v)"]["passed"]
+    assert got["unique(id)"]["passed"]
+    assert got["row_count"]["observed"] == 0.0 and not got["row_count"]["passed"]
+    # a bounded stat over zero rows cannot attest
+    assert got["mean(v)"]["observed"] is None and not got["mean(v)"]["passed"]
+
+
+def test_one_scan_plan(spark, tmp_path):
+    """Every row-level expectation folds into ONE scan of the input (the
+    exact-unique Expand rewrite still reads the relation once)."""
+    p = str(tmp_path / "t")
+    spark.range(1000).withColumn("v", F.rand(7)).write.parquet(p)
+    df = spark.read.parquet(p)
+    out = run_checks(
+        df,
+        [
+            expect_not_null("v"),
+            expect_between("v", 0, 1),
+            expect_unique("id"),
+            expect_stat("v", "mean", lo=0, hi=1),
+            expect_row_count(lo=1),
+        ],
+    )
+    assert out.count() == 5  # runs fine; plan check on the agg itself
+    plan = (
+        df.agg(F.count(F.lit(1)), F.countDistinct("id"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan parquet") == 1
+
+
+def test_validation_errors(table):
+    with pytest.raises(ValueError, match="missing column"):
+        run_checks(table, [expect_not_null("nope")])
+    with pytest.raises(ValueError, match="duplicate expectation name"):
+        run_checks(table, [expect_not_null("v"), expect_not_null("v")])
+    with pytest.raises(ValueError, match="no expectations"):
+        run_checks(table, [])
+    with pytest.raises(ValueError, match="unknown stat"):
+        expect_stat("v", "median")
+
+
+def test_referential_check(spark, table):
+    ref = spark.createDataFrame(
+        pd.DataFrame({"k": ["A", "B", "C"]})
+    )
+    out = referential_check(table, "code", ref, "k").collect()[0]
+    assert out["observed"] == 25.0  # the D rows; nulls don't count
+    assert not out["passed"]
+    ok = referential_check(
+        table, "code", ref, "k", max_violations=25
+    ).collect()[0]
+    assert ok["passed"]
+
+
+def test_suite_round_trip(tmp_path, table):
+    exps = [
+        expect_not_null("code", 0.8),
+        expect_in_set("code", ["A", "B", "C", "D"]),
+        expect_unique(["id", "code"], exact=False),
+        expect_row_count(lo=10),
+        expect_stat("v", "stddev", hi=100),
+    ]
+    p = str(tmp_path / "suite.json")
+    save_suite(exps, p)
+    loaded = load_suite(p)
+    assert [e.to_dict() for e in loaded] == [e.to_dict() for e in exps]
+    a = run_checks(table, exps).collect()
+    b = run_checks(table, loaded).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_expect_job_end_to_end(spark, tmp_path):
+    """Contract-gate job: JSON suite -> one-scan verdict stage; --strict
+    exits 2 on violation; resume replays the stage."""
+    import json as _json
+    import os
+
+    from monotonic_optimal_binning_spark.jobs import main
+
+    src = str(tmp_path / "t.parquet")
+    pdf = pd.DataFrame({"id": range(50), "v": [float(i) for i in range(50)]})
+    spark.createDataFrame(pdf).write.parquet(src)
+    suite = str(tmp_path / "suite.json")
+    save_suite(
+        [
+            expect_not_null("v"),
+            expect_unique("id"),
+            expect_row_count(lo=10, hi=100),
+            expect_stat("v", "max", hi=10.0, name="fails"),
+        ],
+        suite,
+    )
+    wd = str(tmp_path / "run")
+    main(["expect", "--input", src, "--workdir", wd, "--suite", suite])
+    out = spark.read.parquet(os.path.join(wd, "stage_expect", "data"))
+    rows = {r["name"]: r for r in out.collect()}
+    assert len(rows) == 4
+    assert rows["fails"]["passed"] is False
+    assert all(r["passed"] for n, r in rows.items() if n != "fails")
+    with open(os.path.join(wd, "stage_expect", "_MANIFEST.json")) as f:
+        man = _json.load(f)
+    assert man["extra_metrics"]["failed_expectations"] == ["fails"]
+
+    with pytest.raises(SystemExit) as exc:
+        main(["expect", "--input", src, "--workdir", wd, "--suite", suite,
+              "--strict"])
+    assert exc.value.code == 2
