@@ -1473,6 +1473,41 @@ def q_keep_best_doc(spark, sf_dir):
     return out.select("doc_id", "lang", "source", "n_chars")
 
 
+def q_bin_stability(spark, sf_dir):
+    """K-fold bin-boundary stability in ONE grouped scan (3 fold fits =
+    one aggregate pass + 3 driver solves). Value-checked via the
+    monotone no-merge construction applied PER FOLD: y's group means are
+    strictly monotone inside every md5-threshold fold (15pp gaps vs
+    sub-pp sampling noise at sf>=0.001), so each fold's fit is exactly
+    the per-(fold, x) SQL aggregate, and the fold assignment itself
+    (md5(salt||id) prefix vs threshold literals) is reproduced verbatim
+    in the oracle."""
+    from monotonic_optimal_binning_spark.operators.model_diff import (
+        bin_stability,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.select(
+        "event_id",
+        F.pmod(F.col("user_id"), F.lit(5)).cast("double").alias("x"),
+        (
+            F.pmod(F.col("event_id"), F.lit(100))
+            < (F.pmod(F.col("user_id"), F.lit(5)) + 1) * 15
+        ).cast("int").alias("y"),
+    )
+    long_df, _models = bin_stability(
+        df, "x", "y", "event_id", n_folds=3, prebins="exact",
+        constraints=BinningConstraints(max_bins=10, min_bins=2),
+    )
+    return long_df.select(
+        F.col("fold").cast("long").alias("fold"),
+        F.col("bin").cast("long").alias("bin"),
+        "left", "right",
+        F.round("woe", _R).alias("woe"),
+        F.col("n_bins").cast("long").alias("n_bins"),
+    )
+
+
 def q_token_count(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", token_count(F.col("text")).alias("n_tok"))
@@ -2334,6 +2369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isotonic_calibration_grouped": q_isotonic_calibration_grouped,
         "expectations_check": q_expectations_check,
         "keep_best_doc": q_keep_best_doc,
+        "bin_stability": q_bin_stability,
         # --- rows-only -> value-checked conversions this round (also the
         # stalest entries: last driver rows are r3-era) ---
         "lsh_topk": q_lsh_topk,
@@ -2523,7 +2559,19 @@ def _hyperplane_lsh_cte(n_planes: int = 16, n_bands: int = 8) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from monotonic_optimal_binning_spark.operators.sampling import (
+        split_thresholds,
+    )
+
     lsh_cte = _hyperplane_lsh_cte()
+    # the engine's md5-threshold fold assignment, as the same hex
+    # literals it compares against (sampling.split_thresholds)
+    _th = split_thresholds({str(i): 1.0 for i in range(3)})
+    _fh = "substring(md5('binstab' || CAST(event_id AS VARCHAR)), 1, 8)"
+    fold_case = (
+        f"CASE WHEN {_fh} < '{_th['0']}' THEN 0 "
+        f"WHEN {_fh} < '{_th['1']}' THEN 1 ELSE 2 END"
+    )
     d = {
         "lsh_topk": f"""
             -- full re-derivation of the banded hyperplane-LSH candidate
@@ -2643,6 +2691,35 @@ def oracle_sql() -> dict[str, str]:
                                     doc_id) AS rn
                   FROM documents)
             WHERE rn = 1
+        """,
+        "bin_stability": f"""
+            -- per-fold monotone no-merge construction: each fold's fit
+            -- is exactly its per-(fold, x) aggregate; fold = the same
+            -- md5-threshold bucketing the engine computes
+            WITH d AS (
+              SELECT {fold_case} AS fold,
+                     CAST(user_id % 5 AS DOUBLE) AS x,
+                     CAST((event_id % 100) < (user_id % 5 + 1) * 15
+                          AS INT) AS y
+              FROM events),
+            g AS (
+              SELECT fold, x, count(*) AS cnt,
+                     CAST(sum(y) AS DOUBLE) AS bads
+              FROM d GROUP BY fold, x),
+            tot AS (
+              SELECT fold, sum(cnt) AS tc, sum(bads) AS tb,
+                     count(*) AS k
+              FROM g GROUP BY fold)
+            SELECT CAST(g.fold AS BIGINT) AS fold,
+                   CAST(x AS BIGINT) AS bin,
+                   CASE WHEN x = 0 THEN CAST('-infinity' AS DOUBLE)
+                        ELSE x END AS left,
+                   CASE WHEN x = 4 THEN CAST('infinity' AS DOUBLE)
+                        ELSE x + 1 END AS right,
+                   round(ln(((cnt - bads + 0.5) / (tc - tb + 0.5*k)) /
+                            ((bads + 0.5) / (tb + 0.5*k))), 6) AS woe,
+                   CAST(k AS BIGINT) AS n_bins
+            FROM g JOIN tot ON g.fold = tot.fold
         """,
         "group_stats": """
             SELECT round(l_quantity, 6) AS x,

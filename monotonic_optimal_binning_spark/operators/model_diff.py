@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from .binning import FittedBins
 
-__all__ = ["woe_shift_table", "transform_churn"]
+__all__ = ["woe_shift_table", "transform_churn", "bin_stability", "summarize_bin_stability"]
 
 
 def _check_comparable(old: FittedBins, new: FittedBins) -> None:
@@ -173,3 +173,92 @@ def transform_churn(
         "max_abs_woe_delta": float(row["max_abs_woe_delta"] or 0.0),
         "mean_abs_woe_delta": float(row["mean_abs_woe_delta"] or 0.0),
     }
+
+
+def bin_stability(
+    df: DataFrame,
+    x: str,
+    y: str,
+    id_col: str,
+    *,
+    n_folds: int = 5,
+    salt: str = "binstab",
+    prebins="auto",
+    **binner_kwargs,
+):
+    """K-fold refit stability of the binning itself — the robustness
+    question BEFORE promoting a model: do the cut points and WoEs this
+    fit produces survive resampling, or is the model an artifact of one
+    data slice?
+
+    Plan shape: fold assignment is the deterministic md5-threshold
+    bucketing the sampling/OOF-encoding operators share
+    (partition/rerun-invariant, reproducible in plain SQL), and ALL
+    ``n_folds`` fits run as ONE grouped sufficient-statistics scan + k
+    driver PAVA/merge solves (:func:`fit_binners_per_group`) — the cost
+    is one aggregate pass regardless of ``n_folds``, not k refits.
+
+    Returns ``(long_df, models)``: one row per (fold, bin) —
+    ``fold, bin, left, right, woe, n_bins`` (bins ordered by left edge;
+    ``woe`` NULL for non-binary fits) — plus the per-fold ``FittedBins``
+    dict for downstream use. Aggregate the long table for dispersion
+    (see :func:`summarize_bin_stability`).
+
+    Note on prebinning: like the grouped fitter, ``prebins='auto'``
+    resolves quantile split points GLOBALLY (one approxQuantile pass
+    shared by every fold) — per-fold fits equal fully independent fits
+    only under ``prebins='exact'``.
+    """
+    from .binning import fit_binners_per_group
+    from .encoding import fold_assignment
+
+    base = df.withColumn("__fold", fold_assignment(F.col(id_col), n_folds, salt))
+    gb = fit_binners_per_group(
+        base, "__fold", x, y, prebins=prebins, **binner_kwargs
+    )
+    records = []
+    for fold, m in sorted(gb.models.items()):
+        k = len(m.lefts)
+        for i in range(k):
+            w = None
+            if m.woes is not None:
+                wv = float(m.woes[i])
+                w = None if math.isnan(wv) else wv
+            records.append(
+                (int(fold), i, float(m.lefts[i]), float(m.rights[i]), w, k)
+            )
+    long_df = df.sparkSession.createDataFrame(
+        records,
+        "fold int, bin int, left double, right double, woe double, "
+        "n_bins int",
+    )
+    return long_df, gb.models
+
+
+def summarize_bin_stability(long_pdf: pd.DataFrame) -> pd.DataFrame:
+    """Dispersion metrics over :func:`bin_stability`'s long table
+    (driver-side — the table is n_folds × n_bins rows): per bin index,
+    how many folds produced it and how far its left edge and WoE moved.
+    A stable model has every fold agreeing on ``n_bins``, zero-width
+    edge ranges, and small WoE ranges."""
+    g = long_pdf.groupby("bin")
+
+    def _rng(lo, hi):
+        # inf - inf is NaN; an edge every fold agrees on (incl. the
+        # first bin's -inf) has range 0 by definition
+        return np.where(hi.to_numpy() == lo.to_numpy(), 0.0, hi - lo)
+
+    lmin, lmax = g["left"].min(), g["left"].max()
+    wmin, wmax = g["woe"].min(), g["woe"].max()
+    out = pd.DataFrame(
+        {
+            "folds_present": g["fold"].nunique(),
+            "left_min": lmin,
+            "left_max": lmax,
+            "left_range": _rng(lmin, lmax),
+            "woe_min": wmin,
+            "woe_max": wmax,
+            "woe_range": _rng(wmin, wmax),
+        }
+    ).reset_index()
+    return out
