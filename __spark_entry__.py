@@ -1508,6 +1508,29 @@ def q_bin_stability(spark, sf_dir):
     )
 
 
+def q_source_overlap(spark, sf_dir):
+    """Cross-source duplication matrix: distinct word-3-gram sets per
+    source, pairwise intersections via ONE shingle-keyed self-join whose
+    fan-out is bounded by k sources (never the doc-level m^2). The
+    xxhash64 shingle is an equi-join key for shingle-string equality, so
+    the oracle re-derives the exact matrix from string n-grams."""
+    from monotonic_optimal_binning_spark.operators.dedup import (
+        source_overlap_matrix,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = source_overlap_matrix(docs, "text", "source", shingle_size=3)
+    return out.select(
+        "source_a", "source_b",
+        F.col("common").cast("long").alias("common"),
+        F.col("size_a").cast("long").alias("size_a"),
+        F.col("size_b").cast("long").alias("size_b"),
+        F.round("jaccard", _R).alias("jaccard"),
+        F.round("containment_a", _R).alias("containment_a"),
+        F.round("containment_b", _R).alias("containment_b"),
+    )
+
+
 def q_token_count(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", token_count(F.col("text")).alias("n_tok"))
@@ -2370,6 +2393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expectations_check": q_expectations_check,
         "keep_best_doc": q_keep_best_doc,
         "bin_stability": q_bin_stability,
+        "source_overlap": q_source_overlap,
         # --- rows-only -> value-checked conversions this round (also the
         # stalest entries: last driver rows are r3-era) ---
         "lsh_topk": q_lsh_topk,
@@ -3812,6 +3836,39 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS lang_pred,
                    count(*) AS n
             FROM s GROUP BY lang, lang_pred
+        """,
+        "source_overlap": r"""
+            -- source-level DISTINCT shingle sets from string word
+            -- 3-grams (the engine's xxhash64 shingle is only an
+            -- equi-join key for shingle-string equality)
+            WITH toks AS (
+              SELECT source, list_filter(string_split_regex(trim(text), '\s+'),
+                                         x -> x != '') AS t
+              FROM documents),
+            post AS (
+              SELECT DISTINCT source,
+                     unnest(list_distinct(list_transform(
+                       range(0, greatest(len(t)-3, 0)+1),
+                       i -> array_to_string(list_slice(t, i+1, i+3), ' ')))) AS s
+              FROM toks),
+            sizes AS (SELECT source, count(*) AS sz FROM post GROUP BY source),
+            common AS (
+              SELECT a.source AS source_a, b.source AS source_b,
+                     count(*) AS common
+              FROM post a JOIN post b
+                ON a.s = b.s AND a.source < b.source
+              GROUP BY a.source, b.source)
+            SELECT source_a, source_b,
+                   CAST(common AS BIGINT) AS common,
+                   CAST(sa.sz AS BIGINT) AS size_a,
+                   CAST(sb.sz AS BIGINT) AS size_b,
+                   round(common / CAST(sa.sz + sb.sz - common AS DOUBLE), 6)
+                     AS jaccard,
+                   round(common / CAST(sa.sz AS DOUBLE), 6) AS containment_a,
+                   round(common / CAST(sb.sz AS DOUBLE), 6) AS containment_b
+            FROM common
+            JOIN sizes sa ON sa.source = source_a
+            JOIN sizes sb ON sb.source = source_b
         """,
         "ngram_jaccard": r"""
             WITH toks AS (

@@ -1246,3 +1246,79 @@ def keep_best(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    *,
+    shingle_size: int = 3,
+    shingle_unit: str = "word",
+) -> DataFrame:
+    """Cross-source duplication matrix: for every pair of corpus sources,
+    how much of one source's distinct n-gram set appears in the other —
+    the corpus-composition question (which crawls/dumps overlap, where
+    to spend dedup effort, is source B just a re-crawl of A) asked at
+    the SOURCE level instead of per document.
+
+    Per source: the DISTINCT shingle set (union over its documents).
+    Output per pair (source_a < source_b): ``common`` (|Sa ∩ Sb|),
+    ``size_a``/``size_b``, symmetric ``jaccard``, and the asymmetric
+    ``containment_a``/``containment_b`` (|Sa∩Sb|/|Sa|, /|Sb|) — a small
+    source wholly embedded in a big one scores ~1.0 containment while
+    jaccard stays low.
+
+    Plan shape: explode → ONE distinct over (source, shingle) (map-side
+    partial distinct collapses each source's repeats before the
+    shuffle), then a shingle-keyed self-join whose fan-out per shingle
+    is bounded by k(k-1)/2 for k sources — never the document-level m²
+    blowup, so no max_df cap is needed and the result is EXACT at any
+    corpus size. The shingle value is xxhash64 content hashing
+    (~2^-64 collisions); shingle-string equality gives the same matrix.
+    """
+    post = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.explode(
+                _shingles(F.col(text_col), shingle_size, shingle_unit)
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    sizes = post.groupBy("g").agg(F.count(F.lit(1)).alias("sz"))
+    a = post.select(F.col("g").alias("source_a"), "s")
+    b = post.select(F.col("g").alias("source_b"), "s")
+    common = (
+        a.join(b, on="s")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(
+            sizes.select(F.col("g").alias("source_a"), F.col("sz").alias("__sza")),
+            on="source_a",
+        )
+        .join(
+            sizes.select(F.col("g").alias("source_b"), F.col("sz").alias("__szb")),
+            on="source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "common",
+            F.col("__sza").alias("size_a"),
+            F.col("__szb").alias("size_b"),
+            (
+                F.col("common")
+                / (F.col("__sza") + F.col("__szb") - F.col("common")).cast("double")
+            ).alias("jaccard"),
+            (F.col("common") / F.col("__sza").cast("double")).alias(
+                "containment_a"
+            ),
+            (F.col("common") / F.col("__szb").cast("double")).alias(
+                "containment_b"
+            ),
+        )
+    )

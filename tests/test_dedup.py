@@ -665,3 +665,47 @@ def test_keep_best_agg_plan_is_algebraic(spark):
     )
     assert "Window" not in plan
     assert plan.count("ObjectHashAggregate") + plan.count("SortAggregate") >= 2
+
+
+# ---------------------------------------------------- source_overlap -------
+
+
+def test_source_overlap_matrix_matches_truth(spark):
+    """Source-level distinct-shingle overlap vs a pandas reference —
+    including a source fully contained in another (containment ~1,
+    jaccard low) and a disjoint one (no pair row)."""
+    from monotonic_optimal_binning_spark.operators.dedup import (
+        source_overlap_matrix,
+    )
+
+    mk = lambda i, src, words: (i, src, " ".join(words))
+    rows = []
+    # A: two docs over words a..j ; B: copy of A's first doc (subset);
+    # C: disjoint vocabulary
+    rows.append(mk(0, "A", [f"w{k}" for k in range(8)]))
+    rows.append(mk(1, "A", [f"w{k}" for k in range(4, 12)]))
+    rows.append(mk(2, "B", [f"w{k}" for k in range(8)]))
+    rows.append(mk(3, "C", [f"z{k}" for k in range(8)]))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "source", "text"]))
+    out = source_overlap_matrix(df, "text", "source", shingle_size=3).toPandas()
+    out = out.set_index(["source_a", "source_b"]).sort_index()
+
+    def shingle_set(texts):
+        s = set()
+        for t in texts:
+            w = t.split()
+            for i in range(max(len(w) - 3, 0) + 1):
+                s.add(" ".join(w[i:i + 3]))
+        return s
+
+    sa = shingle_set([rows[0][2], rows[1][2]])
+    sb = shingle_set([rows[2][2]])
+    common = len(sa & sb)
+    got = out.loc[("A", "B")]
+    assert got["common"] == common
+    assert got["size_a"] == len(sa) and got["size_b"] == len(sb)
+    assert abs(got["jaccard"] - common / len(sa | sb)) < 1e-12
+    assert abs(got["containment_b"] - common / len(sb)) < 1e-12
+    assert got["containment_b"] == 1.0  # B wholly inside A
+    # C shares nothing -> no (A,C)/(B,C) rows at all
+    assert ("A", "C") not in out.index and ("B", "C") not in out.index
