@@ -1531,6 +1531,18 @@ def q_source_overlap(spark, sf_dir):
     )
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Sliding-window document chunking (64-token windows, 16 overlap):
+    pure codegen, explode-first (token array materializes once per doc),
+    ZERO shuffles — the RAG-indexing map re-derived exactly in SQL."""
+    from monotonic_optimal_binning_spark.operators.packing import (
+        chunk_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "text", "doc_id", max_tokens=64, overlap=16)
+
+
 def q_token_count(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", token_count(F.col("text")).alias("n_tok"))
@@ -2394,6 +2406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keep_best_doc": q_keep_best_doc,
         "bin_stability": q_bin_stability,
         "source_overlap": q_source_overlap,
+        "chunk_documents": q_chunk_documents,
         # --- rows-only -> value-checked conversions this round (also the
         # stalest entries: last driver rows are r3-era) ---
         "lsh_topk": q_lsh_topk,
@@ -3836,6 +3849,32 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS lang_pred,
                    count(*) AS n
             FROM s GROUP BY lang, lang_pred
+        """,
+        "chunk_documents": r"""
+            -- same window arithmetic: starts k*48, count
+            -- 1 + ceil((n-64)/48) above one window, else 1; DuckDB
+            -- list_slice(begin, end) is END-inclusive (= Spark
+            -- slice(start, LENGTH 64) when end = start+63)
+            WITH toks AS (
+              SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+                                         x -> x != '') AS t
+              FROM documents),
+            meta AS (
+              SELECT doc_id, t,
+                     CASE WHEN len(t) > 64
+                          THEN 1 + CAST(ceil((len(t) - 64) / 48.0) AS INT)
+                          ELSE 1 END AS nc
+              FROM toks),
+            ch AS (
+              SELECT doc_id, t, CAST(unnest(range(0, nc)) AS INT) AS k
+              FROM meta)
+            SELECT doc_id,
+                   k AS chunk,
+                   array_to_string(list_slice(t, k*48 + 1, k*48 + 64), ' ')
+                     AS chunk_text,
+                   CAST(len(list_slice(t, k*48 + 1, k*48 + 64)) AS INT)
+                     AS n_tokens
+            FROM ch
         """,
         "source_overlap": r"""
             -- source-level DISTINCT shingle sets from string word

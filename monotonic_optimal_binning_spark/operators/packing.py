@@ -172,3 +172,67 @@ def pack_sequences(
             ).alias("tokens_slice")
         )
     return exploded.select(*cols)
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    max_tokens: int = 512,
+    overlap: int = 0,
+) -> DataFrame:
+    """Per-document sliding-window chunking — the RAG-indexing /
+    long-document-training shape: each document becomes
+    ``ceil``-many windows of at most ``max_tokens`` whitespace tokens,
+    consecutive windows sharing ``overlap`` tokens so no boundary
+    context is lost.
+
+    Chunk starts are ``k * (max_tokens - overlap)``; the chunk count is
+    ``1 + ceil((n - max_tokens) / step)`` for ``n > max_tokens`` else 1,
+    so every token is covered and no degenerate tail chunk (one fully
+    contained in its predecessor) is emitted. Empty/whitespace-only
+    documents yield one empty chunk (``n_tokens = 0``) — row-count
+    lineage stays 1:N with no silent drops.
+
+    Execution: pure codegen — ``split`` once per row, ``explode`` over a
+    ``sequence`` of chunk indices (Generate is a project-collapse
+    barrier, so the token array materializes ONCE per document, not once
+    per chunk), ``slice``+``concat_ws`` per chunk. Embarrassingly
+    parallel: zero shuffles, zero UDFs; unlike :func:`pack_sequences`
+    (cross-document concat-then-chunk, which needs the global prefix
+    sum) this is a per-row map at any corpus size.
+    """
+    if max_tokens < 1:
+        raise ValueError("max_tokens must be >= 1")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("overlap must satisfy 0 <= overlap < max_tokens")
+    step = max_tokens - overlap
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    n = F.size(toks)
+    n_chunks = F.when(
+        n > max_tokens,
+        F.lit(1) + F.ceil((n - max_tokens) / F.lit(step)).cast("int"),
+    ).otherwise(F.lit(1))
+    base = df.select(
+        F.col(id_col),
+        toks.alias("__t"),
+        n_chunks.alias("__nc"),
+    )
+    # explode FIRST (collapse barrier): __t materializes once per doc
+    exploded = base.select(
+        id_col,
+        "__t",
+        F.explode(F.sequence(F.lit(0), F.col("__nc") - 1)).alias("chunk"),
+    )
+    piece = F.slice(
+        F.col("__t"), F.col("chunk") * step + 1, max_tokens
+    )
+    return exploded.select(
+        id_col,
+        F.col("chunk").cast("int").alias("chunk"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).cast("int").alias("n_tokens"),
+    )

@@ -132,3 +132,78 @@ def test_pack_sequences_invariants_property(spark):
                     assert offs[k] == offs[k - 1] + sizes[k - 1]
             # chunk_offset + slice length never exceeds the budget
             assert ((out["chunk_offset"] + out["n_tok_slice"]) <= budget).all()
+
+
+# ------------------------------------------------------ chunk_documents ----
+
+
+def _chunk_truth(text, max_tokens, overlap):
+    toks = [t for t in text.split() if t]
+    n = len(toks)
+    step = max_tokens - overlap
+    if n > max_tokens:
+        import math
+        nc = 1 + math.ceil((n - max_tokens) / step)
+    else:
+        nc = 1
+    out = []
+    for k in range(nc):
+        piece = toks[k * step: k * step + max_tokens]
+        out.append((k, " ".join(piece), len(piece)))
+    return out
+
+
+def test_chunk_documents_matches_truth(spark):
+    from monotonic_optimal_binning_spark.operators.packing import (
+        chunk_documents,
+    )
+
+    texts = {
+        0: " ".join(f"w{i}" for i in range(13)),   # 3 chunks @ max8/ov4
+        1: " ".join(f"w{i}" for i in range(10)),   # 2 chunks (no tail dup)
+        2: " ".join(f"w{i}" for i in range(8)),    # exactly one window
+        3: "one two",                              # short doc
+        4: "",                                     # empty -> 1 empty chunk
+        5: "   ",                                  # whitespace-only
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    got = (
+        chunk_documents(df, "text", "doc_id", max_tokens=8, overlap=4)
+        .toPandas().sort_values(["doc_id", "chunk"]).reset_index(drop=True)
+    )
+    rows = []
+    for d, t in texts.items():
+        for k, ct, nt in _chunk_truth(t, 8, 4):
+            rows.append((d, k, ct, nt))
+    want = pd.DataFrame(rows, columns=["doc_id", "chunk", "chunk_text", "n_tokens"])
+    pd.testing.assert_frame_equal(
+        got.astype({"chunk": "int64", "n_tokens": "int64"}),
+        want.astype({"chunk": "int64", "n_tokens": "int64"}),
+    )
+    # overlap property: consecutive chunks share exactly `overlap` tokens
+    c0 = got[(got.doc_id == 0) & (got.chunk == 0)].chunk_text.iloc[0].split()
+    c1 = got[(got.doc_id == 0) & (got.chunk == 1)].chunk_text.iloc[0].split()
+    assert c0[-4:] == c1[:4]
+
+
+def test_chunk_documents_validation_and_plan(spark):
+    import pytest as _pt
+
+    from monotonic_optimal_binning_spark.operators.packing import (
+        chunk_documents,
+    )
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["a b"]}))
+    with _pt.raises(ValueError, match="overlap"):
+        chunk_documents(df, "text", "doc_id", max_tokens=4, overlap=4)
+    with _pt.raises(ValueError, match="max_tokens"):
+        chunk_documents(df, "text", "doc_id", max_tokens=0)
+    # zero-shuffle plan: a per-row map + Generate only
+    plan = (
+        chunk_documents(df, "text", "doc_id", max_tokens=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "Generate" in plan
