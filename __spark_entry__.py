@@ -2464,11 +2464,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fixed_bucket_woe": q_fixed_bucket_woe,
         "asof_join": q_asof_join,
         "asof_join_bucketed": q_asof_bucketed,
+        # ---------------- position 50+: not checked this round ----------
+        # r4-green tail (rotates into the window next round)
         "asof_forward": q_asof_forward,
         "asof_tolerance": q_asof_tolerance,
         "leakage_audit": q_leakage_audit,
-        # ---------------- position 50+: not checked this round ----------
-        # r4-green tail (rotates into the window next round)
         "lag_lead": q_lag_lead,
         "lag_lead_bucketed": q_lag_lead_bucketed,
         "backfill": q_backfill,
@@ -3856,8 +3856,10 @@ def oracle_sql() -> dict[str, str]:
             -- list_slice(begin, end) is END-inclusive (= Spark
             -- slice(start, LENGTH 64) when end = start+63)
             WITH toks AS (
-              SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
-                                         x -> x != '') AS t
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(coalesce(text, '')),
+                                                    '\s+'),
+                                 x -> x != '') AS t
               FROM documents),
             meta AS (
               SELECT doc_id, t,

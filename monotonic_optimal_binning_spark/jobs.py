@@ -1006,7 +1006,18 @@ def expect_job(args) -> None:
     df = _read_input(spark, args.input, getattr(args, "input_format", None), getattr(args, "input_options", None))
 
     exps = load_suite(args.suite)
-    out_dir = os.path.join(args.workdir, "stage_expect")
+    # a contract GATE must never reuse another ingest's verdict: stage
+    # reuse is manifest-existence-based, so the stage dir is keyed by
+    # (input, suite content) — same ingest resumes idempotently, a new
+    # input or an edited suite always re-evaluates
+    import hashlib
+
+    with open(args.suite, "rb") as f:
+        suite_bytes = f.read()
+    gate_key = hashlib.md5(
+        args.input.encode() + b"\x00" + suite_bytes
+    ).hexdigest()[:12]
+    out_dir = os.path.join(args.workdir, f"stage_expect_{gate_key}")
     res = run_stage(
         spark, out_dir, "expect",
         lambda: run_checks(df, exps, rsd=args.rsd),

@@ -1205,22 +1205,34 @@ def keep_best(
     numeric_id = dtypes.get(id_col) in (
         "tinyint", "smallint", "int", "bigint", "float", "double",
     )
+    # the agg path packs the WHOLE row into max(struct(...)), so every
+    # payload column must be ORDERABLE — map types are not (Spark raises
+    # INVALID_ORDERING_TYPE); the window path never orders the payload
+    orderable_payload = not any("map<" in dt for _, dt in df.dtypes)
     if strategy == "auto":
-        strategy = "agg" if numeric_id else "window"
+        strategy = "agg" if numeric_id and orderable_payload else "window"
     if strategy == "agg" and not numeric_id:
         raise ValueError(
             "strategy='agg' needs a numeric id_col for the tie-break "
             "ordering; use strategy='window'"
         )
+    if strategy == "agg" and not orderable_payload:
+        raise ValueError(
+            "strategy='agg' packs the full row into an ordered struct, "
+            "and map-typed columns are not orderable; use "
+            "strategy='window'"
+        )
 
     s = F.col(score_col).cast("double")
-    # NaN sorts ABOVE every double in Spark orderings — a NaN score would
-    # silently win the group; null/NaN both mean "no score": rank lowest
+    # direction FIRST, missing-sentinel SECOND: negating after the
+    # null->-inf mapping would send missing scores to +inf and make the
+    # UNSCORED copy win every lower-is-better group. NaN sorts ABOVE
+    # every double in Spark orderings — null/NaN both mean "no score":
+    # rank lowest in either direction
+    sv = s if higher_is_better else -s
     ord_score = (
-        F.when(s.isNull() | F.isnan(s), F.lit(float("-inf"))).otherwise(s)
+        F.when(s.isNull() | F.isnan(s), F.lit(float("-inf"))).otherwise(sv)
     )
-    if not higher_is_better:
-        ord_score = -ord_score
 
     if strategy == "agg":
         # tie keeps the id's NATIVE integer type (a double cast would

@@ -233,7 +233,9 @@ def run_checks(
             observed = 1.0 if d == 0 else float(row[f"__m{i}"]) / d
             lo = e.min_ratio
         if observed is None:
-            passed = False  # a bounded stat over zero rows cannot attest
+            # a BOUNDED stat over zero rows cannot attest — but an
+            # unbounded one (no lo, no hi) cannot be violated either
+            passed = lo is None and hi is None
         else:
             passed = (lo is None or observed >= lo) and (
                 hi is None or observed <= hi

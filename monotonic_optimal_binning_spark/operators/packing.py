@@ -203,14 +203,17 @@ def chunk_documents(
     (cross-document concat-then-chunk, which needs the global prefix
     sum) this is a per-row map at any corpus size.
     """
+    from .textstats import whitespace_tokens
+
     if max_tokens < 1:
         raise ValueError("max_tokens must be >= 1")
     if not 0 <= overlap < max_tokens:
         raise ValueError("overlap must satisfy 0 <= overlap < max_tokens")
     step = max_tokens - overlap
-    toks = F.filter(
-        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
-    )
+    # NULL text behaves like empty text (one empty chunk, n_tokens 0):
+    # without the coalesce, size(slice(NULL)) nulls n_tokens and the row
+    # contract ("empty chunk") silently breaks on the first null doc
+    toks = whitespace_tokens(F.coalesce(F.col(text_col), F.lit("")))
     n = F.size(toks)
     n_chunks = F.when(
         n > max_tokens,

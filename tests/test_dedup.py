@@ -590,9 +590,8 @@ def _kb_frame(spark, with_string_id=False):
 def _kb_truth(df, keep_id="min", higher=True):
     pdf = df.toPandas()
     s = pdf["score"].astype(float)
-    ordv = s.where(~s.isna(), -np.inf)
-    if not higher:
-        ordv = -ordv
+    # direction first, THEN missing -> -inf (missing loses both ways)
+    ordv = (s if higher else -s).where(~s.isna(), -np.inf)
     pdf = pdf.assign(__o=ordv)
     asc_id = keep_id == "min"
     pdf = pdf.sort_values(
@@ -709,3 +708,37 @@ def test_source_overlap_matrix_matches_truth(spark):
     assert got["containment_b"] == 1.0  # B wholly inside A
     # C shares nothing -> no (A,C)/(B,C) rows at all
     assert ("A", "C") not in out.index and ("B", "C") not in out.index
+
+
+def test_keep_best_missing_score_loses_both_directions(spark):
+    """A null/NaN score must lose to ANY real score in BOTH directions —
+    negating after the -inf mapping used to send missing scores to +inf
+    and crown the unscored copy in every lower-is-better group."""
+    from monotonic_optimal_binning_spark.operators.dedup import keep_best
+
+    pdf = pd.DataFrame(
+        {"rid": [1, 2, 3], "grp": [0, 0, 0], "score": [5.0, None, 2.0]}
+    )
+    df = spark.createDataFrame(pdf)
+    for strategy in ("agg", "window"):
+        lo = keep_best(
+            df, "grp", "score", "rid",
+            higher_is_better=False, strategy=strategy,
+        ).collect()
+        assert [r["rid"] for r in lo] == [3], strategy
+        hi = keep_best(df, "grp", "score", "rid", strategy=strategy).collect()
+        assert [r["rid"] for r in hi] == [1], strategy
+
+
+def test_keep_best_map_payload_routes_window(spark):
+    """max(struct(...)) cannot order map columns: auto must route to the
+    window strategy, and explicit agg must refuse loudly."""
+    from monotonic_optimal_binning_spark.operators.dedup import keep_best
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"rid": [1, 2], "grp": [0, 0], "score": [1.0, 2.0]})
+    ).withColumn("m", F.create_map(F.lit("k"), F.col("rid")))
+    got = keep_best(df, "grp", "score", "rid").collect()  # auto -> window
+    assert [r["rid"] for r in got] == [2]
+    with pytest.raises(ValueError, match="map-typed"):
+        keep_best(df, "grp", "score", "rid", strategy="agg")

@@ -109,14 +109,17 @@ def test_empty_input_is_vacuous(spark):
                 expect_unique("id"),
                 expect_row_count(lo=1),
                 expect_stat("v", "mean", lo=0),
+                expect_stat("v", "mean", name="unbounded"),
             ],
         ).collect()
     )
     assert got["not_null(v)"]["observed"] == 1.0 and got["not_null(v)"]["passed"]
     assert got["unique(id)"]["passed"]
     assert got["row_count"]["observed"] == 0.0 and not got["row_count"]["passed"]
-    # a bounded stat over zero rows cannot attest
+    # a bounded stat over zero rows cannot attest...
     assert got["mean(v)"]["observed"] is None and not got["mean(v)"]["passed"]
+    # ...but an unbounded one cannot be violated either
+    assert got["unbounded"]["observed"] is None and got["unbounded"]["passed"]
 
 
 def test_one_scan_plan(spark, tmp_path):
@@ -205,14 +208,17 @@ def test_expect_job_end_to_end(spark, tmp_path):
         ],
         suite,
     )
+    import glob
+
     wd = str(tmp_path / "run")
     main(["expect", "--input", src, "--workdir", wd, "--suite", suite])
-    out = spark.read.parquet(os.path.join(wd, "stage_expect", "data"))
+    stage = glob.glob(os.path.join(wd, "stage_expect_*"))[0]
+    out = spark.read.parquet(os.path.join(stage, "data"))
     rows = {r["name"]: r for r in out.collect()}
     assert len(rows) == 4
     assert rows["fails"]["passed"] is False
     assert all(r["passed"] for n, r in rows.items() if n != "fails")
-    with open(os.path.join(wd, "stage_expect", "_MANIFEST.json")) as f:
+    with open(os.path.join(stage, "_MANIFEST.json")) as f:
         man = _json.load(f)
     assert man["extra_metrics"]["failed_expectations"] == ["fails"]
 
@@ -220,3 +226,17 @@ def test_expect_job_end_to_end(spark, tmp_path):
         main(["expect", "--input", src, "--workdir", wd, "--suite", suite,
               "--strict"])
     assert exc.value.code == 2
+
+    # the GATE must never reuse another ingest's verdict: a new --input
+    # in the same workdir gets a fresh stage dir and re-evaluates
+    src2 = str(tmp_path / "t2.parquet")
+    spark.createDataFrame(
+        pd.DataFrame({"id": [1, 1, 2], "v": [1.0, 2.0, 3.0]})
+    ).write.parquet(src2)
+    suite2 = str(tmp_path / "suite2.json")
+    save_suite([expect_unique("id")], suite2)
+    with pytest.raises(SystemExit) as exc2:
+        main(["expect", "--input", src2, "--workdir", wd,
+              "--suite", suite2, "--strict"])
+    assert exc2.value.code == 2
+    assert len(glob.glob(os.path.join(wd, "stage_expect_*"))) == 2

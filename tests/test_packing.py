@@ -165,6 +165,7 @@ def test_chunk_documents_matches_truth(spark):
         3: "one two",                              # short doc
         4: "",                                     # empty -> 1 empty chunk
         5: "   ",                                  # whitespace-only
+        6: None,                                   # NULL behaves like empty
     }
     df = spark.createDataFrame(
         pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
@@ -175,7 +176,7 @@ def test_chunk_documents_matches_truth(spark):
     )
     rows = []
     for d, t in texts.items():
-        for k, ct, nt in _chunk_truth(t, 8, 4):
+        for k, ct, nt in _chunk_truth(t or "", 8, 4):
             rows.append((d, k, ct, nt))
     want = pd.DataFrame(rows, columns=["doc_id", "chunk", "chunk_text", "n_tokens"])
     pd.testing.assert_frame_equal(
