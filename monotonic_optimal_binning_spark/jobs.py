@@ -446,11 +446,13 @@ def dedup_job(args) -> None:
                 transitive=args.transitive,
                 max_bucket_size=args.max_bucket_size,
                 checkpoint_dir=args.checkpoint_dir,
+                keep_best_col=args.keep_best_col,
             ),
             inputs=[exact_dir],
             params={"threshold": args.near_threshold,
                     "num_hashes": args.num_hashes, "n_bands": args.n_bands,
                     "transitive": args.transitive,
+                    "keep_best_col": args.keep_best_col,
                     "max_bucket_size": args.max_bucket_size},
             extra_metrics=extra,
         )
@@ -1423,6 +1425,10 @@ def main(argv: Optional[list] = None) -> None:
     dd.add_argument("--n-bands", type=int, default=16)
     dd.add_argument("--transitive", action="store_true",
                     help="exact single-link clusters (connected components)")
+    dd.add_argument("--keep-best-col", default=None, dest="keep_best_col",
+                    help="keep each transitive cluster's HIGHEST value of "
+                         "this column instead of the min id (canonical-copy "
+                         "selection; requires --transitive)")
     dd.add_argument("--max-bucket-size", type=int, default=5000,
                     help="LSH bucket cap (degenerate-bucket guard)")
     dd.add_argument("--audit-buckets", action="store_true",

@@ -640,6 +640,8 @@ def minhash_dedup(
     transitive: bool = False,
     max_bucket_size: Optional[int] = 5000,
     checkpoint_dir: Optional[str] = None,
+    keep_best_col: Optional[str] = None,
+    keep_best_higher: bool = True,
 ) -> DataFrame:
     """Drop near-duplicates: a row is removed if it pairs (jaccard >=
     threshold) with any surviving smaller id.
@@ -652,7 +654,20 @@ def minhash_dedup(
     The threshold filter is pushed inside the candidate generator and the
     pair set is materialized (releasing the LSH caches; reliable when
     ``checkpoint_dir`` is set) because both consumers re-read it.
+
+    ``keep_best_col`` changes WHICH copy survives: instead of the
+    min-id winner, each transitive cluster keeps its best-scoring row
+    (:func:`keep_best` — e.g. highest quality score, or lowest
+    perplexity with ``keep_best_higher=False``; id still breaks ties).
+    Requires ``transitive=True`` — only components define the cluster a
+    "best" is taken over.
     """
+    if keep_best_col is not None and not transitive:
+        raise ValueError(
+            "keep_best_col needs transitive=True: only connected "
+            "components define the cluster each 'best' row is chosen "
+            "from"
+        )
     pairs = minhash_lsh_candidates(
         df,
         text_col,
@@ -668,6 +683,25 @@ def minhash_dedup(
         checkpoint_dir=checkpoint_dir,
     )
     if transitive:
+        if keep_best_col is not None:
+            from .graph import connected_components
+
+            for shadow in ("__cluster", "component"):
+                if shadow in df.columns:
+                    raise ValueError(
+                        f"input already has a '{shadow}' column; rename it"
+                    )
+            comp = connected_components(
+                pairs, "id_a", "id_b", checkpoint_dir=checkpoint_dir
+            ).withColumnRenamed("id", id_col)
+            labeled = df.join(comp, on=id_col, how="left").withColumn(
+                # rows in no pair are their own singleton cluster
+                "__cluster", F.coalesce(F.col("component"), F.col(id_col))
+            ).drop("component")
+            return keep_best(
+                labeled, "__cluster", keep_best_col, id_col,
+                higher_is_better=keep_best_higher,
+            ).drop("__cluster")
         from .graph import dedup_by_components
 
         return dedup_by_components(

@@ -742,3 +742,30 @@ def test_keep_best_map_payload_routes_window(spark):
     assert [r["rid"] for r in got] == [2]
     with pytest.raises(ValueError, match="map-typed"):
         keep_best(df, "grp", "score", "rid", strategy="agg")
+
+
+def test_minhash_dedup_keep_best_cluster_winner(spark):
+    """keep_best_col survives the BEST copy per transitive near-dup
+    cluster (not the min id); singleton rows survive untouched."""
+    from monotonic_optimal_binning_spark.operators.dedup import (
+        minhash_dedup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [base, base + " x", base + " y",
+                     "entirely different content about query planners"],
+            "quality": [0.2, 0.9, 0.5, 0.1],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = minhash_dedup(
+        df, "text", "doc_id", threshold=0.8, num_hashes=64, n_bands=16,
+        transitive=True, keep_best_col="quality",
+    ).toPandas()
+    assert sorted(out["doc_id"]) == [1, 3]  # best-quality copy + singleton
+    assert set(out.columns) == {"doc_id", "text", "quality"}
+    with pytest.raises(ValueError, match="transitive"):
+        minhash_dedup(df, "text", "doc_id", keep_best_col="quality")
