@@ -240,3 +240,48 @@ def test_expect_job_end_to_end(spark, tmp_path):
               "--suite", suite2, "--strict"])
     assert exc2.value.code == 2
     assert len(glob.glob(os.path.join(wd, "stage_expect_*"))) == 2
+
+
+def test_expectations_stream_gate(spark, tmp_path):
+    """Streaming contract gate: per-micro-batch verdicts, passing rows
+    flow through, failing batches quarantine, violation callback fires."""
+    import os
+
+    from monotonic_optimal_binning_spark.streaming.expect import (
+        expectations_stream,
+    )
+
+    src = str(tmp_path / "in")
+    # batch 1 passes (v <= 10), batch 2 violates the max bound
+    good = pd.DataFrame({"id": range(10), "v": [float(i % 5) for i in range(10)]})
+    bad = pd.DataFrame({"id": range(100, 110), "v": [50.0] * 10})
+    spark.createDataFrame(good).coalesce(1).write.parquet(src + "/b1")
+    spark.createDataFrame(bad).coalesce(1).write.parquet(src + "/b2")
+    schema = spark.read.parquet(src + "/b1").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    hits = []
+    q = expectations_stream(
+        stream,
+        [expect_not_null("v"), expect_stat("v", "max", hi=10.0, name="vmax")],
+        verdict_path=str(tmp_path / "verdicts"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        quarantine_path=str(tmp_path / "quarantine"),
+        passed_path=str(tmp_path / "passed"),
+        on_violation=lambda bid, names: hits.append((bid, tuple(names))),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+    verdicts = spark.read.parquet(str(tmp_path / "verdicts")).toPandas()
+    assert set(verdicts["batch_id"]) == {0, 1}
+    per_batch = verdicts.groupby("batch_id")["passed"].all()
+    assert per_batch.sum() == 1  # exactly one batch fully passed
+    assert len(hits) == 1 and hits[0][1] == ("vmax",)
+    passed = spark.read.parquet(str(tmp_path / "passed")).toPandas()
+    quar = spark.read.parquet(str(tmp_path / "quarantine")).toPandas()
+    assert len(passed) == 10 and passed["v"].max() <= 10
+    assert len(quar) == 10 and quar["v"].min() == 50.0
+    assert "batch_id" in quar.columns
