@@ -1543,6 +1543,30 @@ def q_chunk_documents(spark, sf_dir):
     return chunk_documents(docs, "text", "doc_id", max_tokens=64, overlap=16)
 
 
+def q_token_drift(spark, sf_dir):
+    """Vocabulary drift (per-token JS contributions + __rest__ mass)
+    between two deterministic corpus slices (even vs odd doc_id):
+    exact counts + closed-form divergence, fully SQL-reproducible."""
+    from monotonic_optimal_binning_spark.operators.textstats import (
+        token_distribution_drift,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = token_distribution_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        top_k=50,
+    )
+    return out.select(
+        "token",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round("p_a", _R).alias("p_a"),
+        F.round("p_b", _R).alias("p_b"),
+        F.round("js_contrib", _R).alias("js_contrib"),
+    )
+
+
 def q_token_count(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", token_count(F.col("text")).alias("n_tok"))
@@ -2407,6 +2431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bin_stability": q_bin_stability,
         "source_overlap": q_source_overlap,
         "chunk_documents": q_chunk_documents,
+        "token_drift": q_token_drift,
         # --- rows-only -> value-checked conversions this round (also the
         # stalest entries: last driver rows are r3-era) ---
         "lsh_topk": q_lsh_topk,
@@ -2463,9 +2488,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "woe_transform_monotone": q_woe_transform_monotone,
         "fixed_bucket_woe": q_fixed_bucket_woe,
         "asof_join": q_asof_join,
-        "asof_join_bucketed": q_asof_bucketed,
         # ---------------- position 50+: not checked this round ----------
         # r4-green tail (rotates into the window next round)
+        "asof_join_bucketed": q_asof_bucketed,
         "asof_forward": q_asof_forward,
         "asof_tolerance": q_asof_tolerance,
         "leakage_audit": q_leakage_audit,
@@ -3849,6 +3874,51 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS lang_pred,
                    count(*) AS n
             FROM s GROUP BY lang, lang_pred
+        """,
+        "token_drift": r"""
+            -- same construction: lowercase whitespace tokens, top-50 by
+            -- combined count (tie: token asc), __rest__ mass by
+            -- subtraction, JS contributions with the 0*log0 convention
+            WITH ta AS (
+              SELECT lower(unnest(list_filter(
+                       string_split_regex(trim(text), '\s+'),
+                       x -> x != ''))) AS token
+              FROM documents WHERE doc_id % 2 = 0),
+            tb AS (
+              SELECT lower(unnest(list_filter(
+                       string_split_regex(trim(text), '\s+'),
+                       x -> x != ''))) AS token
+              FROM documents WHERE doc_id % 2 = 1),
+            caa AS (SELECT token, count(*) AS n_a FROM ta GROUP BY token),
+            cbb AS (SELECT token, count(*) AS n_b FROM tb GROUP BY token),
+            j AS (
+              SELECT coalesce(caa.token, cbb.token) AS token,
+                     coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+              FROM caa FULL OUTER JOIN cbb ON caa.token = cbb.token),
+            tot AS (SELECT sum(n_a) AS tta, sum(n_b) AS ttb FROM j),
+            sel AS (
+              SELECT token, n_a, n_b FROM j
+              ORDER BY (n_a + n_b) DESC, token ASC LIMIT 50),
+            uni AS (
+              SELECT token, n_a, n_b FROM sel
+              UNION ALL
+              SELECT '__rest__',
+                     (SELECT tta FROM tot) - sum(n_a),
+                     (SELECT ttb FROM tot) - sum(n_b)
+              FROM sel)
+            SELECT token,
+                   CAST(n_a AS BIGINT) AS n_a,
+                   CAST(n_b AS BIGINT) AS n_b,
+                   round(n_a / tta, 6) AS p_a,
+                   round(n_b / ttb, 6) AS p_b,
+                   round(0.5 * (
+                     CASE WHEN n_a > 0 THEN (n_a/tta) *
+                       ln((n_a/tta) / ((n_a/tta + n_b/ttb)/2))
+                       ELSE 0 END
+                     + CASE WHEN n_b > 0 THEN (n_b/ttb) *
+                       ln((n_b/ttb) / ((n_a/tta + n_b/ttb)/2))
+                       ELSE 0 END), 6) AS js_contrib
+            FROM uni CROSS JOIN tot
         """,
         "chunk_documents": r"""
             -- same window arithmetic: starts k*48, count

@@ -379,3 +379,91 @@ def token_topk(
         .limit(k)
         .select("token", "n")
     )
+
+
+def token_distribution_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+    *,
+    top_k: int = 100,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Vocabulary drift between two corpus slices (crawls, snapshots,
+    sources): per-token Jensen-Shannon contributions over the combined
+    top-``top_k`` tokens plus one ``__rest__`` row carrying ALL
+    remaining probability mass — so the contributions sum to the exact
+    JS divergence (nats) of the top-k-coarsened distributions, not an
+    approximation over an unstated support. PSI answers this for
+    numeric features; this is its token-frequency twin (did the new
+    crawl change what the corpus talks about / which language/boiler-
+    plate dominates).
+
+    Output: one row per selected token + ``__rest__``:
+    ``token, n_a, n_b, p_a, p_b, js_contrib`` (p's are occurrence
+    shares of the FULL token stream; zeros contribute 0 by the 0·log 0
+    convention — JS needs no smoothing).
+
+    Plan at 100 TB: one explode→groupBy(token) aggregate per side
+    (map-side combine collapses stop-word skew), a token-keyed outer
+    join of the two vocab tables, top-k via orderBy+limit (TakeOrdered
+    — never a single-task vocab sort; ties break on token text so both
+    engines agree), scalar totals broadcast, and the ``__rest__`` mass
+    computed by subtraction from the k selected rows — the non-selected
+    vocab is never re-scanned.
+    """
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+
+    def _counts(d: DataFrame, name: str) -> DataFrame:
+        tok = F.explode(
+            whitespace_tokens(
+                F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+            )
+        ).alias("token")
+        return d.select(tok).groupBy("token").agg(
+            F.count(F.lit(1)).alias(name)
+        )
+
+    ca, cb = _counts(df_a, "n_a"), _counts(df_b, "n_b")
+    joined = (
+        ca.join(cb, on="token", how="full_outer")
+        .select(
+            "token",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        )
+    )
+    totals = F.broadcast(
+        joined.agg(
+            F.sum("n_a").alias("__ta"), F.sum("n_b").alias("__tb")
+        )
+    )
+    sel = joined.orderBy(
+        F.desc(F.col("n_a") + F.col("n_b")), F.asc("token")
+    ).limit(top_k)
+    rest = (
+        sel.agg(F.sum("n_a").alias("__sa"), F.sum("n_b").alias("__sb"))
+        .crossJoin(totals)
+        .select(
+            F.lit("__rest__").alias("token"),
+            (F.col("__ta") - F.coalesce("__sa", F.lit(0))).alias("n_a"),
+            (F.col("__tb") - F.coalesce("__sb", F.lit(0))).alias("n_b"),
+        )
+    )
+    p = F.col("n_a") / F.col("__ta")
+    q = F.col("n_b") / F.col("__tb")
+    m = (p + q) / 2
+    contrib = 0.5 * (
+        F.when(F.col("n_a") > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+        + F.when(F.col("n_b") > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+    )
+    return (
+        sel.unionByName(rest)
+        .crossJoin(totals)
+        .select(
+            "token", "n_a", "n_b",
+            p.alias("p_a"), q.alias("p_b"),
+            contrib.alias("js_contrib"),
+        )
+    )

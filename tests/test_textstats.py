@@ -234,3 +234,54 @@ def test_token_topk_exact_and_plan(spark):
     jqe = g._jdf.queryExecution()
     gplan = g.sparkSession._jvm.PythonSQLUtils.explainString(jqe, "simple")
     assert "WindowGroupLimit" in gplan, gplan
+
+
+def test_token_distribution_drift_matches_truth(spark):
+    """Per-token JS contributions + __rest__ mass vs a pure-python
+    reference; contributions sum to the exact coarsened JS divergence."""
+    import math
+
+    from monotonic_optimal_binning_spark.operators.textstats import (
+        token_distribution_drift,
+    )
+
+    a_texts = ["the cat sat", "the cat ran", "a dog ran far away today"]
+    b_texts = ["the dog sat", "the dog sat again", "a cat naps"]
+    df_a = spark.createDataFrame(pd.DataFrame({"text": a_texts}))
+    df_b = spark.createDataFrame(pd.DataFrame({"text": b_texts}))
+    got = (
+        token_distribution_drift(df_a, df_b, top_k=4)
+        .toPandas().set_index("token")
+    )
+
+    def counts(ts):
+        c = {}
+        for t in ts:
+            for w in t.lower().split():
+                c[w] = c.get(w, 0) + 1
+        return c
+
+    ca, cb = counts(a_texts), counts(b_texts)
+    ta, tb = sum(ca.values()), sum(cb.values())
+    vocab = sorted(set(ca) | set(cb),
+                   key=lambda w: (-(ca.get(w, 0) + cb.get(w, 0)), w))
+    sel = vocab[:4]
+    rows = {w: (ca.get(w, 0), cb.get(w, 0)) for w in sel}
+    rows["__rest__"] = (
+        ta - sum(ca.get(w, 0) for w in sel),
+        tb - sum(cb.get(w, 0) for w in sel),
+    )
+    js_total = 0.0
+    for w, (na, nb) in rows.items():
+        p, q = na / ta, nb / tb
+        m = (p + q) / 2
+        c = 0.5 * ((p * math.log(p / m) if na else 0.0)
+                   + (q * math.log(q / m) if nb else 0.0))
+        js_total += c
+        assert got.loc[w, "n_a"] == na and got.loc[w, "n_b"] == nb, w
+        assert abs(got.loc[w, "js_contrib"] - c) < 1e-12, w
+    assert abs(got["js_contrib"].sum() - js_total) < 1e-12
+    assert len(got) == 5
+    # identical corpora -> zero divergence everywhere
+    same = token_distribution_drift(df_a, df_a, top_k=4).toPandas()
+    assert (same["js_contrib"].abs() < 1e-15).all()
