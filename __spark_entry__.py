@@ -1558,7 +1558,7 @@ def q_token_drift(spark, sf_dir):
         top_k=50,
     )
     return out.select(
-        "token",
+        "token", "is_rest",
         F.col("n_a").cast("long").alias("n_a"),
         F.col("n_b").cast("long").alias("n_b"),
         F.round("p_a", _R).alias("p_a"),
@@ -3907,6 +3907,7 @@ def oracle_sql() -> dict[str, str]:
                      (SELECT ttb FROM tot) - sum(n_b)
               FROM sel)
             SELECT token,
+                   token = '__rest__' AS is_rest,
                    CAST(n_a AS BIGINT) AS n_a,
                    CAST(n_b AS BIGINT) AS n_b,
                    round(n_a / tta, 6) AS p_a,

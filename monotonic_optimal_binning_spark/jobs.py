@@ -363,6 +363,12 @@ def dedup_job(args) -> None:
     stage with row-count lineage. The exact pass runs FIRST — it removes
     precisely the degenerate duplicate clusters that would otherwise blow
     up LSH buckets (operators/dedup.py bucket cap notes)."""
+    if getattr(args, "keep_best_col", None) and not args.transitive:
+        # two-flag constraint: fail before any stage burns cluster time
+        raise SystemExit(
+            "--keep-best-col requires --transitive (only connected "
+            "components define the cluster each best row is chosen from)"
+        )
     spark = _spark("mob-dedup")
     run = PipelineRun(root=args.workdir)
     df = _read_input(spark, args.input, getattr(args, "input_format", None), getattr(args, "input_options", None))

@@ -668,6 +668,15 @@ def minhash_dedup(
             "components define the cluster each 'best' row is chosen "
             "from"
         )
+    if keep_best_col is not None:
+        # validate BEFORE the (eager, expensive) candidate
+        # materialization below — a shadowed column should fail in
+        # milliseconds, not after the full LSH pipeline ran
+        for shadow in ("__cluster", "component"):
+            if shadow in df.columns:
+                raise ValueError(
+                    f"input already has a '{shadow}' column; rename it"
+                )
     pairs = minhash_lsh_candidates(
         df,
         text_col,
@@ -686,11 +695,6 @@ def minhash_dedup(
         if keep_best_col is not None:
             from .graph import connected_components
 
-            for shadow in ("__cluster", "component"):
-                if shadow in df.columns:
-                    raise ValueError(
-                        f"input already has a '{shadow}' column; rename it"
-                    )
             comp = connected_components(
                 pairs, "id_a", "id_b", checkpoint_dir=checkpoint_dir
             ).withColumnRenamed("id", id_col)

@@ -400,9 +400,13 @@ def token_distribution_drift(
     plate dominates).
 
     Output: one row per selected token + ``__rest__``:
-    ``token, n_a, n_b, p_a, p_b, js_contrib`` (p's are occurrence
-    shares of the FULL token stream; zeros contribute 0 by the 0·log 0
-    convention — JS needs no smoothing).
+    ``token, is_rest, n_a, n_b, p_a, p_b, js_contrib`` (p's are
+    occurrence shares of the FULL token stream; zeros contribute 0 by
+    the 0·log 0 convention — JS needs no smoothing). ``is_rest``
+    disambiguates the remainder row from a corpus that literally
+    contains the token ``__rest__``. Degenerate case: a slice with ZERO
+    tokens has no distribution — its p/js columns come back NULL (the
+    0/0 share is undefined, not zero); gate empty slices upstream.
 
     Plan at 100 TB: one explode→groupBy(token) aggregate per side
     (map-side combine collapses stop-word skew), a token-keyed outer
@@ -441,7 +445,7 @@ def token_distribution_drift(
     )
     sel = joined.orderBy(
         F.desc(F.col("n_a") + F.col("n_b")), F.asc("token")
-    ).limit(top_k)
+    ).limit(top_k).withColumn("is_rest", F.lit(False))
     rest = (
         sel.agg(F.sum("n_a").alias("__sa"), F.sum("n_b").alias("__sb"))
         .crossJoin(totals)
@@ -449,6 +453,7 @@ def token_distribution_drift(
             F.lit("__rest__").alias("token"),
             (F.col("__ta") - F.coalesce("__sa", F.lit(0))).alias("n_a"),
             (F.col("__tb") - F.coalesce("__sb", F.lit(0))).alias("n_b"),
+            F.lit(True).alias("is_rest"),
         )
     )
     p = F.col("n_a") / F.col("__ta")
@@ -462,7 +467,7 @@ def token_distribution_drift(
         sel.unionByName(rest)
         .crossJoin(totals)
         .select(
-            "token", "n_a", "n_b",
+            "token", "is_rest", "n_a", "n_b",
             p.alias("p_a"), q.alias("p_b"),
             contrib.alias("js_contrib"),
         )

@@ -49,8 +49,8 @@ def expectations_stream(
     ``quarantine_path`` (if set) receives that batch's ROWS (the
     failing ingest is preserved for repair instead of polluting
     downstream); otherwise the batch is only recorded as failing.
-    Passing batches append their rows to ``passed_path`` (if set) — the
-    gated-through stream. ``on_violation(batch_id, failed_names)`` (if
+    Passing batches append their rows (plus ``batch_id``) to
+    ``passed_path`` (if set) — the gated-through stream. ``on_violation(batch_id, failed_names)`` (if
     set) is invoked for alerting.
 
     Returns the started ``StreamingQuery``. Exactly-once notes: the
@@ -60,8 +60,14 @@ def expectations_stream(
     standard Structured Streaming contract for file-sink side outputs.
     """
     exps = list(expectations)
+    if not exps:
+        # fail at wiring time, not inside the first non-empty trigger
+        raise ValueError("no expectations given")
 
     def _gate(batch_df: DataFrame, batch_id: int) -> None:
+        # the gate reads the batch up to 3x (count, suite aggregate,
+        # row write) — cache it for the body
+        batch_df.persist()
         n = batch_df.count()
         verdicts = run_checks(batch_df, exps, rsd=rsd) if n else None
         spark = batch_df.sparkSession
@@ -74,17 +80,23 @@ def expectations_stream(
                 "observed double, bound_lo double, bound_hi double, "
                 "passed boolean",
             )
-        out = verdicts.withColumn("batch_id", F.lit(int(batch_id))).withColumn(
-            "n_rows", F.lit(int(n))
+        bid = F.lit(int(batch_id)).cast("long")
+        out = verdicts.withColumn("batch_id", bid).withColumn(
+            "n_rows", F.lit(int(n)).cast("long")
         )
         out.write.mode("append").parquet(verdict_path)
         failed = [r["name"] for r in out.filter(~F.col("passed")).collect()]
         if failed and quarantine_path is not None:
-            batch_df.withColumn(
-                "batch_id", F.lit(int(batch_id))
-            ).write.mode("append").parquet(quarantine_path)
+            batch_df.withColumn("batch_id", bid).write.mode(
+                "append"
+            ).parquet(quarantine_path)
         if not failed and passed_path is not None and n:
-            batch_df.write.mode("append").parquet(passed_path)
+            # batch_id rides along so at-least-once replay duplicates
+            # stay dedupable in the gated-through sink too
+            batch_df.withColumn("batch_id", bid).write.mode(
+                "append"
+            ).parquet(passed_path)
+        batch_df.unpersist()
         if failed and on_violation is not None:
             on_violation(batch_id, failed)
 

@@ -284,4 +284,12 @@ def test_expectations_stream_gate(spark, tmp_path):
     quar = spark.read.parquet(str(tmp_path / "quarantine")).toPandas()
     assert len(passed) == 10 and passed["v"].max() <= 10
     assert len(quar) == 10 and quar["v"].min() == 50.0
-    assert "batch_id" in quar.columns
+    # both side sinks carry batch_id so at-least-once replays dedupe
+    assert "batch_id" in quar.columns and "batch_id" in passed.columns
+    assert str(verdicts["batch_id"].dtype) == "int64"
+    assert str(verdicts["n_rows"].dtype) == "int64"
+    with pytest.raises(ValueError, match="no expectations"):
+        expectations_stream(
+            stream, [], verdict_path=str(tmp_path / "v2"),
+            checkpoint_dir=str(tmp_path / "c2"),
+        )

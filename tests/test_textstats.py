@@ -282,6 +282,7 @@ def test_token_distribution_drift_matches_truth(spark):
         assert abs(got.loc[w, "js_contrib"] - c) < 1e-12, w
     assert abs(got["js_contrib"].sum() - js_total) < 1e-12
     assert len(got) == 5
+    assert got.loc["__rest__", "is_rest"] and not got.drop("__rest__")["is_rest"].any()
     # identical corpora -> zero divergence everywhere
     same = token_distribution_drift(df_a, df_a, top_k=4).toPandas()
     assert (same["js_contrib"].abs() < 1e-15).all()
