@@ -1106,6 +1106,40 @@ def embedding_neardup_pairs(
     reliable ``checkpoint()`` when ``checkpoint_dir`` is set) so the
     intermediate cache is released before returning.
     """
+    scored, banded = _embedding_scored_pairs(
+        df,
+        vec_col,
+        id_col,
+        dim,
+        n_planes=n_planes,
+        n_bands=n_bands,
+        seed=seed,
+        max_bucket_size=max_bucket_size,
+    )
+    from ..plans.checkpoint import truncate_lineage
+
+    out = truncate_lineage(
+        scored.filter(F.col("cosine") >= threshold), checkpoint_dir, eager=True
+    )
+    banded.unpersist()
+    return out
+
+
+def _embedding_scored_pairs(
+    df: "DataFrame",
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    *,
+    n_planes: int,
+    n_bands: int,
+    seed: int,
+    max_bucket_size: Optional[int],
+) -> tuple:
+    """Lazy (un-checkpointed) cosine-scored LSH candidate pairs and the
+    pinned banded-index cache — split out so the verify-leg plan shape is
+    inspectable (``tests/test_plans.py`` pins SortMergeJoin there; the
+    public entry point eagerly checkpoints, which erases the plan)."""
     from ..functions.vector import dot, l2_norm
     from .similarity import add_lsh_buckets
 
@@ -1170,13 +1204,7 @@ def embedding_neardup_pairs(
             ),
         )
     )
-    from ..plans.checkpoint import truncate_lineage
-
-    out = truncate_lineage(
-        scored.filter(F.col("cosine") >= threshold), checkpoint_dir, eager=True
-    )
-    banded.unpersist()
-    return out
+    return scored, banded
 
 
 def embedding_neardup_dedup(

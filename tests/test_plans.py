@@ -352,3 +352,97 @@ def test_unweighted_paths_carry_no_weight_plumbing(spark):
         assert "raise_error" not in p, p
     # the stats scan is still the one-Exchange shape
     assert all("Exchange" in p for p in scan_plans)
+
+
+def _verify_leg_joins(plan: str) -> tuple:
+    """(sort-merge id-leg joins, broadcast id-leg joins) in a simple plan.
+
+    Only the verify legs — the inner equi-joins keyed on id_a / id_b that
+    re-attach the array-heavy payload (shingles / vectors) to the candidate
+    pair set — are counted; the (band, bucket) self-join and the leftsemi
+    candidate-id restriction may legitimately pick other strategies."""
+    smj = re.findall(r"SortMergeJoin \[id_[ab]#\d+L?\], \[id_[ab]#\d+L?\], Inner", plan)
+    bhj = re.findall(r"BroadcastHashJoin \[id_[ab]#\d+L?\], \[id_[ab]#\d+L?\], Inner", plan)
+    return smj, bhj
+
+
+def test_minhash_verify_legs_stay_sort_merge(spark):
+    """Round-6 sf1 driver-fatal regression pin: Catalyst's static size
+    estimate for the array-heavy shingle cache is far below its real bytes,
+    so WITHOUT the .hint('merge') on the verify legs the planner picks a
+    BroadcastHashJoin that AQE cannot demote — the driver died building a
+    multi-GB broadcast at sf1. The caches are materialized FIRST (count
+    action) because un-materialized InMemoryRelations have unknown stats
+    and would mask the regression: with computed (small) stats the
+    unhinted plan measurably flips to broadcast (probe, 2026-08), so this
+    test fails if the hints are dropped."""
+    from monotonic_optimal_binning_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        release_lsh_caches,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(60),
+                "text": [
+                    f"shared prefix words document {i % 9} body {i}"
+                    for i in range(60)
+                ],
+            }
+        )
+    )
+    kw = dict(num_hashes=16, n_bands=4, shingle_size=3, shingle_unit="word")
+    first = minhash_lsh_candidates(docs, "text", "doc_id", **kw)
+    first.count()  # materializes the pinned caches -> computed stats
+    # second build hits the same caches (canonicalized-plan match), so its
+    # static plan sees the small computed sizes — the regression condition
+    out = minhash_lsh_candidates(docs, "text", "doc_id", **kw)
+    plan = plan_of(out, "simple")
+    smj, bhj = _verify_leg_joins(plan)
+    assert len(smj) == 2, plan
+    assert not bhj, plan
+    release_lsh_caches(out)
+    release_lsh_caches(first)
+
+
+def test_embedding_verify_legs_stay_sort_merge(spark):
+    """Same pin for embedding_neardup_pairs: the vector table's static
+    size undercounts array rows; a statically planned broadcast of it is
+    un-demotable. Uses the lazy pre-checkpoint helper (the public entry
+    point eagerly localCheckpoints, erasing the plan)."""
+    import numpy as np
+
+    from monotonic_optimal_binning_spark.operators.dedup import (
+        _embedding_scored_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(40),
+                "emb": [
+                    rng.normal(size=8).astype("float64").tolist()
+                    for _ in range(40)
+                ],
+            }
+        )
+    )
+    scored, banded = _embedding_scored_pairs(
+        emb, "emb", "doc_id", 8, n_planes=8, n_bands=2, seed=1,
+        max_bucket_size=100,
+    )
+    try:
+        scored.count()  # materializes the banded cache
+        scored2, banded2 = _embedding_scored_pairs(
+            emb, "emb", "doc_id", 8, n_planes=8, n_bands=2, seed=1,
+            max_bucket_size=100,
+        )
+        plan = plan_of(scored2, "simple")
+        smj, bhj = _verify_leg_joins(plan)
+        assert len(smj) == 2, plan
+        assert not bhj, plan
+        banded2.unpersist()
+    finally:
+        banded.unpersist()
