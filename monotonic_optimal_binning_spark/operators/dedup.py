@@ -1302,12 +1302,24 @@ def keep_best(
 
     if strategy == "agg":
         # tie keeps the id's NATIVE integer type (a double cast would
-        # collide distinct ids above 2^53 at corpus scale)
+        # collide distinct ids above 2^53 at corpus scale). keep_id='min'
+        # needs a DESCENDING-in-id key for the max(): bitwise NOT, not
+        # negation — ~x = -x-1 is monotone decreasing and total over the
+        # whole int64 range, while -x wraps silently at Long.MIN_VALUE
+        # (ANSI off) or throws (ANSI on). Float ids negate safely, but a
+        # NaN id would poison the struct ordering (NaN sorts ABOVE every
+        # double): map it to -inf so a NaN-id row loses ties either way.
         tie = F.col(id_col)
+        if dtypes.get(id_col) in ("float", "double"):
+            tie_min = F.when(F.isnan(tie), F.lit(float("-inf"))).otherwise(-tie)
+            tie_max = F.when(F.isnan(tie), F.lit(float("-inf"))).otherwise(tie)
+            tie_key = tie_min if keep_id == "min" else tie_max
+        else:
+            tie_key = F.bitwise_not(tie) if keep_id == "min" else tie
         packed = F.max(
             F.struct(
                 ord_score.alias("__s"),
-                (-tie if keep_id == "min" else tie).alias("__t"),
+                tie_key.alias("__t"),
                 F.struct(*[F.col(c) for c in df.columns]).alias("__row"),
             )
         ).alias("__best")

@@ -31,6 +31,14 @@ SCALED = {
     "documents": (["doc_id"], "text"),
     "embeddings": (["vec_id"], None),
 }
+# FK columns must be offset by the REFERENCED table's max key, not the
+# referencing table's own max: in TPC-H-ish data some customers have no
+# orders, so max(o_custkey) < max(c_custkey) and a per-table offset would
+# point copy k's orders at custkeys that don't exist in copy k's customers.
+FK_SOURCE = {
+    "o_custkey": ("customer", "c_custkey"),
+    "l_orderkey": ("orders", "o_orderkey"),
+}
 DIMS = ["region", "nation", "supplier", "part"]
 
 
@@ -44,10 +52,12 @@ def build(out_dir: str, factor: int = 10) -> None:
         )
     for t, (keys, text_col) in SCALED.items():
         src = f"'{SRC}/{t}.parquet'"
-        offsets = {
-            k: con.execute(f"SELECT max({k}) + 1 FROM {src}").fetchone()[0]
-            for k in keys
-        }
+        offsets = {}
+        for k in keys:
+            ref_t, ref_k = FK_SOURCE.get(k, (t, k))
+            offsets[k] = con.execute(
+                f"SELECT max({ref_k}) + 1 FROM '{SRC}/{ref_t}.parquet'"
+            ).fetchone()[0]
         cols = [
             r[0]
             for r in con.execute(f"DESCRIBE SELECT * FROM {src}").fetchall()

@@ -730,6 +730,43 @@ def test_keep_best_missing_score_loses_both_directions(spark):
         assert [r["rid"] for r in hi] == [1], strategy
 
 
+def test_keep_best_extreme_id_ties(spark):
+    """Agg-path tie-break must survive the full id domain: keep_id='min'
+    uses bitwise NOT (~x, total over int64) instead of negation, which
+    wraps at Long.MIN_VALUE with ANSI off and throws with ANSI on; a NaN
+    float id maps to -inf so it loses ties in BOTH directions."""
+    from monotonic_optimal_binning_spark.operators.dedup import keep_best
+
+    lmin, lmax = -(2 ** 63), 2 ** 63 - 1
+    df = spark.createDataFrame(
+        [(lmin, 0, 5.0), (0, 0, 5.0), (lmax, 0, 5.0)],
+        "rid long, grp int, score double",
+    )
+    for strategy in ("agg", "window"):
+        got_min = keep_best(
+            df, "grp", "score", "rid", keep_id="min", strategy=strategy
+        ).collect()
+        assert [r["rid"] for r in got_min] == [lmin], strategy
+        got_max = keep_best(
+            df, "grp", "score", "rid", keep_id="max", strategy=strategy
+        ).collect()
+        assert [r["rid"] for r in got_max] == [lmax], strategy
+
+    fdf = spark.createDataFrame(
+        pd.DataFrame({"rid": [1.0, 2.0], "grp": [0, 0], "score": [5.0, 5.0]})
+    ).withColumn(
+        "rid",
+        F.when(F.col("rid") == 2.0, F.lit(float("nan"))).otherwise(
+            F.col("rid")
+        ),
+    )
+    for keep_id in ("min", "max"):
+        got = keep_best(
+            fdf, "grp", "score", "rid", keep_id=keep_id, strategy="agg"
+        ).collect()
+        assert len(got) == 1 and got[0]["rid"] == 1.0, keep_id
+
+
 def test_keep_best_map_payload_routes_window(spark):
     """max(struct(...)) cannot order map columns: auto must route to the
     window strategy, and explicit agg must refuse loudly."""
