@@ -3994,10 +3994,13 @@ def oracle_sql() -> dict[str, str]:
                        i -> array_to_string(list_slice(t, i+1, i+3), ' '))) AS sset
               FROM toks),
             post AS (SELECT doc_id, unnest(sset) AS s FROM sh),
-            sizes AS (SELECT doc_id, count(*) AS sz FROM post GROUP BY doc_id),
+            -- models the engine's DEFAULT stop-shingle cap (max_df=1000)
+            keep1k AS (SELECT s FROM post GROUP BY s HAVING count(*) <= 1000),
+            fpost AS (SELECT p.doc_id, p.s FROM post p JOIN keep1k USING (s)),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM fpost GROUP BY doc_id),
             common AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-              FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+              FROM fpost a JOIN fpost b ON a.s = b.s AND a.doc_id < b.doc_id
               GROUP BY a.doc_id, b.doc_id)
             SELECT id_a, id_b,
                    round(common / CAST(sa.sz + sb.sz - common AS DOUBLE), 6) AS jaccard
@@ -4044,10 +4047,13 @@ def oracle_sql() -> dict[str, str]:
                        i -> array_to_string(list_slice(t, i+1, i+3), ' '))) AS sset
               FROM toks),
             post AS (SELECT doc_id, unnest(sset) AS s FROM sh),
-            sizes AS (SELECT doc_id, count(*) AS sz FROM post GROUP BY doc_id),
+            -- models the engine's DEFAULT stop-shingle cap (max_df=1000)
+            keep1k AS (SELECT s FROM post GROUP BY s HAVING count(*) <= 1000),
+            fpost AS (SELECT p.doc_id, p.s FROM post p JOIN keep1k USING (s)),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM fpost GROUP BY doc_id),
             common AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-              FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+              FROM fpost a JOIN fpost b ON a.s = b.s AND a.doc_id < b.doc_id
               GROUP BY a.doc_id, b.doc_id),
             scored AS (
               SELECT id_a, id_b,
@@ -4075,10 +4081,13 @@ def oracle_sql() -> dict[str, str]:
                        i -> array_to_string(list_slice(t, i+1, i+3), ' '))) AS sset
               FROM toks),
             post AS (SELECT doc_id, unnest(sset) AS s FROM sh),
-            sizes AS (SELECT doc_id, count(*) AS sz FROM post GROUP BY doc_id),
+            -- models the engine's DEFAULT stop-shingle cap (max_df=1000)
+            keep1k AS (SELECT s FROM post GROUP BY s HAVING count(*) <= 1000),
+            fpost AS (SELECT p.doc_id, p.s FROM post p JOIN keep1k USING (s)),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM fpost GROUP BY doc_id),
             common AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-              FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+              FROM fpost a JOIN fpost b ON a.s = b.s AND a.doc_id < b.doc_id
               GROUP BY a.doc_id, b.doc_id),
             edges AS (
               SELECT id_a, id_b FROM common

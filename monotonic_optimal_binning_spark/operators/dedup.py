@@ -723,7 +723,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     shingle_size: int = 3,
     shingle_unit: str = "word",
-    max_df: Optional[int] = None,
+    max_df: Optional[int] = 1000,
     containment_threshold: Optional[float] = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard similarity for every pair >= threshold, via an
@@ -743,7 +743,14 @@ def ngram_jaccard_pairs(
 
     ``max_df`` drops shingles occurring in more than max_df documents
     (stop-shingles) before the join — the standard guard against the
-    frequent-key blowup at corpus scale; exact results need max_df=None.
+    frequent-key blowup at corpus scale. The DEFAULT is bounded
+    (max_df=1000): a posting list of length m self-joins to m² candidate
+    rows, so one boilerplate shingle shared by 10^6 documents would emit
+    10^12 rows from a single join key; capping at 1000 bounds any key's
+    fan-out at 10^6 rows while leaving genuinely discriminative shingles
+    (df << corpus) untouched. Pass ``max_df=None`` explicitly for the
+    exact unbounded jaccard (safe only when the corpus is known to have
+    no stop-shingles, e.g. after template stripping).
     """
     base = df.select(
         F.col(id_col).alias("id"),

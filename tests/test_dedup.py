@@ -452,6 +452,36 @@ def test_ngram_containment_detects_excerpts(spark):
     assert row["jaccard"] < 0.5
 
 
+def test_ngram_jaccard_default_path_is_bounded(spark):
+    """The DEFAULT must carry the stop-shingle guard (max_df=1000): a
+    posting list of length m self-joins to m² rows, so the unbounded
+    path must be an explicit opt-in (max_df=None). Pinned two ways:
+    (a) a shingle planted in >1000 docs produces ZERO pairs by default
+    but m² pairs with max_df=None; (b) the default plan contains the
+    left-semi stop-shingle filter join."""
+    from monotonic_optimal_binning_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    n = 1001  # one past the default cap
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("common boiler plate").alias("text"),
+    )
+    bounded = ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.1)
+    assert bounded.count() == 0
+    exact = ngram_jaccard_pairs(
+        df.limit(5), "text", "doc_id", threshold=0.1, max_df=None
+    )
+    assert exact.count() == 10  # C(5,2) identical docs
+    plan = bounded._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    nop = ngram_jaccard_pairs(
+        df.limit(5), "text", "doc_id", threshold=0.1, max_df=None
+    )
+    assert "LeftSemi" not in nop._jdf.queryExecution().executedPlan().toString()
+
+
 def test_exact_dedup_digest_float_zero_and_timestamp_micros(spark):
     """Digest-key semantics must match the raw-column groupBy it replaced:
     -0.0 and 0.0 share one group (SQL grouping normalizes signed zero),
