@@ -56,6 +56,29 @@ def _read_input(
     return read_table(spark, target, fmt=fmt, options=opts)
 
 
+def _ingest_signature(target: str) -> str:
+    """Content-identity string for a gate key: for a filesystem input, the
+    sorted data-file listing with sizes and mtimes (an in-place rewrite at
+    the same path changes it); for a catalog identifier, the identifier
+    itself (callers salt with --run-id after in-place rewrites)."""
+    if not os.path.exists(target):
+        return target
+    if os.path.isfile(target):
+        st = os.stat(target)
+        return f"{target}|{st.st_size}|{st.st_mtime_ns}"
+    parts = [target]
+    for root, dirs, files in os.walk(target):
+        dirs.sort()
+        for name in sorted(files):
+            if name.startswith((".", "_")):  # _SUCCESS, .crc side files
+                continue
+            path = os.path.join(root, name)
+            st = os.stat(path)
+            rel = os.path.relpath(path, target)
+            parts.append(f"{rel}|{st.st_size}|{st.st_mtime_ns}")
+    return "\n".join(parts)
+
+
 def _parse_prebins(v: str):
     return v if v in ("auto", "exact") else int(v)
 
@@ -82,7 +105,16 @@ def fit_woe_job(args) -> None:
     if args.asof_right:
         from .operators.asof import asof_agg_join, asof_decayed_join
 
-        right = _read_input(spark, args.asof_right, getattr(args, "input_format", None), getattr(args, "input_options", None))
+        # per-ref override: a mixed-storage pipeline (parquet main input,
+        # iceberg event table) forces formats per reference; the secondary
+        # ref inherits the --input-* values only when not overridden
+        right = _read_input(
+            spark, args.asof_right,
+            getattr(args, "asof_right_format", None)
+            or getattr(args, "input_format", None),
+            getattr(args, "asof_right_options", None)
+            or getattr(args, "input_options", None),
+        )
         feat_dir = os.path.join(args.workdir, "stage_asof")
         horizons = [float(h) for h in (args.horizons or "").split(",") if h]
         half_lives = [
@@ -1016,14 +1048,21 @@ def expect_job(args) -> None:
     exps = load_suite(args.suite)
     # a contract GATE must never reuse another ingest's verdict: stage
     # reuse is manifest-existence-based, so the stage dir is keyed by
-    # (input, suite content) — same ingest resumes idempotently, a new
-    # input or an edited suite always re-evaluates
+    # (ingest signature, suite content) — same ingest resumes
+    # idempotently, a new input, an IN-PLACE REWRITE of the same path
+    # (path identity is not ingest identity), or an edited suite always
+    # re-evaluates. For path inputs the signature is the sorted file
+    # listing with sizes+mtimes; catalog tables (no local listing) fall
+    # back to the identifier plus --run-id, which callers should pass
+    # when re-gating a rewritten table.
     import hashlib
 
     with open(args.suite, "rb") as f:
         suite_bytes = f.read()
     gate_key = hashlib.md5(
-        args.input.encode() + b"\x00" + suite_bytes
+        _ingest_signature(args.input).encode()
+        + b"\x00" + (args.run_id or "").encode()
+        + b"\x00" + suite_bytes
     ).hexdigest()[:12]
     out_dir = os.path.join(args.workdir, f"stage_expect_{gate_key}")
     res = run_stage(
@@ -1291,10 +1330,16 @@ def ann_job(args) -> None:
     run = PipelineRun(root=args.workdir)
 
     corpus = _read_input(spark, args.input, getattr(args, "input_format", None), getattr(args, "input_options", None))
-    # --input-format/--input-options apply to BOTH table refs of this
-    # job (corpus and queries are one pipeline's inputs) — previously
-    # the flags silently skipped --queries
-    queries = _read_input(spark, args.queries, getattr(args, "input_format", None), getattr(args, "input_options", None))
+    # --queries-format/--queries-options override per ref; otherwise the
+    # --input-* values apply to BOTH table refs of this job (a uniform
+    # pipeline's corpus and queries usually share storage)
+    queries = _read_input(
+        spark, args.queries,
+        getattr(args, "queries_format", None)
+        or getattr(args, "input_format", None),
+        getattr(args, "queries_options", None)
+        or getattr(args, "input_options", None),
+    )
 
     os.makedirs(args.workdir, exist_ok=True)
     cb_path = os.path.join(args.workdir, "ivf_codebook.json")
@@ -1346,6 +1391,17 @@ def main(argv: Optional[list] = None) -> None:
     fw.add_argument("--min-samples", type=float, default=None)
     fw.add_argument("--asof-right", default=None,
                     help="optional event table for as-of feature join")
+    fw.add_argument(
+        "--asof-right-format", default=None, dest="asof_right_format",
+        help="force a DataSource for --asof-right (defaults to "
+             "--input-format): mixed-storage pipelines (parquet main "
+             "input + iceberg event table) need per-ref overrides",
+    )
+    fw.add_argument(
+        "--asof-right-options", default=None, dest="asof_right_options",
+        help="comma-separated reader options k=v for --asof-right "
+             "(defaults to --input-options)",
+    )
     fw.add_argument("--entity-col", default="doc_id")
     fw.add_argument("--ts-col", default="ts")
     fw.add_argument(
@@ -1651,6 +1707,10 @@ def main(argv: Optional[list] = None) -> None:
                     help="exit 2 when any expectation fails")
     ex.add_argument("--rsd", type=float, default=0.02,
                     help="HyperLogLog relative error for approx unique")
+    ex.add_argument("--run-id", default=None, dest="run_id",
+                    help="extra gate-key salt for catalog tables (no "
+                         "file listing): pass a new value after an "
+                         "in-place table rewrite to force re-evaluation")
     ex.set_defaults(func=expect_job)
 
     pf = sub.add_parser(
@@ -1676,6 +1736,16 @@ def main(argv: Optional[list] = None) -> None:
                     help="corpus parquet path or table id")
     an.add_argument("--queries", required=True,
                     help="query-batch parquet path or table id")
+    an.add_argument(
+        "--queries-format", default=None, dest="queries_format",
+        help="force a DataSource for --queries (defaults to "
+             "--input-format)",
+    )
+    an.add_argument(
+        "--queries-options", default=None, dest="queries_options",
+        help="comma-separated reader options k=v for --queries "
+             "(defaults to --input-options)",
+    )
     an.add_argument("--workdir", required=True)
     an.add_argument("--k", type=int, default=10)
     an.add_argument("--vec-col", default="embedding")

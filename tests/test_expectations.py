@@ -242,6 +242,45 @@ def test_expect_job_end_to_end(spark, tmp_path):
     assert len(glob.glob(os.path.join(wd, "stage_expect_*"))) == 2
 
 
+def test_expect_job_inplace_rewrite_regates(spark, tmp_path):
+    """Path identity is not ingest identity: rewriting the SAME path with
+    new data must produce a fresh gate stage (content-keyed gate_key), not
+    silently reuse the previous verdict."""
+    import glob
+    import os
+
+    from monotonic_optimal_binning_spark.jobs import main
+
+    src = str(tmp_path / "t.parquet")
+    spark.createDataFrame(
+        pd.DataFrame({"id": [1, 2, 3], "v": [1.0, 2.0, 3.0]})
+    ).write.parquet(src)
+    suite = str(tmp_path / "suite.json")
+    save_suite([expect_unique("id")], suite)
+    wd = str(tmp_path / "run")
+
+    main(["expect", "--input", src, "--workdir", wd, "--suite", suite,
+          "--strict"])  # passes: ids unique
+    assert len(glob.glob(os.path.join(wd, "stage_expect_*"))) == 1
+
+    # in-place rewrite with a duplicate id: the gate must re-evaluate and
+    # now FAIL, instead of attesting the stale verdict
+    spark.createDataFrame(
+        pd.DataFrame({"id": [1, 1, 2], "v": [1.0, 2.0, 3.0]})
+    ).write.mode("overwrite").parquet(src)
+    with pytest.raises(SystemExit) as exc:
+        main(["expect", "--input", src, "--workdir", wd, "--suite", suite,
+              "--strict"])
+    assert exc.value.code == 2
+    assert len(glob.glob(os.path.join(wd, "stage_expect_*"))) == 2
+
+    # a catalog-style identifier (no filesystem listing) keys on the
+    # identifier + --run-id: a new run id forces a fresh stage
+    from monotonic_optimal_binning_spark.jobs import _ingest_signature
+
+    assert _ingest_signature("catalog.db.events") == "catalog.db.events"
+
+
 def test_expectations_stream_gate(spark, tmp_path):
     """Streaming contract gate: per-micro-batch verdicts, passing rows
     flow through, failing batches quarantine, violation callback fires."""
