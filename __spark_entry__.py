@@ -1606,12 +1606,22 @@ def q_lang_id(spark, sf_dir):
 
 
 def q_minhash_pairs(spark, sf_dir):
-    """Near-dup candidate pairs (LSH is engine-specific -> rows-only).
+    """Near-dup candidate pairs, VALUE-CHECKED end-to-end: the md5
+    shingle-hash mode (operators/dedup.py _hash_gram) makes every stage
+    ANSI-SQL-reproducible — shingle values are md5-derived bigints DuckDB
+    computes from the same strings, the (a*h+b) mod p signature min-fold
+    uses driver-side literal params (_minhash_params(32, 42)), and the
+    xxhash64 bucket is only an equi-join key for band-slice equality, so
+    slice-equality joins give the same candidate set (_minhash_sig_cte).
+    The engine's max_bucket_size cap is modeled in the oracle (sf1
+    lesson: unmodeled caps only agree below the scale where they bind).
     The jaccard >= 0.5 filter is pushed INSIDE the operator so
     below-threshold pairs are never materialized."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_candidates(
-        docs, "text", "doc_id", num_hashes=32, n_bands=8, threshold=0.5,
+        docs, "text", "doc_id", num_hashes=32, n_bands=8,
+        shingle_size=3, shingle_unit="word", shingle_hash="md5",
+        threshold=0.5,
         materialize=True,  # eager: releases the LSH caches (cheap now that
         # the threshold filter runs before materialization)
     )
@@ -2562,6 +2572,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ------------------------------------------------------------- oracles ----
 
 
+def _minhash_sig_cte(
+    num_hashes: int = 32, n_bands: int = 8, max_bucket_size: int = 5000
+) -> str:
+    """Shared oracle CTEs re-deriving the md5-mode MinHash LSH pipeline in
+    ANSI SQL: word-3-gram shingle values are ``CAST('0x' || substr(md5(s),
+    1, 15) AS BIGINT)`` (exactly operators/dedup.py _hash_gram's md5 mode),
+    the signature min-fold uses the SAME (a, b) literals the engine's
+    numpy fold uses (_minhash_params(num_hashes, 42) — all operands stay
+    < 2^62, so BIGINT arithmetic is exact in both engines), and the band
+    "bucket" is the signature-slice VALUE itself — the engine's xxhash64
+    of that slice is just an equi-join key, so slice equality is the same
+    candidate set (modulo a ~2^-64 hash collision). The engine's
+    max_bucket_size cap is modeled on the (band, slice) grouping.
+    Produces CTEs: hl (doc_id, hlist) and cand (id_a, id_b)."""
+    from monotonic_optimal_binning_spark.operators.dedup import (
+        _MERSENNE_P,
+        _minhash_params,
+    )
+
+    params = _minhash_params(num_hashes, 42)
+    vals = ", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(params))
+    rpb = num_hashes // n_bands
+    p = _MERSENNE_P
+    return rf"""
+            params(j, a, b) AS (VALUES {vals}),
+            toks AS (
+              SELECT doc_id, list_filter(string_split_regex(trim(text),
+                                                            '\s+'),
+                                         x -> x != '') AS t
+              FROM documents),
+            -- coalesce: Spark's concat_ws('' on an empty slice) is '',
+            -- DuckDB's array_to_string is NULL — a <3-word doc still
+            -- carries one shingle (the hash of its joined tokens)
+            sh AS (
+              SELECT doc_id, list_distinct(list_transform(
+                       range(0, greatest(len(t)-3, 0)+1),
+                       i -> coalesce(array_to_string(
+                              list_slice(t, i+1, i+3), ' '), ''))) AS sset
+              FROM toks),
+            hl AS (
+              SELECT doc_id,
+                     list_transform(sset, s ->
+                       CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)
+                     ) AS hlist
+              FROM sh),
+            sig AS (
+              SELECT doc_id, j,
+                     list_min(list_transform(hlist,
+                       x -> ((x % {p}) * a + b) % {p})) AS sv
+              FROM hl, params),
+            bands AS (
+              SELECT doc_id, j // {rpb} AS band,
+                     string_agg(CAST(sv AS VARCHAR), ',' ORDER BY j) AS bkey
+              FROM sig GROUP BY doc_id, j // {rpb}),
+            capped AS (
+              SELECT band, bkey FROM bands
+              GROUP BY band, bkey HAVING count(*) <= {max_bucket_size}),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a
+              JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                           AND a.doc_id < b.doc_id
+              JOIN capped c ON c.band = a.band AND c.bkey = a.bkey)"""
+
+
 def _hyperplane_lsh_cte(n_planes: int = 16, n_bands: int = 8) -> str:
     """Shared oracle CTE re-deriving the hyperplane-LSH banding in ANSI
     SQL: the planes are deterministic driver-side literals (seeded numpy,
@@ -2634,7 +2709,27 @@ def oracle_sql() -> dict[str, str]:
         f"CASE WHEN {_fh} < '{_th['0']}' THEN 0 "
         f"WHEN {_fh} < '{_th['1']}' THEN 1 ELSE 2 END"
     )
+    mh_cte = _minhash_sig_cte(num_hashes=32, n_bands=8, max_bucket_size=5000)
     d = {
+        "minhash_pairs": f"""
+            -- full re-derivation of the md5-mode banded MinHash LSH
+            -- candidate set (see _minhash_sig_cte), then the engine's
+            -- exact verify: Jaccard over the md5-derived shingle-value
+            -- sets, thresholded at 0.5
+            WITH {mh_cte}
+            SELECT id_a, id_b,
+                   round(len(list_intersect(ha.hlist, hb.hlist)) /
+                         CAST(len(ha.hlist) + len(hb.hlist)
+                              - len(list_intersect(ha.hlist, hb.hlist))
+                              AS DOUBLE), 6) AS jaccard
+            FROM cand
+            JOIN hl ha ON ha.doc_id = id_a
+            JOIN hl hb ON hb.doc_id = id_b
+            WHERE len(list_intersect(ha.hlist, hb.hlist)) /
+                  CAST(len(ha.hlist) + len(hb.hlist)
+                       - len(list_intersect(ha.hlist, hb.hlist))
+                       AS DOUBLE) >= 0.5
+        """,
         "lsh_topk": f"""
             -- full re-derivation of the banded hyperplane-LSH candidate
             -- set + exact cosine top-5 (see _hyperplane_lsh_cte)
@@ -4681,10 +4776,10 @@ def oracle_sql() -> dict[str, str]:
         # bin_fit_summary / woe_transform / per_source_fit: iterative
         # driver-side solve, not SQL-expressible -> rows-only check (their
         # *_monotone twins value-check the same code paths).
-        # minhash_pairs / lsh_topk: probabilistic LSH candidate sets (the
-        # exact counterparts ngram_jaccard / cosine_topk ARE value-checked,
-        # and minhash_pairs_planted / embedding_neardup_planted value-check
-        # the LSH machinery on deterministic-recall slices);
+        # minhash_pairs / lsh_topk / embedding_neardup are VALUE-CHECKED
+        # (md5 shingle mode + _minhash_sig_cte / _hyperplane_lsh_cte
+        # re-derive the banding in SQL); the planted twins additionally
+        # pin deterministic-recall slices.
         # simhash_dedup: xxhash64-specific fingerprints -> rows-only.
         "token_topk": r"""
             WITH t AS (

@@ -272,14 +272,34 @@ def paragraph_dedup(
     )
 
 
-def char_shingles(text: Column, n: int = 5) -> Column:
+def _hash_gram(gram: Column, hash_fn: str) -> Column:
+    """64-bit content hash of one shingle string.
+
+    ``"xxhash64"`` (default): one codegen'd JVM hash — the fast path.
+    ``"md5"``: first 15 hex chars of md5 parsed as a bigint (< 2^60,
+    non-negative) — ~2x more expression work, but md5 is the one hash
+    every engine shares, so a MinHash pipeline built on it is
+    value-checkable end-to-end by an ANSI-SQL oracle
+    (``CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)`` in DuckDB).
+    Collision behavior is equivalent for dedup purposes (60 vs 64
+    uniform bits)."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(gram)
+    if hash_fn == "md5":
+        return F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"shingle hash must be xxhash64|md5, got {hash_fn}")
+
+
+def char_shingles(text: Column, n: int = 5, hash_fn: str = "xxhash64") -> Column:
     """Distinct hashed character n-grams of a string column (array<bigint>)."""
     idx = F.sequence(F.lit(0), F.greatest(F.length(text) - n, F.lit(0)))
-    grams = F.transform(idx, lambda i: F.xxhash64(F.substring(text, i + 1, n)))
+    grams = F.transform(
+        idx, lambda i: _hash_gram(F.substring(text, i + 1, n), hash_fn)
+    )
     return F.array_distinct(grams)
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
+def word_shingles(text: Column, n: int = 3, hash_fn: str = "xxhash64") -> Column:
     """Distinct hashed word n-grams (array<bigint>).
 
     ~5x fewer shingles than char 5-grams on natural text, so the MinHash
@@ -291,16 +311,19 @@ def word_shingles(text: Column, n: int = 3) -> Column:
         F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))
     )
     grams = F.transform(
-        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        idx,
+        lambda i: _hash_gram(F.concat_ws(" ", F.slice(toks, i + 1, n)), hash_fn),
     )
     return F.array_distinct(grams)
 
 
-def _shingles(text: Column, size: int, unit: str) -> Column:
+def _shingles(
+    text: Column, size: int, unit: str, hash_fn: str = "xxhash64"
+) -> Column:
     if unit == "char":
-        return char_shingles(text, size)
+        return char_shingles(text, size, hash_fn)
     if unit == "word":
-        return word_shingles(text, size)
+        return word_shingles(text, size, hash_fn)
     raise ValueError(f"shingle unit must be char|word, got {unit}")
 
 
@@ -397,6 +420,7 @@ def _banded_index(
     shingle_size: int,
     shingle_unit: str,
     seed: int,
+    shingle_hash: str = "xxhash64",
 ) -> DataFrame:
     """(id, band, bucket) LSH index rows — the shared banding pipeline of
     :func:`minhash_lsh_candidates` and :func:`lsh_bucket_sizes`.
@@ -411,7 +435,8 @@ def _banded_index(
     base = df.select(
         F.col(id_col).alias("id"),
         minhash_signature(
-            _shingles(F.col(text_col), shingle_size, shingle_unit),
+            _shingles(F.col(text_col), shingle_size, shingle_unit,
+                      shingle_hash),
             num_hashes,
             seed,
         ).alias("__sig"),
@@ -442,6 +467,7 @@ def minhash_lsh_candidates(
     shingle_size: int = 5,
     shingle_unit: str = "char",
     seed: int = 42,
+    shingle_hash: str = "xxhash64",
     max_bucket_size: Optional[int] = 5000,
     threshold: Optional[float] = None,
     materialize: bool = False,
@@ -495,6 +521,7 @@ def minhash_lsh_candidates(
         df, text_col, id_col,
         num_hashes=num_hashes, n_bands=n_bands,
         shingle_size=shingle_size, shingle_unit=shingle_unit, seed=seed,
+        shingle_hash=shingle_hash,
     )
     if max_bucket_size is not None:
         # window count over the join's own (band, bucket) partitioning:
@@ -535,7 +562,9 @@ def minhash_lsh_candidates(
         df.join(cand_ids, on=F.col(id_col) == cand_ids["id"], how="leftsemi")
         .select(
             F.col(id_col).alias("id"),
-            _shingles(F.col(text_col), shingle_size, shingle_unit).alias("__sh"),
+            _shingles(
+                F.col(text_col), shingle_size, shingle_unit, shingle_hash
+            ).alias("__sh"),
         )
         .persist()
     )
@@ -610,6 +639,7 @@ def lsh_bucket_sizes(
     shingle_size: int = 5,
     shingle_unit: str = "char",
     seed: int = 42,
+    shingle_hash: str = "xxhash64",
 ) -> DataFrame:
     """Diagnostic: (band, bucket, n_ids) histogram for the LSH index the
     candidate generator would build — run it to audit how many buckets a
@@ -622,6 +652,7 @@ def lsh_bucket_sizes(
         df, text_col, id_col,
         num_hashes=num_hashes, n_bands=n_bands,
         shingle_size=shingle_size, shingle_unit=shingle_unit, seed=seed,
+        shingle_hash=shingle_hash,
     )
     return banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n_ids"))
 

@@ -84,6 +84,84 @@ def test_minhash_candidates_find_near_dups(spark):
         assert row["jaccard"] == pytest.approx(expected, abs=1e-12)
 
 
+def test_minhash_md5_mode_matches_python_oracle(spark):
+    """shingle_hash='md5' pins the cross-engine value-check contract: the
+    shingle value is int(md5(gram)[:15 hex], 16), and the WHOLE pipeline
+    (signature min-fold, banding, candidate join, exact verify) matches a
+    pure-Python re-derivation from those literals — the property the
+    DuckDB oracle of the minhash_pairs query relies on."""
+    import hashlib
+
+    from monotonic_optimal_binning_spark.operators.dedup import (
+        _MERSENNE_P,
+        _minhash_params,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "completely different text content here now",
+        "one two",
+        "one two",  # exact dup: must pair with jaccard 1.0
+        "",  # degenerate: single shingle = hash of ''
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    num_hashes, n_bands, rpb = 16, 4, 4
+    out = minhash_lsh_candidates(
+        spark.createDataFrame(pdf), "text", "doc_id",
+        num_hashes=num_hashes, n_bands=n_bands,
+        shingle_size=3, shingle_unit="word", shingle_hash="md5",
+        materialize=True,
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 12)) for r in out.collect()
+    )
+
+    def shingle_set(text):
+        toks = [t for t in text.strip().split() if t]
+        grams = {
+            " ".join(toks[i : i + 3])
+            for i in range(max(len(toks) - 3, 0) + 1)
+        }
+        return {
+            int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams
+        }
+
+    params = _minhash_params(num_hashes, 42)
+    p = _MERSENNE_P
+    sigs, sets = {}, {}
+    for _, row in pdf.iterrows():
+        s = shingle_set(row["text"])
+        sets[row["doc_id"]] = s
+        sigs[row["doc_id"]] = [
+            min(((v % p) * a + b) % p for v in s) for a, b in params
+        ]
+    cand = set()
+    for band in range(n_bands):
+        buckets = {}
+        for i, sig in sigs.items():
+            buckets.setdefault(
+                tuple(sig[band * rpb : (band + 1) * rpb]), []
+            ).append(i)
+        for ids in buckets.values():
+            for a in ids:
+                for b in ids:
+                    if a < b:
+                        cand.add((a, b))
+    expected = sorted(
+        (
+            a,
+            b,
+            round(
+                len(sets[a] & sets[b]) / len(sets[a] | sets[b]), 12
+            ),
+        )
+        for a, b in cand
+    )
+    assert got == expected
+    assert (3, 4, 1.0) in got  # the planted exact dup co-buckets everywhere
+
+
 def test_minhash_dedup_removes_exact_and_near(spark):
     pdf = corpus_pdf()
     res = minhash_dedup(
