@@ -222,6 +222,45 @@ def main():
 
     bench("minhash_pairs", run_minhash)
     bench("quality_features", lambda: materialize(quality_features(docs)))
+
+    # --- round-6 tier: the heaviest of the r6 operators, so regressions
+    # in them show up in the recorded bench (they previously had no
+    # timing at all) ---
+    from monotonic_optimal_binning_spark.operators.dedup import (
+        source_overlap_matrix,
+    )
+    from monotonic_optimal_binning_spark.operators.expectations import (
+        expect_between,
+        expect_in_set,
+        expect_not_null,
+        expect_regex,
+        expect_row_count,
+        expect_stat,
+        expect_unique,
+        run_checks,
+    )
+    from monotonic_optimal_binning_spark.operators.packing import (
+        chunk_documents,
+    )
+
+    bench("source_overlap", lambda: materialize(
+        source_overlap_matrix(docs, "text", "source", shingle_size=3)
+    ))
+    bench("chunk_documents", lambda: materialize(
+        chunk_documents(docs, "text", "doc_id", max_tokens=64, overlap=16)
+    ))
+    bench("expectations_check", lambda: materialize(run_checks(
+        li,
+        [
+            expect_not_null("l_quantity"),
+            expect_in_set("l_returnflag", ["A", "N", "R"]),
+            expect_between("l_discount", 0.0, 0.05, min_ratio=0.6),
+            expect_regex("l_returnflag", "^[A-Z]$"),
+            expect_unique(["l_orderkey", "l_linenumber"], min_ratio=0.9),
+            expect_row_count(lo=1000),
+            expect_stat("l_quantity", "mean", lo=20, hi=30),
+        ],
+    )))
     queries16 = emb.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )

@@ -464,6 +464,64 @@ def test_streaming_dedup_ttl_forgets_idle_fingerprints(spark, tmp_path):
         q.stop()
 
 
+def test_streaming_dedup_idle_shard_timeout_eviction(spark, tmp_path):
+    """The hasTimedOut -> state.remove() branch: a shard that receives NO
+    further data is evicted by the engine's processing-time timeout alone
+    (Spark schedules no-data batches while timeouts are armed). Observable
+    in the query's state-operator metrics — numRowsTotal drops back to 0
+    without any new arrival for that shard — and end-to-end: the
+    fingerprint's next arrival passes again."""
+    import time
+
+    from monotonic_optimal_binning_spark.streaming.sessions import (
+        streaming_exact_dedup,
+    )
+
+    src = str(tmp_path / "docs")
+    cp, outdir = str(tmp_path / "cp"), str(tmp_path / "out")
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["alpha"]})
+    ).coalesce(1).write.parquet(src + "/f1")
+    schema = spark.read.parquet(src + "/f1").schema
+    stream = spark.readStream.schema(schema).parquet(src + "/*")
+    out = streaming_exact_dedup(stream, ["text"], shards=4, ttl_seconds=1.0)
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        read = lambda: spark.read.parquet(outdir).toPandas()  # noqa: E731
+        _poll(read, lambda pdf: len(pdf) >= 1)
+
+        def state_rows():
+            prog = q.lastProgress
+            ops = (prog or {}).get("stateOperators") or []
+            return int(ops[0]["numRowsTotal"]) if ops else None
+
+        # the alpha shard's state exists after the first batch...
+        deadline = time.time() + 60
+        while time.time() < deadline and state_rows() != 1:
+            time.sleep(0.5)
+        assert state_rows() == 1
+        # ...and is REMOVED by the timeout with zero new input anywhere
+        # (not the lazy in-batch pruning path, which needs an arrival)
+        while time.time() < deadline and state_rows() != 0:
+            time.sleep(0.5)
+        assert state_rows() == 0
+        # end-to-end: the forgotten fingerprint passes again
+        spark.createDataFrame(
+            pd.DataFrame({"doc_id": [2], "text": ["alpha"]})
+        ).coalesce(1).write.parquet(src + "/f2")
+        got = _poll(read, lambda pdf: len(pdf) >= 2)
+        assert sorted(got["doc_id"].tolist()) == [1, 2]
+    finally:
+        q.stop()
+
+
 def test_streaming_dedup_no_ttl_never_forgets(spark, tmp_path):
     """Control for the TTL case: without ttl_seconds the same wall-clock
     gap must NOT resurrect a seen fingerprint."""
