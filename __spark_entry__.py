@@ -2425,81 +2425,20 @@ def q_psi_drift_grouped(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDER MATTERS for the driver's CORRECTNESS harness: it checks entries
-    # in dict order and truncates at 50 (of now 69+), so queries with the
-    # LEAST driver-verified history go FIRST — (a) the 19 entries the r4
-    # harness never reached (last driver rows are r3-era), plus anything
-    # new/changed this round; (b) green in r4 (least recently re-verified
-    # families first). The union of consecutive CORRECTNESS files then
-    # covers all entries.
+    # ORDER MATTERS for the driver's CORRECTNESS harness: it checks the
+    # FIRST 50 entries only (112 registered). Rotation invariant: new or
+    # changed-code queries plus the least-recently-driver-verified block
+    # sit in positions 0-49; the union of consecutive CORRECTNESS files
+    # then covers every entry with max staleness <= 2 rounds.
     return {
-        # --- round-6 additions (never driver-checked) ---
-        "media_features_real": q_media_features_real,
-        "isotonic_calibration_grouped": q_isotonic_calibration_grouped,
-        "expectations_check": q_expectations_check,
-        "keep_best_doc": q_keep_best_doc,
-        "bin_stability": q_bin_stability,
-        "source_overlap": q_source_overlap,
-        "chunk_documents": q_chunk_documents,
-        "token_drift": q_token_drift,
-        # --- rows-only -> value-checked conversions this round (also the
-        # stalest entries: last driver rows are r3-era) ---
-        "lsh_topk": q_lsh_topk,
-        "embedding_neardup": q_embedding_neardup,
-        # --- remaining r3-era stale rows (still rows-only by design:
-        # xxhash64 fingerprints aren't ANSI-SQL-reproducible) ---
-        "simhash_dedup": q_simhash_dedup,
-        "lsh_bucket_audit": q_lsh_bucket_audit,
-        # --- r5-green queries whose CODE changed this round (ks_auc
-        # prebins='auto' scale guard; horizon_label naming; media_type
-        # made optional) — re-attest on current code ---
-        "ks_auc": q_ks_auc,
-        "ks_auc_weighted": q_ks_auc_weighted,
-        "cv_metrics": q_cv_metrics,
-        "multi_horizon": q_multi_horizon,
-        "multi_horizon_bucketed": q_multi_horizon_bucketed,
-        "time_decayed": q_time_decayed,
-        "asof_decayed": q_asof_decayed,
-        "asof_agg": q_asof_agg,
-        "media_features": q_media_features,
-        # --- r5-green queries whose CODE changed late in round 6:
-        # minhash/embedding verify legs got sort-merge hints (the sf1
-        # static-broadcast fix), calibration got the NaN-as-missing
-        # filter, ann job got the queries-read format routing — all must
-        # re-attest inside the checked window ---
+        # --- r7: changed code (md5 shingle-hash mode touched the shared
+        # shingle/LSH pipeline; minhash_pairs is now value-checked) ---
         "minhash_pairs": q_minhash_pairs,
         "minhash_pairs_planted": q_minhash_planted,
-        "embedding_neardup_planted": q_embedding_neardup_planted,
-        "dedup_clusters": q_dedup_clusters,
-        "isotonic_calibration": q_isotonic_calibration,
-        "ivf_topk_loaded": q_ivf_topk_loaded,
-        # --- stalest green block (last checked r4), oldest families
-        # first; the tail past position 49 rotates in next round ---
-        "tpch_q1": q_tpch_q1,
-        "per_source_fit": q_per_source_fit,
-        "pack_chunks": q_pack_chunks,
-        "repetition": q_repetition,
-        "pii_scrub": q_pii_scrub,
-        "stratified_sample": q_stratified_sample,
-        "token_budget_mix": q_token_budget_mix,
+        "lsh_bucket_audit": q_lsh_bucket_audit,
+        "source_overlap": q_source_overlap,
         "decontaminate": q_decontaminate,
-        "psi_drift": q_psi_drift,
-        "per_source_fit_monotone": q_per_source_fit_monotone,
-        "simhash_planted": q_simhash_planted,
-        "psi_drift_grouped": q_psi_drift_grouped,
-        "asof_broadcast": q_asof_broadcast,
-        "paragraph_dedup": q_paragraph_dedup,
-        "group_stats": q_group_stats,
-        "cumulative_stats": q_cumulative_stats,
-        "sign_correlation": q_sign_correlation,
-        "bin_fit_summary": q_bin_fit_summary,
-        "bin_fit_monotone": q_bin_fit_monotone,
-        "woe_transform": q_woe_transform,
-        "woe_transform_monotone": q_woe_transform_monotone,
-        "fixed_bucket_woe": q_fixed_bucket_woe,
-        "asof_join": q_asof_join,
-        # ---------------- position 50+: not checked this round ----------
-        # r4-green tail (rotates into the window next round)
+        # --- last driver-green in r4 (stalest block) ---
         "asof_join_bucketed": q_asof_bucketed,
         "asof_forward": q_asof_forward,
         "asof_tolerance": q_asof_tolerance,
@@ -2520,35 +2459,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "bpe_token_count": q_bpe_token_count,
         "quality": q_quality,
-        # r4-green evictions (code unchanged; displaced by the late-r6
-        # changed-code pulls above — rotate back next round)
         "join_topk": q_join_topk,
         "rollup": q_rollup,
         "cube_agg": q_cube_agg,
         "percentiles": q_percentiles,
         "range_join": q_range_join,
         "json_extract": q_json_extract,
-        # r5-green block (freshest rows, unchanged code)
-        "fingerprint_dedup": q_fingerprint_dedup,
-        "lang_id": q_lang_id,
-        "hash_encode": q_hash_encode,
+        # --- last driver-green in r5, shingle-affected first ---
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_containment": q_ngram_containment,
         "ngram_jaccard_maxdf": q_ngram_jaccard_maxdf,
+        "simhash_neardup": q_simhash_neardup,
+        "simhash_banded_fp": q_simhash_banded_fp,
+        "fingerprint_dedup": q_fingerprint_dedup,
+        "lang_id": q_lang_id,
+        "hash_encode": q_hash_encode,
         "tfidf_topk": q_tfidf_topk,
         "frequency_encode": q_frequency_encode,
-        "simhash_neardup": q_simhash_neardup,
         "cosine_topk": q_cosine_topk,
         "token_topk": q_token_topk,
         "lsh_topk_planted": q_lsh_topk_planted,
         "ivf_topk": q_ivf_topk,
         "ivf_topk_planted": q_ivf_topk_planted,
         "token_topk_grouped": q_token_topk_grouped,
-        # --- round-5 additions (never driver-checked before) ---
-        "simhash_banded_fp": q_simhash_banded_fp,
         "bin_fit_weighted": q_bin_fit_weighted,
         "feature_scale": q_feature_scale,
         "woe_churn": q_woe_churn,
+        # --- positions >= 50: driver-green in r6 (1 round stale);
+        #     the r5 leftovers above roll into the r8 window ---
+        "media_features_real": q_media_features_real,
+        "isotonic_calibration_grouped": q_isotonic_calibration_grouped,
+        "expectations_check": q_expectations_check,
+        "keep_best_doc": q_keep_best_doc,
+        "bin_stability": q_bin_stability,
+        "chunk_documents": q_chunk_documents,
+        "token_drift": q_token_drift,
+        "lsh_topk": q_lsh_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "simhash_dedup": q_simhash_dedup,
+        "ks_auc": q_ks_auc,
+        "ks_auc_weighted": q_ks_auc_weighted,
+        "cv_metrics": q_cv_metrics,
+        "multi_horizon": q_multi_horizon,
+        "multi_horizon_bucketed": q_multi_horizon_bucketed,
+        "time_decayed": q_time_decayed,
+        "asof_decayed": q_asof_decayed,
+        "asof_agg": q_asof_agg,
+        "media_features": q_media_features,
+        "embedding_neardup_planted": q_embedding_neardup_planted,
+        "dedup_clusters": q_dedup_clusters,
+        "isotonic_calibration": q_isotonic_calibration,
+        "ivf_topk_loaded": q_ivf_topk_loaded,
+        "tpch_q1": q_tpch_q1,
+        "per_source_fit": q_per_source_fit,
+        "pack_chunks": q_pack_chunks,
+        "repetition": q_repetition,
+        "pii_scrub": q_pii_scrub,
+        "stratified_sample": q_stratified_sample,
+        "token_budget_mix": q_token_budget_mix,
+        "psi_drift": q_psi_drift,
+        "per_source_fit_monotone": q_per_source_fit_monotone,
+        "simhash_planted": q_simhash_planted,
+        "psi_drift_grouped": q_psi_drift_grouped,
+        "asof_broadcast": q_asof_broadcast,
+        "paragraph_dedup": q_paragraph_dedup,
+        "group_stats": q_group_stats,
+        "cumulative_stats": q_cumulative_stats,
+        "sign_correlation": q_sign_correlation,
+        "bin_fit_summary": q_bin_fit_summary,
+        "bin_fit_monotone": q_bin_fit_monotone,
+        "woe_transform": q_woe_transform,
+        "woe_transform_monotone": q_woe_transform_monotone,
+        "fixed_bucket_woe": q_fixed_bucket_woe,
+        "asof_join": q_asof_join,
         "iv_screen": q_iv_screen,
         "iv_screen_weighted": q_iv_screen_weighted,
         "iv_screen_grouped": q_iv_screen_grouped,
