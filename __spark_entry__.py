@@ -1798,6 +1798,48 @@ def q_simhash_neardup(spark, sf_dir):
     ).select("id_a", "id_b", "fp_a", "fp_b", "hamming")
 
 
+def q_quantize_embeddings(spark, sf_dir):
+    """Per-vector symmetric int8 quantization (similarity.py
+    quantize_embeddings): scale = max|v|/127, q_i = floor(v_i/scale+0.5)
+    — the EXPLICIT half-up formula, so DuckDB re-derives every quantized
+    value bit-exactly from the same doubles. Values are checked through
+    exact integer aggregates per vector (sum/min/max of q) plus the
+    reconstruction-error fold as floor(err*1e9) integers (element-wise
+    floor BEFORE the sum keeps the fold order-independent)."""
+    from monotonic_optimal_binning_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb)
+    v = F.col("embedding").cast("array<double>")
+    qd = F.col("q_vec").cast("array<double>")
+    scale = F.col("q_scale")
+    err = F.aggregate(
+        F.zip_with(
+            v, qd, lambda x, qq: F.floor(F.abs(x - qq * scale) * 1e9)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    # two-step select: aliasing round(q_scale) AS q_scale in the same
+    # list would LATERALLY shadow the input column (Spark >= 3.4 lateral
+    # column aliases), silently feeding the ROUNDED scale into the err
+    # fold — round only after every fold has consumed the exact scale
+    return q.select(
+        "vec_id",
+        "q_scale",
+        F.aggregate(
+            F.col("q_vec").cast("array<long>"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("q_sum"),
+        F.array_min("q_vec").cast("long").alias("q_min"),
+        F.array_max("q_vec").cast("long").alias("q_max"),
+        err.alias("err_nano"),
+    ).withColumn("q_scale", F.round("q_scale", _R))
+
+
 def q_cosine_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
@@ -2431,6 +2473,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sit in positions 0-49; the union of consecutive CORRECTNESS files
     # then covers every entry with max staleness <= 2 rounds.
     return {
+        # --- r7: new operator ---
+        "quantize_embeddings": q_quantize_embeddings,
         # --- r7: changed code (md5 shingle-hash mode touched the shared
         # shingle/LSH pipeline; minhash_pairs is now value-checked) ---
         "minhash_pairs": q_minhash_pairs,
@@ -2694,6 +2738,36 @@ def oracle_sql() -> dict[str, str]:
     )
     mh_cte = _minhash_sig_cte(num_hashes=32, n_bands=8, max_bucket_size=5000)
     d = {
+        "quantize_embeddings": """
+            -- the engine's explicit half-up formula re-derived: scale =
+            -- max|v|/127 over doubles, q = floor(v/scale + 0.5); exact
+            -- integer aggregates + element-wise floor(err*1e9) fold
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+            s AS (
+              SELECT vec_id, v,
+                     list_max(list_transform(v, x -> abs(x))) / 127.0
+                       AS scale
+              FROM e),
+            q AS (
+              SELECT vec_id, v, scale,
+                     CASE WHEN scale > 0 THEN
+                       list_transform(v, x ->
+                         CAST(floor(x / scale + 0.5) AS BIGINT))
+                     ELSE list_transform(v, x -> CAST(0 AS BIGINT))
+                     END AS qv
+              FROM s)
+            SELECT vec_id,
+                   round(scale, 6) AS q_scale,
+                   CAST(list_sum(qv) AS BIGINT) AS q_sum,
+                   CAST(list_min(qv) AS BIGINT) AS q_min,
+                   CAST(list_max(qv) AS BIGINT) AS q_max,
+                   CAST(list_sum(list_transform(range(1, len(v)+1), i ->
+                     CAST(floor(abs(v[i] - qv[i] * scale) * 1e9)
+                          AS BIGINT))) AS BIGINT) AS err_nano
+            FROM q
+        """,
         "minhash_pairs": f"""
             -- full re-derivation of the md5-mode banded MinHash LSH
             -- candidate set (see _minhash_sig_cte), then the engine's

@@ -271,3 +271,61 @@ def test_ivf_topk_production_cell_count_smoke(spark):
     # to the literal-expression-tree formulation (which grew superlinearly
     # and took minutes at this codebook size)
     assert wall < 120, wall
+
+
+def test_quantize_embeddings_roundtrip_and_parity(spark):
+    """int8 quantization: exact parity with the numpy re-derivation of
+    the explicit floor(v/scale + 0.5) formula, reconstruction bounded by
+    scale/2, zero-vector and null-vector edges."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from monotonic_optimal_binning_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = [rng.normal(0, 1, 8).astype(np.float32).tolist() for _ in range(20)]
+    vecs.append([0.0] * 8)          # zero vector -> scale 0, all-zero ints
+    vecs.append(None)               # null vector passes through
+    pdf = pd.DataFrame({"vec_id": range(len(vecs)), "embedding": vecs})
+    df = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+
+    out = quantize_embeddings(df).orderBy("vec_id")
+    rows = out.collect()
+    for r in rows:
+        v = pdf.loc[pdf["vec_id"] == r["vec_id"], "embedding"].iloc[0]
+        if v is None:
+            assert r["q_scale"] is None and r["q_vec"] is None
+            continue
+        v64 = np.asarray(v, dtype=np.float32).astype(np.float64)
+        scale = np.abs(v64).max() / 127.0
+        assert r["q_scale"] == pytest.approx(scale, rel=0, abs=0)
+        if scale == 0:
+            assert r["q_vec"] == [0] * len(v)
+            continue
+        expect = np.floor(v64 / scale + 0.5).astype(np.int64)
+        assert list(r["q_vec"]) == expect.tolist()
+        assert max(abs(q) for q in r["q_vec"]) <= 127
+        # reconstruction error bound
+        err = np.abs(expect * scale - v64).max()
+        assert err <= scale / 2 + 1e-12
+
+    deq = dequantize_embeddings(out).filter(F.col("q_scale").isNotNull())
+    got = {r["vec_id"]: r["embedding_hat"] for r in deq.collect()}
+    for vid, vh in got.items():
+        v = pdf.loc[pdf["vec_id"] == vid, "embedding"].iloc[0]
+        v64 = np.asarray(v, dtype=np.float32).astype(np.float64)
+        scale = np.abs(v64).max() / 127.0
+        np.testing.assert_allclose(
+            np.asarray(vh), v64, atol=scale / 2 + 1e-12
+        )
+
+    # plan: pure codegen — no python UDF, no exchange; exactly one
+    # Generate barrier materializing the per-vector scale
+    qplan = quantize_embeddings(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in qplan and "ArrowEvalPython" not in qplan
+    assert "Exchange" not in qplan
+    assert qplan.count("Generate") == 1
