@@ -144,6 +144,28 @@ def truncate_lineage(
     return df.checkpoint(eager=eager)
 
 
+def release_checkpoint(df: DataFrame) -> bool:
+    """Free the block storage of a :func:`truncate_lineage` result once a
+    later iteration no longer reads it. ``localCheckpoint`` pins its RDD
+    blocks in executor storage for the SESSION — an iterative caller that
+    checkpoints every round without releasing the previous one accumulates
+    one full snapshot per round and eventually OOMs (observed: connected
+    components over a 25M-edge sf10 pair graph killed a 4g driver on
+    round ~10). The checkpointed RDD is reachable through the LogicalRDD
+    the returned DataFrame wraps; unpersisting it is also safe on a
+    RELIABLE checkpoint (blocks drop, the HDFS/S3 files remain the
+    recovery source). Returns True if an RDD was unpersisted; False (and
+    no-op) for plans that aren't a checkpoint scan."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() != "LogicalRDD":
+            return False
+        plan.rdd().unpersist(False)
+        return True
+    except Exception:
+        return False
+
+
 @dataclass
 class PipelineRun:
     """Collects per-stage manifests into one lineage report."""

@@ -140,3 +140,29 @@ def test_components_reliable_checkpoint_mode(spark, tmp_path):
     import os
 
     assert any(os.scandir(str(tmp_path / "ckpt")))
+
+
+def test_connected_components_releases_round_checkpoints(spark):
+    """The iteration must FREE each round's localCheckpoint blocks once
+    the next round is materialized: a long chain forces many large/small-
+    star rounds, and only the final edge set + the node set may stay
+    pinned (sf10 evidence: one snapshot per round OOMed a 4g driver on a
+    25M-edge graph)."""
+    import pandas as pd
+
+    from monotonic_optimal_binning_spark.operators.graph import (
+        connected_components,
+    )
+
+    jsc = spark.sparkContext._jsc.sc()
+    base = jsc.getPersistentRDDs().size()
+    # a 200-node path graph needs several rounds to collapse
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": range(200), "id_b": range(1, 201)})
+    )
+    out = connected_components(pairs)
+    rows = out.collect()
+    assert len(rows) == 201
+    assert {r["component"] for r in rows} == {0}
+    # final edges + nodes only — no per-round snapshot accumulation
+    assert jsc.getPersistentRDDs().size() - base <= 2
