@@ -1365,8 +1365,20 @@ def keep_best(
             df.groupBy(*groups).agg(packed).select("__best.__row.*")
         )
 
+    # a NaN float id must LOSE ties in BOTH directions, matching the agg
+    # path's -inf mapping: NaN sorts ABOVE every double in Spark
+    # orderings, so raw id desc (keep_id='max') would put the NaN-id row
+    # FIRST and the two strategies would return different winners. Map
+    # NaN to the always-losing end per direction (+inf under asc, -inf
+    # under desc).
+    idc = F.col(id_col)
+    if dtypes.get(id_col) in ("float", "double"):
+        id_min = F.when(F.isnan(idc), F.lit(float("inf"))).otherwise(idc)
+        id_max = F.when(F.isnan(idc), F.lit(float("-inf"))).otherwise(idc)
+    else:
+        id_min = id_max = idc
     order = [ord_score.desc()] + (
-        [F.col(id_col).asc()] if keep_id == "min" else [F.col(id_col).desc()]
+        [id_min.asc()] if keep_id == "min" else [id_max.desc()]
     )
     w = Window.partitionBy(*groups).orderBy(*order)
     return (

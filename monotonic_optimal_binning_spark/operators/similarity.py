@@ -425,24 +425,37 @@ def quantize_embeddings(
     row (the repetition_features lesson, textstats.py).
 
     A zero (or all-zero) vector quantizes to scale 0 and an all-zero
-    int vector; NULL vectors pass through as NULL scale/vec.
+    int vector. Degenerate vectors — NULL, EMPTY, containing a
+    non-finite element (NaN/inf poison max|v|), or containing a NULL
+    element (what Arrow ingestion turns a NaN into) — emit NULL scale
+    and NULL quantized vector, explicitly rather than engine-dependently
+    (Spark and DuckDB disagree on NaN > 0 and on folds over null
+    elements, so a silent branch would diverge across engines exactly
+    when bad data first appears).
     """
     v = F.col(vec_col).cast("array<double>")
     maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    has_null = F.exists(v, lambda x: x.isNull())
     barrier = df.select(
-        "*", F.explode(F.array((maxabs / float(qmax)).alias("s"))).alias("__qs")
+        "*",
+        F.explode(
+            F.array(
+                F.when(~has_null, maxabs / float(qmax)).alias("s")
+            )
+        ).alias("__qs"),
     )
-    scale = F.col("__qs")
+    raw = F.col("__qs")
+    valid = raw.isNotNull() & ~F.isnan(raw) & (raw != float("inf"))
+    scale = F.when(valid, raw)
     qvec = F.when(
         scale > 0,
         F.transform(
             F.col(vec_col).cast("array<double>"),
             lambda x: F.floor(x / scale + F.lit(0.5)).cast("smallint"),
         ),
-    ).otherwise(
-        F.transform(
-            F.col(vec_col), lambda x: F.lit(0).cast("smallint")
-        )
+    ).when(
+        scale == 0,
+        F.transform(F.col(vec_col), lambda x: F.lit(0).cast("smallint")),
     )
     return barrier.select(
         *df.columns, scale.alias(scale_col), qvec.alias(out_col)

@@ -868,11 +868,18 @@ def test_keep_best_extreme_id_ties(spark):
             F.col("rid")
         ),
     )
+    # BOTH strategies must agree: NaN float ids lose ties in BOTH
+    # directions (window previously let NaN WIN keep_id='max' because
+    # NaN sorts above every double under id desc)
     for keep_id in ("min", "max"):
-        got = keep_best(
-            fdf, "grp", "score", "rid", keep_id=keep_id, strategy="agg"
-        ).collect()
-        assert len(got) == 1 and got[0]["rid"] == 1.0, keep_id
+        for strategy in ("agg", "window"):
+            got = keep_best(
+                fdf, "grp", "score", "rid", keep_id=keep_id,
+                strategy=strategy,
+            ).collect()
+            assert len(got) == 1 and got[0]["rid"] == 1.0, (
+                keep_id, strategy,
+            )
 
 
 def test_keep_best_map_payload_routes_window(spark):

@@ -290,6 +290,12 @@ def test_quantize_embeddings_roundtrip_and_parity(spark):
     vecs = [rng.normal(0, 1, 8).astype(np.float32).tolist() for _ in range(20)]
     vecs.append([0.0] * 8)          # zero vector -> scale 0, all-zero ints
     vecs.append(None)               # null vector passes through
+    vecs.append([])                 # empty vector -> NULL scale/vec
+    vecs.append([1.0, float("nan")])   # NaN poisons max|v| -> NULL
+    # (via Arrow ingestion the NaN above actually arrives as a NULL
+    # element — also degenerate by contract)
+    vecs.append([1.0, float("inf")])   # inf poisons max|v| -> NULL
+    vecs.append([1.0, None])           # explicit null element -> NULL
     pdf = pd.DataFrame({"vec_id": range(len(vecs)), "embedding": vecs})
     df = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
 
@@ -297,7 +303,17 @@ def test_quantize_embeddings_roundtrip_and_parity(spark):
     rows = out.collect()
     for r in rows:
         v = pdf.loc[pdf["vec_id"] == r["vec_id"], "embedding"].iloc[0]
-        if v is None:
+        degenerate = (
+            v is None
+            or len(v) == 0
+            or any(x is None for x in v)
+            or not np.isfinite(
+                np.asarray(
+                    [0.0 if x is None else x for x in v], dtype=np.float64
+                )
+            ).all()
+        )
+        if degenerate:
             assert r["q_scale"] is None and r["q_vec"] is None
             continue
         v64 = np.asarray(v, dtype=np.float32).astype(np.float64)
