@@ -851,3 +851,47 @@ def test_scale_job_fit_serve_resume(spark, tmp_path):
     # a shifted slice standardized by training stats is FAR from zero
     # mean — the skew the artifact exists to surface, not hide
     assert served["a_z"].mean() > 5
+
+
+def test_fit_woe_mixed_storage_per_ref_format(spark, tmp_path):
+    """--asof-right-format overrides the reader for the SECONDARY ref
+    only (the ADVICE r6 mixed-storage case): parquet main input + ORC
+    event table in one pipeline."""
+    import numpy as np
+    import pandas as pd
+
+    from monotonic_optimal_binning_spark.jobs import main
+
+    rng = np.random.default_rng(62)
+    n = 300
+    obs = pd.DataFrame(
+        {
+            "doc_id": rng.integers(0, 10, n),
+            "ts": pd.Timestamp("2026-01-01")
+            + pd.to_timedelta(rng.uniform(0, 86400, n), unit="s"),
+            "x": rng.integers(0, 12, n).astype(float),
+        }
+    )
+    obs["y"] = (rng.uniform(0, 1, n) < 0.1 + 0.7 * obs["x"] / 12).astype(int)
+    ev = pd.DataFrame(
+        {
+            "doc_id": rng.integers(0, 10, 200),
+            "ts": pd.Timestamp("2026-01-01")
+            + pd.to_timedelta(rng.uniform(0, 86400, 200), unit="s"),
+            "value": rng.uniform(0, 3, 200).round(2),
+        }
+    )
+    src = str(tmp_path / "obs.parquet")
+    rsrc = str(tmp_path / "ev_orc")
+    spark.createDataFrame(obs).write.parquet(src)
+    spark.createDataFrame(ev).write.orc(rsrc)
+
+    wd = str(tmp_path / "fwrun")
+    main(["fit-woe", "--input", src, "--x", "x", "--y", "y",
+          "--workdir", wd, "--asof-right", rsrc,
+          "--asof-right-format", "orc",
+          "--entity-col", "doc_id", "--ts-col", "ts",
+          "--min-bins", "2", "--max-bins", "5"])
+    feat = spark.read.parquet(os.path.join(wd, "stage_asof", "data"))
+    assert "ev_value" in feat.columns
+    assert feat.count() == n
