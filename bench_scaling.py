@@ -220,8 +220,19 @@ def main():
         "```",
     ]
     report = "\n".join(lines) + "\n"
-    with open(os.path.join(HERE, "BENCH.md"), "w") as f:
-        f.write(report)
+    # regenerate ONLY the scaling core; PRESERVE the per-round history
+    # sections appended after it (r7 lesson: a plain "w" rewrite silently
+    # ate the round-6/7 evidence sections minutes after they were written)
+    path = os.path.join(HERE, "BENCH.md")
+    tail = ""
+    if os.path.exists(path):
+        with open(path) as f:
+            old = f.read()
+        idx = old.find("\n## Round-")
+        if idx != -1:
+            tail = old[idx:]
+    with open(path, "w") as f:
+        f.write(report + tail)
     print(report)
     print(json.dumps({
         "n": n, "rows_per_sec_n": rps_s, "rows_per_sec_4n": rps_l,
