@@ -290,13 +290,65 @@ def _hash_gram(gram: Column, hash_fn: str) -> Column:
     raise ValueError(f"shingle hash must be xxhash64|md5, got {hash_fn}")
 
 
-def char_shingles(text: Column, n: int = 5, hash_fn: str = "xxhash64") -> Column:
-    """Distinct hashed character n-grams of a string column (array<bigint>)."""
-    idx = F.sequence(F.lit(0), F.greatest(F.length(text) - n, F.lit(0)))
-    grams = F.transform(
-        idx, lambda i: _hash_gram(F.substring(text, i + 1, n), hash_fn)
+def _bind_once(value: Column, fn) -> Column:
+    """Evaluate ``value`` once per row and pass it to ``fn`` as a bound
+    lambda variable.
+
+    Higher-order-function lambda BODIES re-evaluate any captured
+    expression tree once per array element (lambdas capture expressions,
+    not values, and HOFs never enter codegen/CSE). A shingle transform
+    whose lambda sliced the tokenization expression therefore re-ran the
+    whole regex split once per gram — measured ~4x the cost of the
+    shingle pipeline at sf1. Wrapping the expression as the single
+    element of an array and transforming over it binds it to a
+    NamedLambdaVariable, which IS evaluated once; inner lambdas then
+    reference the variable, not the tree.
+
+    CAVEAT: the bound expression must NOT be fed to a Python UDF as an
+    argument — with cross-level lambda variable references in the arg,
+    ExtractPythonUDFs leaves the UDF un-extracted in any non-pristine
+    session (runtime INTERNAL_ERROR "Cannot evaluate expression").
+    UDF consumers must materialize the bound expression behind an
+    ``explode(array(.))`` Generate barrier first so the UDF sees a plain
+    attribute (see ``_banded_index``), or use the unbound public shape.
+    """
+    return F.transform(F.array(value), fn)[0]
+
+
+def _char_grams(t: Column, n: int, hash_fn: str) -> Column:
+    idx = F.sequence(F.lit(0), F.greatest(F.length(t) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(
+            idx, lambda i: _hash_gram(F.substring(t, i + 1, n), hash_fn)
+        )
     )
-    return F.array_distinct(grams)
+
+
+def _word_grams(ts: Column, n: int, hash_fn: str) -> Column:
+    idx = F.sequence(F.lit(0), F.greatest(F.size(ts) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: _hash_gram(
+                F.concat_ws(" ", F.slice(ts, i + 1, n)), hash_fn
+            ),
+        )
+    )
+
+
+def _word_tokens(text: Column) -> Column:
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+
+
+def char_shingles(text: Column, n: int = 5, hash_fn: str = "xxhash64") -> Column:
+    """Distinct hashed character n-grams of a string column (array<bigint>).
+
+    Public/UDF-safe shape: the per-gram lambda references ``text``
+    directly, so composing this with a Python UDF argument stays
+    extractable. Operators use the ``_shingles`` bound variant, which
+    evaluates a computed ``text`` once per row instead of once per gram
+    (see :func:`_bind_once`)."""
+    return _char_grams(text, n, hash_fn)
 
 
 def word_shingles(text: Column, n: int = 3, hash_fn: str = "xxhash64") -> Column:
@@ -305,25 +357,28 @@ def word_shingles(text: Column, n: int = 3, hash_fn: str = "xxhash64") -> Column
     ~5x fewer shingles than char 5-grams on natural text, so the MinHash
     signature costs ~5x less — the standard trade-off large-corpus dedup
     pipelines make (word-level Jaccard instead of char-level).
-    """
-    toks = F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
-    idx = F.sequence(
-        F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))
-    )
-    grams = F.transform(
-        idx,
-        lambda i: _hash_gram(F.concat_ws(" ", F.slice(toks, i + 1, n)), hash_fn),
-    )
-    return F.array_distinct(grams)
+
+    Public/UDF-safe shape (re-tokenizes per gram — lambdas capture the
+    split tree); operators go through ``_shingles``, whose bound variant
+    tokenizes once per row (measured ~4x faster at sf1) but must stay
+    out of Python-UDF arguments (:func:`_bind_once` caveat)."""
+    return _word_grams(_word_tokens(text), n, hash_fn)
 
 
 def _shingles(
     text: Column, size: int, unit: str, hash_fn: str = "xxhash64"
 ) -> Column:
+    """Operator-internal shingle expression: the BOUND shape — the text/
+    token subtree evaluates once per row, not once per gram (word mode's
+    regex split dominated the sf1 shingle stage 4x unbound). Never feed
+    this directly to a Python UDF (_bind_once caveat); _banded_index
+    materializes it behind a Generate barrier before the signature UDF."""
     if unit == "char":
-        return char_shingles(text, size, hash_fn)
+        return _bind_once(text, lambda t: _char_grams(t, size, hash_fn))
     if unit == "word":
-        return word_shingles(text, size, hash_fn)
+        return _bind_once(
+            _word_tokens(text), lambda ts: _word_grams(ts, size, hash_fn)
+        )
     raise ValueError(f"shingle unit must be char|word, got {unit}")
 
 
@@ -432,14 +487,27 @@ def _banded_index(
     hash a slice of the already-materialized signature array.
     """
     rows_per_band = num_hashes // n_bands
-    base = df.select(
+    # the shingle set is materialized behind an explode(array(.)) Generate
+    # barrier (1:1 — the array always has exactly one element) so the
+    # signature UDF's input is a plain ATTRIBUTE: feeding the
+    # lambda-bearing shingle expression to the UDF directly makes
+    # ExtractPythonUDFs leave the UDF un-extracted in re-planned cache
+    # subtrees (second fresh-source invocation in one session →
+    # INTERNAL_ERROR "Cannot evaluate expression: _fold(...)"), and the
+    # barrier also guarantees the shingle pipeline evaluates exactly once
+    # per row regardless of project collapse
+    shingled = df.select(
         F.col(id_col).alias("id"),
-        minhash_signature(
-            _shingles(F.col(text_col), shingle_size, shingle_unit,
-                      shingle_hash),
-            num_hashes,
-            seed,
-        ).alias("__sig"),
+        F.explode(
+            F.array(
+                _shingles(F.col(text_col), shingle_size, shingle_unit,
+                          shingle_hash)
+            )
+        ).alias("__sset"),
+    )
+    base = shingled.select(
+        "id",
+        minhash_signature(F.col("__sset"), num_hashes, seed).alias("__sig"),
     )
     return base.select(
         "id",
@@ -566,6 +634,11 @@ def minhash_lsh_candidates(
                 F.col(text_col), shingle_size, shingle_unit, shingle_hash
             ).alias("__sh"),
         )
+        # set size cached next to the set: |A ∪ B| = |A| + |B| − |A ∩ B|
+        # for distinct arrays, so the verify never builds the union array
+        # (array_union re-hashes both sides per pair; the intersect pass
+        # alone carries the same information)
+        .withColumn("__sz", F.size("__sh"))
         .persist()
     )
     # sort-merge hint on the verify legs (sf1 lesson): Catalyst's static
@@ -578,14 +651,20 @@ def minhash_lsh_candidates(
     # bounded by spill at ANY candidate volume.
     joined = (
         pairs.hint("merge")
-        .join(sh.select(F.col("id").alias("id_a"), F.col("__sh").alias("__sh_a")),
+        .join(sh.select(F.col("id").alias("id_a"),
+                        F.col("__sh").alias("__sh_a"),
+                        F.col("__sz").alias("__sz_a")),
               on="id_a")
         .hint("merge")
-        .join(sh.select(F.col("id").alias("id_b"), F.col("__sh").alias("__sh_b")),
+        .join(sh.select(F.col("id").alias("id_b"),
+                        F.col("__sh").alias("__sh_b"),
+                        F.col("__sz").alias("__sz_b")),
               on="id_b")
     )
     inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
-    union = F.size(F.array_union("__sh_a", "__sh_b"))
+    # sets are array_distinct'd: |A ∪ B| = |A| + |B| − |A ∩ B| exactly —
+    # same value as size(array_union(...)) without materializing it
+    union = F.col("__sz_a") + F.col("__sz_b") - inter
     out = joined.select(
         "id_a",
         "id_b",
@@ -1409,30 +1488,58 @@ def source_overlap_matrix(
     source wholly embedded in a big one scores ~1.0 containment while
     jaccard stays low.
 
-    Plan shape: explode → ONE distinct over (source, shingle) (map-side
-    partial distinct collapses each source's repeats before the
-    shuffle), then a shingle-keyed self-join whose fan-out per shingle
-    is bounded by k(k-1)/2 for k sources — never the document-level m²
-    blowup, so no max_df cap is needed and the result is EXACT at any
-    corpus size. The shingle value is xxhash64 content hashing
-    (~2^-64 collisions); shingle-string equality gives the same matrix.
+    Plan shape: explode → ONE ``collect_set(source)`` aggregate keyed by
+    shingle (map-side partial set-merge collapses each source's repeats
+    before the shuffle — the set is bounded by k sources, never by
+    document count), then pairs are ENUMERATED from each shingle's
+    sorted source set (k(k-1)/2 fan-out per shingle, pure codegen-side
+    array work) and counted by a map-side-combinable aggregate whose
+    world is ≤ k² rows per task. The r7 formulation (distinct over
+    (source, shingle) + a shingle-keyed self-join) paid THREE full
+    shuffles of the posting data and re-ran the shingle pipeline per
+    join leg; this one pays one, with the per-shingle exchange reused
+    by the sizes branch (ReusedExchange — pinned in tests/test_plans).
+    No max_df cap is needed and the result is EXACT at any corpus size.
+    The shingle value is xxhash64 content hashing (~2^-64 collisions);
+    shingle-string equality gives the same matrix.
     """
-    post = (
-        df.select(
-            F.col(group_col).alias("g"),
-            F.explode(
-                _shingles(F.col(text_col), shingle_size, shingle_unit)
-            ).alias("s"),
-        )
-        .distinct()
+    post = df.select(
+        F.col(group_col).alias("g"),
+        F.explode(
+            _shingles(F.col(text_col), shingle_size, shingle_unit)
+        ).alias("s"),
     )
-    sizes = post.groupBy("g").agg(F.count(F.lit(1)).alias("sz"))
-    a = post.select(F.col("g").alias("source_a"), "s")
-    b = post.select(F.col("g").alias("source_b"), "s")
+    # one shuffle: per-shingle DISTINCT source set (array_sort makes the
+    # pair enumeration deterministic; collect_set is map-side combinable)
+    gsets = post.groupBy("s").agg(
+        F.array_sort(F.collect_set("g")).alias("gs")
+    )
+    sizes = (
+        gsets.select(F.explode("gs").alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    # enumerate ordered pairs from the sorted set: gs is an aggregate
+    # OUTPUT attribute, so lambda references to it are variable lookups,
+    # not re-evaluated trees (cf. _bind_once)
+    gs = F.col("gs")
+    pair_arr = F.flatten(
+        F.transform(
+            gs,
+            lambda x, i: F.transform(
+                F.slice(gs, i + 2, F.size(gs)),
+                lambda y: F.struct(
+                    x.alias("source_a"), y.alias("source_b")
+                ),
+            ),
+        )
+    )
     common = (
-        a.join(b, on="s")
-        .filter(F.col("source_a") < F.col("source_b"))
-        .groupBy("source_a", "source_b")
+        gsets.select(F.explode(pair_arr).alias("p"))
+        .groupBy(
+            F.col("p.source_a").alias("source_a"),
+            F.col("p.source_b").alias("source_b"),
+        )
         .agg(F.count(F.lit(1)).alias("common"))
     )
     return (

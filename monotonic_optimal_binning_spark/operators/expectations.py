@@ -178,6 +178,7 @@ def run_checks(
     _validate(df, exps)
 
     aggs = [F.count(F.lit(1)).alias("__n")]
+    exact_unique: List[int] = []
     for i, e in enumerate(exps):
         c = F.col(e.column) if e.column else None
         if e.kind == "not_null":
@@ -198,7 +199,14 @@ def run_checks(
         elif e.kind == "unique":
             key = F.struct(*[F.col(k) for k in e.columns])
             if e.exact:
-                aggs.append(F.countDistinct(key).alias(f"__m{i}"))
+                # handled as a separate concurrent job below: folding an
+                # exact count-distinct into this aggregate makes Catalyst
+                # rewrite the WHOLE scan through a 2x Expand (every row
+                # duplicated, all agg inputs widened with nulls) and the
+                # near-unique keys defeat partial aggregation — measured
+                # 4x the cost of a column-pruned distinct().count() on
+                # the same data (sf1 lineitem: 3.96 s vs 0.92 s)
+                exact_unique.append(i)
             else:
                 aggs.append(
                     F.approx_count_distinct(key, rsd).alias(f"__m{i}")
@@ -210,7 +218,32 @@ def run_checks(
         else:
             raise ValueError(f"unknown expectation kind '{e.kind}'")
 
-    row = df.agg(*aggs).collect()[0]
+    # exact-unique counts run as their own column-pruned
+    # distinct().count() jobs, CONCURRENTLY with the row-level aggregate
+    # (guide §2.6: independent jobs back-fill each other's stragglers;
+    # the Spark scheduler interleaves them inside one application).
+    # distinct-then-count equals count(distinct struct(...)) exactly:
+    # the struct is never null, so both count every distinct key tuple,
+    # nulls included.
+    unique_counts = {}
+    if exact_unique:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _distinct_count(cols: List[str]) -> int:
+            return df.select(*[F.col(c) for c in cols]).distinct().count()
+
+        with ThreadPoolExecutor(
+            max_workers=len(exact_unique) + 1
+        ) as pool:
+            futures = {
+                i: pool.submit(_distinct_count, exps[i].columns)
+                for i in exact_unique
+            }
+            row = df.agg(*aggs).collect()[0]
+            for i, fut in futures.items():
+                unique_counts[i] = fut.result()
+    else:
+        row = df.agg(*aggs).collect()[0]
     n = row["__n"]
     records = []
     for i, e in enumerate(exps):
@@ -226,7 +259,8 @@ def run_checks(
             observed = 1.0 if n == 0 else float(row[f"__m{i}"]) / n
             lo = e.min_ratio
         elif e.kind == "unique":
-            observed = 1.0 if n == 0 else float(row[f"__m{i}"]) / n
+            m = unique_counts[i] if i in unique_counts else row[f"__m{i}"]
+            observed = 1.0 if n == 0 else float(m) / n
             lo = e.min_ratio
         else:  # in_set / between / regex: ratio over non-null rows
             d = row[f"__d{i}"]

@@ -293,8 +293,27 @@ def sessionize(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     out = out.withColumn(session_col, F.sum("__is_new").over(wrun) - 1)
-    wsess = Window.partitionBy(*keys, session_col)
-    out = out.withColumn(f"{session_col}_start", F.min(ts).over(wsess))
+    # session start = carry-forward of each session leader's event time
+    # over the SAME (key, order) window the id sum already uses — a
+    # min(ts) over a (key, session_id) partition would force a second
+    # Exchange + Sort of the full input (measured ~30% of the operator at
+    # sf1). Equal by construction: rows are ordered by (ts, tiebreak), so
+    # a session's first row carries its minimum ts, and a null/NaN-ts row
+    # is always its own singleton session (lag(ts) of the FOLLOWING row
+    # is null/NaN, which re-triggers is_new), so null-start sessions
+    # cannot mix with real timestamps — pinned by
+    # tests/test_windows.py::test_sessionize_start_matches_min_window.
+    # struct-wrapped so a NULL-ts leader still carries (a non-null struct
+    # holding null) instead of falling through to the previous session's
+    # start — min(ts) over a singleton null-ts session is null, and so is
+    # this
+    out = out.withColumn(
+        f"{session_col}_start",
+        F.last(
+            F.when(F.col("__is_new") == 1, F.struct(F.col(ts).alias("t"))),
+            ignorenulls=True,
+        ).over(wrun)["t"],
+    )
     return out.drop("__is_new")
 
 

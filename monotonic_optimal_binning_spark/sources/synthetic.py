@@ -28,6 +28,14 @@ def _h(*cols) -> F.Column:
     return F.abs(F.xxhash64(*cols))
 
 
+def _doc_id(row_id: F.Column) -> F.Column:
+    """``doc-%012d`` of a non-negative row id without format_string:
+    java.util.Formatter is ~4x the cost of concat+lpad per row (measured
+    at 24M rows), and the generators emit one id per synthetic row.
+    Identical output for ids < 10^12 (the generators' domain)."""
+    return F.concat(F.lit("doc-"), F.lpad(row_id.cast("string"), 12, "0"))
+
+
 def token_table(
     spark: SparkSession,
     n_docs: int,
@@ -63,7 +71,7 @@ def token_table(
     )
 
     return df.select(
-        F.format_string("doc-%012d", F.col("id")).alias("doc_id"),
+        _doc_id(F.col("id")).alias("doc_id"),
         tokens.alias("tokens"),
         n_tok.alias("n_tok"),
         src_arr[src_idx].alias("source"),
@@ -97,7 +105,7 @@ def event_table(
         < (0.1 + value / 200.0)
     ).cast("int")
     return df.select(
-        F.format_string("doc-%012d", doc).alias("doc_id"),
+        _doc_id(doc).alias("doc_id"),
         (F.lit(t0) + offset).alias("ts"),
         value.alias("value"),
         label.alias("label"),
