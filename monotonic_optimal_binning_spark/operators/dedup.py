@@ -1488,72 +1488,82 @@ def source_overlap_matrix(
     source wholly embedded in a big one scores ~1.0 containment while
     jaccard stays low.
 
-    Plan shape: explode → ONE ``collect_set(source)`` aggregate keyed by
-    shingle (map-side partial set-merge collapses each source's repeats
-    before the shuffle — the set is bounded by k sources, never by
-    document count), then pairs are ENUMERATED from each shingle's
-    sorted source set (k(k-1)/2 fan-out per shingle, pure codegen-side
-    array work) and counted by a map-side-combinable aggregate whose
-    world is ≤ k² rows per task. The r7 formulation (distinct over
-    (source, shingle) + a shingle-keyed self-join) paid THREE full
-    shuffles of the posting data and re-ran the shingle pipeline per
-    join leg; this one pays one, with the per-shingle exchange reused
-    by the sizes branch (ReusedExchange — pinned in tests/test_plans).
+    Plan shape (r8): explode → ONE ``collect_set(source)`` aggregate
+    keyed by shingle (map-side partial set-merge collapses each source's
+    repeats before the shuffle — the set is bounded by k sources, never
+    by document count); each shingle's sorted source set then emits its
+    ordered PAIRS plus two singleton markers per member — ``(x, null)``
+    and ``(null, x)`` — in one Generate, and a single map-side-
+    combinable count over ``(a, b)`` yields common counts (both
+    non-null) AND per-source distinct-shingle sizes (the marker rows) in
+    the same tiny table. Two windows over that k²-bounded table attach
+    ``size_a``/``size_b`` (partition by a, then by b) with no join. The
+    whole heavy posting pipeline therefore appears ONCE in the plan —
+    the r7 formulation (distinct over (source, shingle) + shingle-keyed
+    self-join + sizes join) executed the shingle scan 3x and paid three
+    posting-sized shuffles (AQE does not deduplicate stages referenced
+    under separate broadcast subtrees; pinned in tests/test_plans).
     No max_df cap is needed and the result is EXACT at any corpus size.
     The shingle value is xxhash64 content hashing (~2^-64 collisions);
     shingle-string equality gives the same matrix.
     """
+    gtype = df.schema[group_col].dataType
     post = df.select(
         F.col(group_col).alias("g"),
         F.explode(
             _shingles(F.col(text_col), shingle_size, shingle_unit)
         ).alias("s"),
     )
-    # one shuffle: per-shingle DISTINCT source set (array_sort makes the
-    # pair enumeration deterministic; collect_set is map-side combinable)
+    # one posting-sized shuffle: per-shingle DISTINCT source set
+    # (array_sort makes pair enumeration deterministic and ordered a < b;
+    # collect_set drops null sources, matching the join formulation where
+    # null never survived the inner joins)
     gsets = post.groupBy("s").agg(
         F.array_sort(F.collect_set("g")).alias("gs")
     )
-    sizes = (
-        gsets.select(F.explode("gs").alias("g"))
-        .groupBy("g")
-        .agg(F.count(F.lit(1)).alias("sz"))
-    )
-    # enumerate ordered pairs from the sorted set: gs is an aggregate
-    # OUTPUT attribute, so lambda references to it are variable lookups,
-    # not re-evaluated trees (cf. _bind_once)
+    # gs is an aggregate OUTPUT attribute, so lambda references to it are
+    # variable lookups, not re-evaluated trees (cf. _bind_once)
     gs = F.col("gs")
+    nul = F.lit(None).cast(gtype)
     pair_arr = F.flatten(
         F.transform(
             gs,
             lambda x, i: F.transform(
                 F.slice(gs, i + 2, F.size(gs)),
-                lambda y: F.struct(
-                    x.alias("source_a"), y.alias("source_b")
-                ),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
             ),
         )
     )
-    common = (
-        gsets.select(F.explode(pair_arr).alias("p"))
-        .groupBy(
-            F.col("p.source_a").alias("source_a"),
-            F.col("p.source_b").alias("source_b"),
+    # marker rows ride the same aggregate: (x, null) counts = |S_x| for
+    # the partition-by-a window, (null, x) for the partition-by-b window
+    size_a_arr = F.transform(
+        gs, lambda x: F.struct(x.alias("a"), nul.alias("b"))
+    )
+    size_b_arr = F.transform(
+        gs, lambda x: F.struct(nul.alias("a"), x.alias("b"))
+    )
+    counted = (
+        gsets.select(
+            F.explode(F.concat(pair_arr, size_a_arr, size_b_arr)).alias("p")
         )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .agg(F.count(F.lit(1)).alias("common"))
     )
+    wa = Window.partitionBy("a")
+    wb = Window.partitionBy("b")
     return (
-        common.join(
-            sizes.select(F.col("g").alias("source_a"), F.col("sz").alias("__sza")),
-            on="source_a",
+        counted.withColumn(
+            "__sza",
+            F.max(F.when(F.col("b").isNull(), F.col("common"))).over(wa),
         )
-        .join(
-            sizes.select(F.col("g").alias("source_b"), F.col("sz").alias("__szb")),
-            on="source_b",
+        .withColumn(
+            "__szb",
+            F.max(F.when(F.col("a").isNull(), F.col("common"))).over(wb),
         )
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
         .select(
-            "source_a",
-            "source_b",
+            F.col("a").alias("source_a"),
+            F.col("b").alias("source_b"),
             "common",
             F.col("__sza").alias("size_a"),
             F.col("__szb").alias("size_b"),

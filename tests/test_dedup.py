@@ -921,3 +921,62 @@ def test_minhash_dedup_keep_best_cluster_winner(spark):
     assert set(out.columns) == {"doc_id", "text", "quality"}
     with pytest.raises(ValueError, match="transitive"):
         minhash_dedup(df, "text", "doc_id", keep_best_col="quality")
+
+
+def test_bound_shingles_equal_public_shapes(spark):
+    """r8 regression: the operator-internal bound shingle expression
+    (_shingles — tokenization evaluated once per row) must be
+    value-identical to the public unbound char_shingles/word_shingles,
+    for both hash modes, including null/empty/short-text edges."""
+    from monotonic_optimal_binning_spark.operators.dedup import (
+        _shingles,
+        word_shingles,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(6)),
+            "text": [None, "", "one", "one two",
+                     "one two three four five", "  padded   spaces  "],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    for unit, pub in (("char", char_shingles), ("word", word_shingles)):
+        for hf in ("xxhash64", "md5"):
+            n = 5 if unit == "char" else 3
+            diffs = df.select(
+                F.sum(
+                    F.when(
+                        _shingles(F.col("text"), n, unit, hf).eqNullSafe(
+                            pub(F.col("text"), n, hf)
+                        ),
+                        0,
+                    ).otherwise(1)
+                ).alias("d")
+            ).collect()[0]["d"]
+            assert diffs == 0, f"{unit}/{hf} bound != public"
+
+
+def test_minhash_repeated_fresh_source_invocations(spark):
+    """r8 regression for the ExtractPythonUDFs failure: a second
+    minhash_lsh_candidates over a FRESH source DataFrame in the same
+    session used to die with INTERNAL_ERROR 'Cannot evaluate expression:
+    _fold(...)' when the signature UDF's argument carried the bound
+    (lambda-variable) shingle expression. The Generate barrier in
+    _banded_index must keep every invocation extractable."""
+    pdf = pd.DataFrame(
+        {"doc_id": range(12),
+         "text": [f"alpha beta gamma delta {i}" for i in range(12)]}
+    )
+    counts = []
+    for _ in range(2):
+        out = minhash_lsh_candidates(
+            spark.createDataFrame(pdf), "text", "doc_id",
+            num_hashes=16, n_bands=4,
+        )
+        counts.append(out.count())
+        from monotonic_optimal_binning_spark.operators.dedup import (
+            release_lsh_caches,
+        )
+        release_lsh_caches(out)
+    assert counts[0] == counts[1]

@@ -446,3 +446,34 @@ def test_embedding_verify_legs_stay_sort_merge(spark):
         banded2.unpersist()
     finally:
         banded.unpersist()
+
+
+def test_sessionize_single_exchange(spark):
+    """r8: session_id_start is computed on the same (key, ts-order) sort
+    as the session ids — the operator must plan exactly ONE shuffle (the
+    min-over-(key, session) formulation it replaced needed a second
+    Exchange + Sort of the full input)."""
+    from monotonic_optimal_binning_spark.operators.windows import sessionize
+
+    ev = spark.read.parquet(os.path.join(SF, "events.parquet"))
+    out = sessionize(ev, "user_id", "ts", gap_seconds=1800.0,
+                     tiebreak=["event_id"])
+    assert count_exchanges(out) == 1
+
+
+def test_source_overlap_single_posting_pipeline(spark):
+    """r8: source_overlap_matrix derives common counts AND per-source
+    sizes from ONE posting pipeline (collect_set per shingle + marker
+    rows through a single aggregate + two tiny windows). The r7 join
+    formulation planned the documents scan + shingle explode three
+    times; the scan must now appear exactly once."""
+    from monotonic_optimal_binning_spark.operators.dedup import (
+        source_overlap_matrix,
+    )
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    out = source_overlap_matrix(docs, "text", "source", shingle_size=3)
+    plan = plan_of(out, "simple")
+    assert plan.count("FileScan") == 1
+    # no joins at all: sizes attach via windows over the counted table
+    assert "Join" not in plan

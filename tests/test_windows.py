@@ -422,3 +422,37 @@ def test_epoch_millis_numeric_negative_matches_timestamp(spark):
     ).toPandas()
     assert (got["num_ms"] == got["ts_ms"]).all()
     assert got["num_ms"].tolist() == [-500, -1251, 500, 1999]
+
+
+def test_sessionize_start_matches_min_window(spark):
+    """r8 regression: session_id_start is a carry-forward of the session
+    leader's timestamp on the existing (key, ts) sort — it must equal the
+    min(ts)-over-(key, session) window it replaced, including null/NaN
+    timestamps (singleton sessions with null/NaN starts) and timestamp
+    ties broken by the tiebreak column."""
+    from pyspark.sql import Window
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(400):
+        k = int(rng.integers(0, 8))
+        ts = float(rng.uniform(0, 5000))
+        if i % 23 == 0:
+            ts = None
+        elif i % 29 == 0:
+            ts = float("nan")
+        elif i % 11 == 0:
+            ts = float(rng.integers(0, 10) * 100)  # deliberate ties
+        rows.append((i, k, ts))
+    pdf = pd.DataFrame(rows, columns=["id", "k", "ts"])
+    res = sessionize(
+        spark.createDataFrame(pdf), "k", "ts", gap_seconds=120.0,
+        tiebreak=["id"],
+    )
+    w = Window.partitionBy("k", "session_id")
+    diff = (
+        res.withColumn("__start_ref", F.min("ts").over(w))
+        .filter(~F.col("session_id_start").eqNullSafe(F.col("__start_ref")))
+        .count()
+    )
+    assert diff == 0
