@@ -505,6 +505,38 @@ class FittedBins:
             out[is_missing] = "Missing"
         return pd.Series(out)
 
+    #: numeric-assign codegen guard: a fitted model has <= max_bins bins
+    #: (single digits), but from_cuts can build arbitrarily many — past
+    #: this the when-chain's planning cost beats the Arrow round-trip it
+    #: saves and the pandas UDF path takes over
+    CODEGEN_MAX_BINS = 256
+
+    def _numeric_assign_column(self, col: Column, assign: str) -> Column:
+        """Pure-JVM (whole-stage-codegen) equivalent of
+        :meth:`assign_batch` for the numeric modes ('woe'/'left'/
+        'right'): bin membership is the strict-< chain over the interior
+        right edges (identical to ``searchsorted(rights, x, 'right')``
+        for the contiguous bins every fit produces), missing (null/NaN)
+        and excluded inputs map to NaN exactly as the vectorized path
+        does. Keeping serving-side scoring out of Python removes the
+        ArrowEvalPython round-trip of every scored row (guide §4.1)."""
+        arr = {"woe": self.woes, "left": self.lefts, "right": self.rights}[
+            assign
+        ]
+        xd = col.cast("double")
+        expr: Column = F.lit(float(arr[-1]))
+        for i in range(len(self.rights) - 2, -1, -1):
+            expr = F.when(
+                xd < F.lit(float(self.rights[i])), F.lit(float(arr[i]))
+            ).otherwise(expr)
+        cond = col.isNull() | F.isnan(xd)
+        if self.exclude_values:
+            # assign_batch compares against float-cast excluded values;
+            # NaN never matches isin (comparison semantics), mirroring
+            # the ~is_missing mask there
+            cond = cond | xd.isin([float(v) for v in self.exclude_values])
+        return F.when(cond, F.lit(float("nan"))).otherwise(expr)
+
     def transform(
         self,
         df: DataFrame,
@@ -515,8 +547,15 @@ class FittedBins:
         """Serving-side broadcast lookup: score a DataFrame straight from
         the artifact (no binner / fit state required — this is what a
         ``load_json``'d model does in production). ``assign``:
-        'interval' (label), 'left', 'right', or 'woe'. The artifact
-        travels inside the serialized pandas UDF (kilobytes)."""
+        'interval' (label), 'left', 'right', or 'woe'.
+
+        Numeric modes ('woe'/'left'/'right') compile the bin edges and
+        values into a whole-stage-codegen when-chain — no Python in the
+        scoring path (values byte-identical to the vectorized
+        :meth:`assign_batch`; pinned by test). 'interval' (string
+        labels with the reference's ``Excluded:{val}`` raw-value
+        formatting) stays on the Arrow path; the artifact travels inside
+        the serialized pandas UDF (kilobytes)."""
         if assign == "woe" and not self.is_binary:
             raise ValueError("assign='woe' requires binary target")
         if assign not in ("interval", "left", "right", "woe"):
@@ -524,6 +563,14 @@ class FittedBins:
 
         input_col = input_col or self.x
         output_col = output_col or f"{input_col}_{assign}"
+        if (
+            assign != "interval"
+            and len(self.rights) <= self.CODEGEN_MAX_BINS
+        ):
+            return df.withColumn(
+                output_col,
+                self._numeric_assign_column(F.col(input_col), assign),
+            )
         ret_type = "string" if assign == "interval" else "double"
         model = self
 
@@ -1624,6 +1671,30 @@ class GroupedBins:
         output_col = output_col or f"{input_col}_{assign}"
         ret_type = "string" if assign == "interval" else "double"
         models = self.models
+
+        # numeric modes with a bounded total chain size compile to a pure
+        # whole-stage-codegen group dispatch — no Python in the scoring
+        # path (guide §4.1). Semantics mirrored from the UDF exactly:
+        # unseen groups, null/NaN group keys (pandas groupby drops them)
+        # and non-binary groups under 'woe' all yield NaN.
+        total_bins = sum(len(m.rights) for m in models.values())
+        if (
+            assign != "interval"
+            and len(models) <= 64
+            and total_bins <= FittedBins.CODEGEN_MAX_BINS
+        ):
+            gcol = F.col(group_col)
+            vcol = F.col(input_col)
+            expr = F.lit(float("nan"))
+            for g, m in sorted(models.items(), key=lambda kv: str(kv[0])):
+                if g is None or (isinstance(g, float) and math.isnan(g)):
+                    continue  # groupby-dropped keys score NaN in the UDF
+                if assign == "woe" and m.woes is None:
+                    continue  # non-binary group: WoE undefined -> NaN
+                expr = F.when(
+                    gcol == F.lit(g), m._numeric_assign_column(vcol, assign)
+                ).otherwise(expr)
+            return df.withColumn(output_col, expr)
 
         @F.pandas_udf(ret_type)
         def _assign(groups: pd.Series, values: pd.Series) -> pd.Series:

@@ -107,3 +107,91 @@ def test_grouped_fit_scan_count(spark):
     # (plus AQE sub-jobs) — a CONSTANT, group-count-independent number.
     # A per-group implementation would add ~3 jobs per extra group.
     assert after - before <= 10, f"too many Spark jobs: {after - before}"
+
+
+def test_numeric_transform_codegen_equals_pandas_udf(spark):
+    """r8: the numeric assign modes compile to a JVM when-chain; it must
+    be value-identical (NaN-for-NaN) to the pandas-UDF assign_batch path
+    on nulls, NaNs, excluded values, bin edges, ±inf, unseen groups and
+    non-binary groups."""
+    from monotonic_optimal_binning_spark import (
+        BinningConstraints,
+        SparkMonotonicBinner,
+        fit_binners_per_group,
+    )
+    from monotonic_optimal_binning_spark.operators.binning import FittedBins
+
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], 600),
+            "x": rng.normal(10, 4, 600).round(1),
+            "y": rng.integers(0, 2, 600),
+        }
+    )
+    # group 'c' gets a continuous target -> non-binary under woe
+    pdf.loc[pdf["g"] == "c", "y"] = rng.normal(size=(pdf["g"] == "c").sum())
+    probe = pd.DataFrame(
+        {
+            "g": ["a", "a", "a", "a", "b", "zzz", None, "c", "a"],
+            "x": [None, float("nan"), float("inf"), float("-inf"),
+                  7.0, 5.0, 5.0, 5.0, 99.0],
+        }
+    )
+    full = pd.concat(
+        [pdf[["g", "x"]], probe], ignore_index=True
+    )
+    sdf = spark.createDataFrame(full)
+
+    gb = fit_binners_per_group(
+        spark.createDataFrame(pdf), "g", "x", "y",
+        constraints=BinningConstraints(max_bins=5, min_bins=2),
+    )
+    # also hit a model's exact bin edges
+    edges = [float(r) for r in gb["a"].rights[:-1]]
+    sdf = sdf.union(
+        spark.createDataFrame(
+            pd.DataFrame({"g": ["a"] * len(edges), "x": edges})
+        )
+    )
+
+    for mode in ("woe", "left", "right"):
+        fast = gb.transform(sdf, assign=mode, input_col="x",
+                            output_col="o").select("g", "x", "o")
+        plan = fast._jdf.queryExecution().toString()
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+        # force the UDF path by lowering the codegen guard
+        orig = FittedBins.CODEGEN_MAX_BINS
+        try:
+            FittedBins.CODEGEN_MAX_BINS = 0
+            slow = gb.transform(sdf, assign=mode, input_col="x",
+                                output_col="o").select("g", "x", "o")
+        finally:
+            FittedBins.CODEGEN_MAX_BINS = orig
+        a = fast.toPandas().sort_values(["g", "x"]).reset_index(drop=True)
+        b = slow.toPandas().sort_values(["g", "x"]).reset_index(drop=True)
+        np.testing.assert_array_equal(
+            a["o"].to_numpy(float), b["o"].to_numpy(float)
+        )
+
+    # single-model path with excluded values, same contract
+    bx = SparkMonotonicBinner(
+        "x", "y", exclude_values=[7.0],
+        constraints=BinningConstraints(max_bins=5, min_bins=2),
+    ).fit(spark.createDataFrame(pdf[pdf["g"] != "c"][["x", "y"]]))
+    sx = spark.createDataFrame(full[["x"]])
+    for mode in ("woe", "left", "right"):
+        fast = bx.model_.transform(sx, assign=mode, output_col="o")
+        plan = fast._jdf.queryExecution().toString()
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+        orig = FittedBins.CODEGEN_MAX_BINS
+        try:
+            FittedBins.CODEGEN_MAX_BINS = 0
+            slow = bx.model_.transform(sx, assign=mode, output_col="o")
+        finally:
+            FittedBins.CODEGEN_MAX_BINS = orig
+        a = fast.toPandas().sort_values(["x"]).reset_index(drop=True)
+        b = slow.toPandas().sort_values(["x"]).reset_index(drop=True)
+        np.testing.assert_array_equal(
+            a["o"].to_numpy(float), b["o"].to_numpy(float)
+        )
