@@ -324,15 +324,26 @@ def _char_grams(t: Column, n: int, hash_fn: str) -> Column:
     )
 
 
-def _word_grams(ts: Column, n: int, hash_fn: str) -> Column:
+def _word_grams(
+    ts: Column, n: int, hash_fn: str, via_get: bool = False
+) -> Column:
     idx = F.sequence(F.lit(0), F.greatest(F.size(ts) - n, F.lit(0)))
+    if via_get:
+        # n direct element gets instead of slice+concat_ws-over-array:
+        # no per-gram array allocation — ~2x on the sf1 shingle stage.
+        # Identical strings: F.get past the end is null and concat_ws
+        # skips nulls, exactly what a clamped slice produced for short
+        # token lists. Only safe when ``ts`` is a BOUND lambda variable
+        # (n gets re-reference it n times; on the public unbound shape
+        # that would re-run the tokenization n times per gram).
+        def gram(i):
+            return F.concat_ws(" ", *[F.get(ts, i + j) for j in range(n)])
+    else:
+        def gram(i):
+            return F.concat_ws(" ", F.slice(ts, i + 1, n))
+
     return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: _hash_gram(
-                F.concat_ws(" ", F.slice(ts, i + 1, n)), hash_fn
-            ),
-        )
+        F.transform(idx, lambda i: _hash_gram(gram(i), hash_fn))
     )
 
 
@@ -377,7 +388,8 @@ def _shingles(
         return _bind_once(text, lambda t: _char_grams(t, size, hash_fn))
     if unit == "word":
         return _bind_once(
-            _word_tokens(text), lambda ts: _word_grams(ts, size, hash_fn)
+            _word_tokens(text),
+            lambda ts: _word_grams(ts, size, hash_fn, via_get=True),
         )
     raise ValueError(f"shingle unit must be char|word, got {unit}")
 
