@@ -290,29 +290,9 @@ def _hash_gram(gram: Column, hash_fn: str) -> Column:
     raise ValueError(f"shingle hash must be xxhash64|md5, got {hash_fn}")
 
 
-def _bind_once(value: Column, fn) -> Column:
-    """Evaluate ``value`` once per row and pass it to ``fn`` as a bound
-    lambda variable.
-
-    Higher-order-function lambda BODIES re-evaluate any captured
-    expression tree once per array element (lambdas capture expressions,
-    not values, and HOFs never enter codegen/CSE). A shingle transform
-    whose lambda sliced the tokenization expression therefore re-ran the
-    whole regex split once per gram — measured ~4x the cost of the
-    shingle pipeline at sf1. Wrapping the expression as the single
-    element of an array and transforming over it binds it to a
-    NamedLambdaVariable, which IS evaluated once; inner lambdas then
-    reference the variable, not the tree.
-
-    CAVEAT: the bound expression must NOT be fed to a Python UDF as an
-    argument — with cross-level lambda variable references in the arg,
-    ExtractPythonUDFs leaves the UDF un-extracted in any non-pristine
-    session (runtime INTERNAL_ERROR "Cannot evaluate expression").
-    UDF consumers must materialize the bound expression behind an
-    ``explode(array(.))`` Generate barrier first so the UDF sees a plain
-    attribute (see ``_banded_index``), or use the unbound public shape.
-    """
-    return F.transform(F.array(value), fn)[0]
+# engine-wide binding idiom (see functions/hof.bind_once docstring for
+# the per-element re-evaluation trap and the Python-UDF caveat)
+from ..functions.hof import bind_once as _bind_once  # noqa: E402
 
 
 def _char_grams(t: Column, n: int, hash_fn: str) -> Column:
@@ -1118,7 +1098,7 @@ def simhash_banded_pairs(
 
     base = df.select(
         F.col(id_col).alias("id"), F.col(fp_col).cast("long").alias("__fp")
-    ).filter(F.col("__fp").isNotNull()).persist()
+    ).filter(F.col("__fp").isNotNull())
 
     width = 64 // n_blocks
     blocks = []
@@ -1132,8 +1112,19 @@ def simhash_banded_pairs(
         else:
             blocks.append(shifted.bitwiseAND(F.lit((1 << w) - 1)))
 
+    # the fingerprint RIDES the banded rows (one extra int64 — nothing
+    # like minhash's shingle arrays, where ids-only banding is the right
+    # call): the exact popcount verify can then run INSIDE the self-join
+    # stage, before any row is shuffled onward. The r7 shape
+    # (ids-only join → dropDuplicates → two fingerprint re-joins →
+    # hamming filter) shuffled the RAW candidate set twice and sorted it
+    # twice — with max_hamming=8 the 7-bit blocks collide so heavily that
+    # 5k docs produced 10.9M raw candidates (measured sf0.1: 9.8 s);
+    # filtering first leaves only true near-dup pairs (orders of
+    # magnitude fewer) for the dedup shuffle (0.7 s same data).
     banded = base.select(
         "id",
+        "__fp",
         F.posexplode(F.array(*blocks)).alias("band", "bucket"),
     )
     if max_bucket_size is not None:
@@ -1143,37 +1134,28 @@ def simhash_banded_pairs(
             .filter(F.col("__bsz") <= max_bucket_size)
             .drop("__bsz")
         )
-    a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
-    b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
-    pairs = (
-        a.join(b, on=["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    a = banded.select(F.col("id").alias("id_a"), F.col("__fp").alias("__fa"),
+                      "band", "bucket")
+    b = banded.select(F.col("id").alias("id_b"), F.col("__fp").alias("__fb"),
+                      "band", "bucket")
     fp_cols = (
         [F.col("__fa").alias("fp_a"), F.col("__fb").alias("fp_b")]
         if include_fp
         else []
     )
     scored = (
-        pairs.join(base.select(F.col("id").alias("id_a"), F.col("__fp").alias("__fa")),
-                   on="id_a")
-        .join(base.select(F.col("id").alias("id_b"), F.col("__fp").alias("__fb")),
-              on="id_b")
-        .select(
-            "id_a",
-            "id_b",
-            *fp_cols,
-            hamming_distance(F.col("__fa"), F.col("__fb")).alias("hamming"),
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming", hamming_distance(F.col("__fa"), F.col("__fb"))
         )
         .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", *fp_cols, "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )
     from ..plans.checkpoint import truncate_lineage
 
-    out = truncate_lineage(scored, checkpoint_dir, eager=True)
-    base.unpersist()
-    return out
+    return truncate_lineage(scored, checkpoint_dir, eager=True)
 
 
 def simhash_neardup_pairs(

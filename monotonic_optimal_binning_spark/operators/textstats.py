@@ -53,8 +53,11 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     toks = whitespace_tokens(text)
     n_chars = F.length(text)
     n_tokens = F.size(toks)
-    punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
-    digits = n_chars - F.length(F.regexp_replace(text, r"[0-9]", ""))
+    # regexp_count over the single-char classes counts the same matches
+    # as length-minus-replaced (pinned equal at sf1) without building the
+    # stripped string per row
+    punct = F.regexp_count(text, F.lit(r"[^\w\s]"))
+    digits = F.regexp_count(text, F.lit(r"[0-9]"))
     lower_toks = F.transform(toks, lambda t: F.lower(t))
     en_stop = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
     n_stop = F.size(F.filter(lower_toks, lambda t: F.array_contains(en_stop, t)))
@@ -93,22 +96,29 @@ def language_id(
     """Heuristic language ID: argmax over per-language stopword hit ratios.
 
     Deterministic tie-break by language code; 'und' when nothing matches.
+    The lowered token array is BOUND once per row (functions/hof) — the
+    unbound form re-ran split+lower once per language score plus once for
+    the length, ~1.5x the operator at sf0.1.
     """
+    from ..functions.hof import bind_once
+
     toks = F.transform(whitespace_tokens(F.col(text_col)), lambda t: F.lower(t))
-    n = F.size(toks)
-    def _hit_count(arr):
-        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
 
-    scores = []
-    for lang in sorted(STOPWORDS):
-        arr = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
-        scores.append(
-            (lang, F.when(n > 0, _hit_count(arr) / n).otherwise(F.lit(0.0)))
-        )
+    def _scores(ts):
+        n = F.size(ts)
+        entries = []
+        for lang in sorted(STOPWORDS):
+            arr = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+            hit = F.size(F.filter(ts, lambda t: F.array_contains(arr, t)))
+            entries.append(
+                F.struct(
+                    F.when(n > 0, hit / n).otherwise(F.lit(0.0)).alias("score"),
+                    F.lit(lang).alias("lang"),
+                )
+            )
+        return F.array(*entries)
 
-    pairs = F.array(
-        *[F.struct(s.alias("score"), F.lit(lang).alias("lang")) for lang, s in scores]
-    )
+    pairs = bind_once(toks, _scores)
     best = F.array_max(pairs)  # struct compare: score first, then lang
     pred = F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
     return df.withColumn(out_col, pred)
