@@ -2473,113 +2473,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sit in positions 0-49; the union of consecutive CORRECTNESS files
     # then covers every entry with max staleness <= 2 rounds.
     return {
-        # --- r7 new + changed-code (md5 shingle mode; keep_best NaN-id
-        # tie-break; CC checkpoint release; embedding verify legs) ---
-        "quantize_embeddings": q_quantize_embeddings,
-        "minhash_pairs": q_minhash_pairs,
-        "minhash_pairs_planted": q_minhash_planted,
-        "lsh_bucket_audit": q_lsh_bucket_audit,
-        "source_overlap": q_source_overlap,
-        "decontaminate": q_decontaminate,
-        "keep_best_doc": q_keep_best_doc,
-        "dedup_clusters": q_dedup_clusters,
-        "embedding_neardup": q_embedding_neardup,
-        # --- last driver-green in r4 (stalest block) ---
-        "asof_join_bucketed": q_asof_bucketed,
-        "asof_forward": q_asof_forward,
-        "asof_tolerance": q_asof_tolerance,
-        "leakage_audit": q_leakage_audit,
-        "lag_lead": q_lag_lead,
-        "lag_lead_bucketed": q_lag_lead_bucketed,
-        "backfill": q_backfill,
-        "backfill_bucketed": q_backfill_bucketed,
-        "sessionize": q_sessionize,
-        "sessionize_bucketed": q_sessionize_bucketed,
-        "rolling_stats": q_rolling_stats,
-        "tumbling_agg": q_tumbling_agg,
-        "sliding_window": q_sliding_window,
-        "deterministic_split": q_deterministic_split,
-        "hash_sample": q_hash_sample,
-        "exact_dedup": q_exact_dedup,
-        "exact_dedup_agg": q_exact_dedup_agg,
-        "token_count": q_token_count,
-        "bpe_token_count": q_bpe_token_count,
-        "quality": q_quality,
-        "join_topk": q_join_topk,
-        "rollup": q_rollup,
-        "cube_agg": q_cube_agg,
-        "percentiles": q_percentiles,
-        "range_join": q_range_join,
-        "json_extract": q_json_extract,
-        # --- last driver-green in r5, shingle-affected first ---
-        "ngram_jaccard": q_ngram_jaccard,
-        "ngram_containment": q_ngram_containment,
-        "ngram_jaccard_maxdf": q_ngram_jaccard_maxdf,
-        "simhash_neardup": q_simhash_neardup,
-        "simhash_banded_fp": q_simhash_banded_fp,
-        "fingerprint_dedup": q_fingerprint_dedup,
-        "lang_id": q_lang_id,
-        "hash_encode": q_hash_encode,
-        "tfidf_topk": q_tfidf_topk,
-        "frequency_encode": q_frequency_encode,
-        "cosine_topk": q_cosine_topk,
-        "token_topk": q_token_topk,
-        "lsh_topk_planted": q_lsh_topk_planted,
-        "ivf_topk": q_ivf_topk,
-        "ivf_topk_planted": q_ivf_topk_planted,
-        # --- positions >= 50: driver-green in r6 (1 round stale)
-        #     or r5 leftovers (2 rounds; front of the r8 window:
-        #     token_topk_grouped, bin_fit_weighted, feature_scale,
-        #     woe_churn, iv_screen family, corr_matrix, profile,
-        #     categorical/target encode, gains/psi/scorecard/
-        #     reason/calibration, snapshot, intervalize,
-        #     incremental fits) ---
+        # --- r8 window: the 21 queries last driver-green in r5 (max-
+        # staleness invariant), every query whose OPERATOR INTERNALS
+        # round 8 changed (shingles/bind-once, sessionize start,
+        # source_overlap single-chain, simhash verify-in-join,
+        # expectations concurrent unique, numeric-transform codegen),
+        # and the stalest r6 fills; everything displaced is r7-green
+        # (staleness <= 1). ---
         "token_topk_grouped": q_token_topk_grouped,
         "bin_fit_weighted": q_bin_fit_weighted,
         "feature_scale": q_feature_scale,
         "woe_churn": q_woe_churn,
-        "media_features_real": q_media_features_real,
-        "isotonic_calibration_grouped": q_isotonic_calibration_grouped,
-        "expectations_check": q_expectations_check,
-        "bin_stability": q_bin_stability,
-        "chunk_documents": q_chunk_documents,
-        "token_drift": q_token_drift,
-        "lsh_topk": q_lsh_topk,
-        "simhash_dedup": q_simhash_dedup,
-        "ks_auc": q_ks_auc,
-        "ks_auc_weighted": q_ks_auc_weighted,
-        "cv_metrics": q_cv_metrics,
-        "multi_horizon": q_multi_horizon,
-        "multi_horizon_bucketed": q_multi_horizon_bucketed,
-        "time_decayed": q_time_decayed,
-        "asof_decayed": q_asof_decayed,
-        "asof_agg": q_asof_agg,
-        "media_features": q_media_features,
-        "embedding_neardup_planted": q_embedding_neardup_planted,
-        "isotonic_calibration": q_isotonic_calibration,
-        "ivf_topk_loaded": q_ivf_topk_loaded,
-        "tpch_q1": q_tpch_q1,
-        "per_source_fit": q_per_source_fit,
-        "pack_chunks": q_pack_chunks,
-        "repetition": q_repetition,
-        "pii_scrub": q_pii_scrub,
-        "stratified_sample": q_stratified_sample,
-        "token_budget_mix": q_token_budget_mix,
-        "psi_drift": q_psi_drift,
-        "per_source_fit_monotone": q_per_source_fit_monotone,
-        "simhash_planted": q_simhash_planted,
-        "psi_drift_grouped": q_psi_drift_grouped,
-        "asof_broadcast": q_asof_broadcast,
-        "paragraph_dedup": q_paragraph_dedup,
-        "group_stats": q_group_stats,
-        "cumulative_stats": q_cumulative_stats,
-        "sign_correlation": q_sign_correlation,
-        "bin_fit_summary": q_bin_fit_summary,
-        "bin_fit_monotone": q_bin_fit_monotone,
-        "woe_transform": q_woe_transform,
-        "woe_transform_monotone": q_woe_transform_monotone,
-        "fixed_bucket_woe": q_fixed_bucket_woe,
-        "asof_join": q_asof_join,
         "iv_screen": q_iv_screen,
         "iv_screen_weighted": q_iv_screen_weighted,
         "iv_screen_grouped": q_iv_screen_grouped,
@@ -2597,6 +2501,100 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intervalize": q_intervalize,
         "bin_fit_incremental": q_bin_fit_incremental,
         "per_source_fit_incremental": q_per_source_fit_incremental,
+        "sessionize": q_sessionize,
+        "source_overlap": q_source_overlap,
+        "minhash_pairs": q_minhash_pairs,
+        "minhash_pairs_planted": q_minhash_planted,
+        "lsh_bucket_audit": q_lsh_bucket_audit,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ngram_containment": q_ngram_containment,
+        "ngram_jaccard_maxdf": q_ngram_jaccard_maxdf,
+        "decontaminate": q_decontaminate,
+        "simhash_neardup": q_simhash_neardup,
+        "simhash_banded_fp": q_simhash_banded_fp,
+        "simhash_planted": q_simhash_planted,
+        "expectations_check": q_expectations_check,
+        "quality": q_quality,
+        "lang_id": q_lang_id,
+        "woe_transform": q_woe_transform,
+        "woe_transform_monotone": q_woe_transform_monotone,
+        "fixed_bucket_woe": q_fixed_bucket_woe,
+        "per_source_fit": q_per_source_fit,
+        "per_source_fit_monotone": q_per_source_fit_monotone,
+        "dedup_clusters": q_dedup_clusters,
+        "simhash_dedup": q_simhash_dedup,
+        "bin_fit_summary": q_bin_fit_summary,
+        "bin_fit_monotone": q_bin_fit_monotone,
+        "asof_join": q_asof_join,
+        "tpch_q1": q_tpch_q1,
+        "cv_metrics": q_cv_metrics,
+        "ks_auc": q_ks_auc,
+        "pack_chunks": q_pack_chunks,
+        # --- positions >= 50: r7-green (staleness 1) or r6-green
+        # (staleness 2) after this round ---
+        "quantize_embeddings": q_quantize_embeddings,
+        "keep_best_doc": q_keep_best_doc,
+        "embedding_neardup": q_embedding_neardup,
+        "asof_join_bucketed": q_asof_bucketed,
+        "asof_forward": q_asof_forward,
+        "asof_tolerance": q_asof_tolerance,
+        "leakage_audit": q_leakage_audit,
+        "lag_lead": q_lag_lead,
+        "lag_lead_bucketed": q_lag_lead_bucketed,
+        "backfill": q_backfill,
+        "backfill_bucketed": q_backfill_bucketed,
+        "sessionize_bucketed": q_sessionize_bucketed,
+        "rolling_stats": q_rolling_stats,
+        "tumbling_agg": q_tumbling_agg,
+        "sliding_window": q_sliding_window,
+        "deterministic_split": q_deterministic_split,
+        "hash_sample": q_hash_sample,
+        "exact_dedup": q_exact_dedup,
+        "exact_dedup_agg": q_exact_dedup_agg,
+        "token_count": q_token_count,
+        "bpe_token_count": q_bpe_token_count,
+        "join_topk": q_join_topk,
+        "rollup": q_rollup,
+        "cube_agg": q_cube_agg,
+        "percentiles": q_percentiles,
+        "range_join": q_range_join,
+        "json_extract": q_json_extract,
+        "fingerprint_dedup": q_fingerprint_dedup,
+        "hash_encode": q_hash_encode,
+        "tfidf_topk": q_tfidf_topk,
+        "frequency_encode": q_frequency_encode,
+        "cosine_topk": q_cosine_topk,
+        "token_topk": q_token_topk,
+        "lsh_topk_planted": q_lsh_topk_planted,
+        "ivf_topk": q_ivf_topk,
+        "ivf_topk_planted": q_ivf_topk_planted,
+        "media_features_real": q_media_features_real,
+        "isotonic_calibration_grouped": q_isotonic_calibration_grouped,
+        "bin_stability": q_bin_stability,
+        "chunk_documents": q_chunk_documents,
+        "token_drift": q_token_drift,
+        "lsh_topk": q_lsh_topk,
+        "ks_auc_weighted": q_ks_auc_weighted,
+        "multi_horizon": q_multi_horizon,
+        "multi_horizon_bucketed": q_multi_horizon_bucketed,
+        "time_decayed": q_time_decayed,
+        "asof_decayed": q_asof_decayed,
+        "asof_agg": q_asof_agg,
+        "media_features": q_media_features,
+        "embedding_neardup_planted": q_embedding_neardup_planted,
+        "isotonic_calibration": q_isotonic_calibration,
+        "ivf_topk_loaded": q_ivf_topk_loaded,
+        "repetition": q_repetition,
+        "pii_scrub": q_pii_scrub,
+        "stratified_sample": q_stratified_sample,
+        "token_budget_mix": q_token_budget_mix,
+        "psi_drift": q_psi_drift,
+        "psi_drift_grouped": q_psi_drift_grouped,
+        "asof_broadcast": q_asof_broadcast,
+        "paragraph_dedup": q_paragraph_dedup,
+        "group_stats": q_group_stats,
+        "cumulative_stats": q_cumulative_stats,
+        "sign_correlation": q_sign_correlation,
     }
 
 

@@ -130,10 +130,13 @@ def main():
         "",
         "The transform gap is structural: the reference assigns bins with a",
         "per-row Python `Series.apply`",
-        "(/root/reference/src/MOBPY/binning/mob.py:468); the engine runs one",
-        "Arrow-vectorized `np.searchsorted` per batch. The fit gap comes from",
-        "the distributed pre-aggregation (rows never reach the driver; the",
-        "solve sees only per-distinct-x sufficient statistics).",
+        "(/root/reference/src/MOBPY/binning/mob.py:468); since round 8 the",
+        "engine compiles the numeric assign into a whole-stage-codegen",
+        "when-chain (no Python at all in the scoring path; string-label mode",
+        "keeps the Arrow-vectorized `np.searchsorted` batch path). The fit",
+        "gap comes from the distributed pre-aggregation (rows never reach",
+        "the driver; the solve sees only per-distinct-x sufficient",
+        "statistics).",
     ]
     with open(os.path.join(HERE, "REFBENCH.md"), "w") as f:
         f.write("\n".join(lines) + "\n")

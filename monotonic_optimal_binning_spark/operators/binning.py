@@ -996,6 +996,13 @@ class SparkMonotonicBinner:
         if not k or k < 2:
             return None
         probs = [i / k for i in range(1, k)]
+        # NOTE (r8 measurement): the Greenwald-Khanna pass is already
+        # parallel here — parquet scans split to defaultParallelism via
+        # minPartitionNum, and an explicit repartition(32) measured
+        # SLOWER (1.28 s vs 0.74 s at sf1: the shuffle + its
+        # sort-before-repartition cost more than the sketch). The ~0.7 s
+        # at sf1 is the sketch itself (6M inserts at rel_err=0.001),
+        # paid only on the approx-prebin path; exact mode never runs it.
         qs = (
             df.filter(x_clean)
             .select(F.col(self.x).cast("double").alias("_x"))
