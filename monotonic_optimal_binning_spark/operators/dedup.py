@@ -614,9 +614,12 @@ def minhash_lsh_candidates(
     # the corpus scan + candidate shingle computation ran twice per action
     # (measured ~0.3 s/rep at sf0.1); the cache holds only the candidates'
     # shingle sets, bounded by the LSH survivor count, not the corpus
-    cand_ids = (
-        pairs.select(F.explode(F.array("id_a", "id_b")).alias("id"))
-        .distinct()
+    # NO .distinct(): the left-semi join is set-semantics on the probe
+    # side regardless of build-side duplicates, and the distinct cost an
+    # extra exchange+aggregate job per run (the build table is bounded by
+    # 2x the candidate-pair count either way)
+    cand_ids = pairs.select(
+        F.explode(F.array("id_a", "id_b")).alias("id")
     )
     sh = (
         df.join(cand_ids, on=F.col(id_col) == cand_ids["id"], how="leftsemi")
